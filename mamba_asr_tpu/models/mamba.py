@@ -1,0 +1,279 @@
+"""Mamba and bidirectional Mamba (BiMamba v2) blocks in flax.linen.
+
+Behavioral contract from the reference's vendored Vim implementation
+(/root/reference/modules/mamba/bimamba.py):
+
+- `MambaBlock` == class Mamba with bimamba_type="none": shared in_proj
+  (d_model -> 2*d_inner, no bias), depthwise causal conv (k=d_conv, bias)
+  + SiLU, x_proj (d_inner -> dt_rank + 2*d_state, no bias), dt_proj
+  (dt_rank -> d_inner; its bias enters the scan as delta_bias under
+  softplus), S4D-real A_log init, D skip init to ones, out_proj
+  (d_inner -> d_model, no bias).  (bimamba.py:81-134, 271-315)
+- `BiMambaBlock` == bimamba_type="v2": shared in_proj/out_proj, separate
+  fwd/bwd conv, x_proj, dt_proj, A_log, D; output = out_proj(0.5*fwd +
+  0.5*flip(bwd(flip(x)))) since if_devide_out defaults True.
+  (bimamba.py:146-174, 221-253)
+- O(1) decode step carrying (conv_state, ssm_state), mirroring
+  Mamba.step / allocate_inference_cache (bimamba.py:320-406).
+
+TPU-native: the recurrence runs through ops.selective_scan (parallel
+associative scan / Pallas kernel) instead of a sequential CUDA kernel;
+projections are plain Dense matmuls that XLA maps onto the MXU; the
+whole block is functional so streaming state is an explicit pytree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mamba_asr_tpu.ops.causal_conv1d import causal_conv1d, causal_conv1d_step
+from mamba_asr_tpu.ops.selective_scan import selective_scan, ssm_step
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class MambaConfig:
+    """Hyperparameters of a Mamba mixer (reference bimamba.py:40-61)."""
+
+    d_state: int = 16
+    d_conv: int = 4
+    expand: int = 2
+    dt_rank: Optional[int] = None  # None -> ceil(d_model / 16)
+    dt_min: float = 0.001
+    dt_max: float = 0.1
+    dt_init: str = "random"
+    dt_scale: float = 1.0
+    dt_init_floor: float = 1e-4
+    conv_bias: bool = True
+    bias: bool = False
+    # "auto" | "xla" | "pallas" | "ref" — forwarded to ops.selective_scan.
+    scan_impl: str = "auto"
+
+    def resolved_dt_rank(self, d_model: int) -> int:
+        return self.dt_rank or math.ceil(d_model / 16)
+
+
+def _dt_proj_kernel_init(dt_rank: int, cfg: MambaConfig):
+    std = dt_rank**-0.5 * cfg.dt_scale
+    if cfg.dt_init == "constant":
+        return nn.initializers.constant(std)
+    if cfg.dt_init == "random":
+        return nn.initializers.uniform(scale=2 * std, offset=-std)  # U(-std, std)
+    raise NotImplementedError(cfg.dt_init)
+
+
+def _dt_bias_init(cfg: MambaConfig):
+    """softplus(bias) ~ LogUniform(dt_min, dt_max)  (bimamba.py:110-118)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        u = jax.random.uniform(key, shape, jnp.float32)
+        dt = jnp.exp(
+            u * (math.log(cfg.dt_max) - math.log(cfg.dt_min))
+            + math.log(cfg.dt_min)
+        )
+        dt = jnp.maximum(dt, cfg.dt_init_floor)
+        # Inverse of softplus.
+        return (dt + jnp.log(-jnp.expm1(-dt))).astype(dtype)
+
+    return init
+
+
+def _a_log_init(d_state: int):
+    """S4D-real: A[d, n] = n+1, stored as log  (bimamba.py:122-129)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        del key
+        d_inner, n = shape
+        a = jnp.tile(jnp.arange(1, n + 1, dtype=jnp.float32)[None, :], (d_inner, 1))
+        return jnp.log(a).astype(dtype)
+
+    return init
+
+
+class _ScanHead(nn.Module):
+    """One direction's scan parameters: conv + x_proj + dt_proj + A, D.
+
+    Factored out so BiMambaBlock instantiates two of them around shared
+    in/out projections, exactly like the reference's *_b parameter set.
+    """
+
+    d_inner: int
+    dt_rank: int
+    cfg: MambaConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, z: Array) -> Array:
+        cfg = self.cfg
+        conv_w = self.param(
+            "conv_w",
+            nn.initializers.lecun_normal(),
+            (cfg.d_conv, self.d_inner),
+            jnp.float32,
+        )
+        conv_b = (
+            self.param("conv_b", nn.initializers.zeros, (self.d_inner,), jnp.float32)
+            if cfg.conv_bias
+            else None
+        )
+        x = causal_conv1d(x, conv_w, conv_b, activation="silu")
+        return self._scan(x, z)
+
+    def _projections(self):
+        cfg = self.cfg
+        x_proj = nn.Dense(
+            self.dt_rank + 2 * cfg.d_state,
+            use_bias=False,
+            dtype=self.dtype,
+            name="x_proj",
+        )
+        dt_kernel = self.param(
+            "dt_kernel",
+            _dt_proj_kernel_init(self.dt_rank, cfg),
+            (self.dt_rank, self.d_inner),
+            jnp.float32,
+        )
+        dt_bias = self.param(
+            "dt_bias", _dt_bias_init(cfg), (self.d_inner,), jnp.float32
+        )
+        a_log = self.param(
+            "A_log", _a_log_init(cfg.d_state), (self.d_inner, cfg.d_state), jnp.float32
+        )
+        d_skip = self.param("D", nn.initializers.ones, (self.d_inner,), jnp.float32)
+        return x_proj, dt_kernel, dt_bias, a_log, d_skip
+
+    def _scan(self, x: Array, z: Array) -> Array:
+        cfg = self.cfg
+        x_proj, dt_kernel, dt_bias, a_log, d_skip = self._projections()
+        x_dbl = x_proj(x)  # (B, L, dt_rank + 2N)
+        dt, b_mat, c_mat = jnp.split(
+            x_dbl, [self.dt_rank, self.dt_rank + cfg.d_state], axis=-1
+        )
+        delta = dt @ dt_kernel.astype(dt.dtype)  # (B, L, d_inner)
+        a = -jnp.exp(a_log)
+        return selective_scan(
+            x,
+            delta,
+            a,
+            b_mat,
+            c_mat,
+            D=d_skip,
+            z=z,
+            delta_bias=dt_bias,
+            delta_softplus=True,
+            implementation=cfg.scan_impl,
+        )
+
+    def step(
+        self, x_t: Array, z_t: Array, cache: Tuple[Array, Array]
+    ) -> Tuple[Array, Tuple[Array, Array]]:
+        """O(1) single-token update. x_t, z_t: (B, d_inner)."""
+        cfg = self.cfg
+        conv_state, ssm_state = cache
+        conv_w = self.get_variable("params", "conv_w")
+        conv_b = self.get_variable("params", "conv_b") if cfg.conv_bias else None
+        x_c, conv_state = causal_conv1d_step(conv_state, x_t, conv_w, conv_b)
+        x_proj, dt_kernel, dt_bias, a_log, d_skip = self._projections()
+        x_dbl = x_proj(x_c)
+        dt, b_mat, c_mat = jnp.split(
+            x_dbl, [self.dt_rank, self.dt_rank + cfg.d_state], axis=-1
+        )
+        delta = dt @ dt_kernel.astype(dt.dtype)
+        a = -jnp.exp(a_log)
+        y, ssm_state = ssm_step(
+            ssm_state, x_c, delta, a, b_mat, c_mat,
+            D=d_skip, z=z_t, delta_bias=dt_bias, delta_softplus=True,
+        )
+        return y, (conv_state, ssm_state)
+
+
+class MambaBlock(nn.Module):
+    """Unidirectional Mamba mixer (reference bimamba.py, type "none")."""
+
+    d_model: int
+    cfg: MambaConfig = MambaConfig()
+    dtype: Any = jnp.float32
+
+    @property
+    def d_inner(self) -> int:
+        return self.cfg.expand * self.d_model
+
+    def setup(self):
+        cfg = self.cfg
+        self.in_proj = nn.Dense(
+            2 * self.d_inner, use_bias=cfg.bias, dtype=self.dtype, name="in_proj"
+        )
+        self.head = _ScanHead(
+            self.d_inner, cfg.resolved_dt_rank(self.d_model), cfg,
+            dtype=self.dtype, name="fwd",
+        )
+        self.out_proj = nn.Dense(
+            self.d_model, use_bias=cfg.bias, dtype=self.dtype, name="out_proj"
+        )
+
+    def __call__(self, x: Array) -> Array:
+        """x: (B, L, d_model) -> (B, L, d_model)."""
+        xz = self.in_proj(x)
+        x_in, z = jnp.split(xz, 2, axis=-1)
+        y = self.head(x_in, z)
+        return self.out_proj(y)
+
+    def init_cache(self, batch: int, dtype=jnp.float32) -> Tuple[Array, Array]:
+        """(conv_state (B,K,Din), ssm_state (B,Din,N)) — bimamba.py:367-378."""
+        return (
+            jnp.zeros((batch, self.cfg.d_conv, self.d_inner), dtype),
+            jnp.zeros((batch, self.d_inner, self.cfg.d_state), jnp.float32),
+        )
+
+    def step(
+        self, x_t: Array, cache: Tuple[Array, Array]
+    ) -> Tuple[Array, Tuple[Array, Array]]:
+        """Single-token decode. x_t: (B, d_model)."""
+        xz = self.in_proj(x_t)
+        x_in, z = jnp.split(xz, 2, axis=-1)
+        y, cache = self.head.step(x_in, z, cache)
+        return self.out_proj(y), cache
+
+
+class BiMambaBlock(nn.Module):
+    """Bidirectional Mamba (reference bimamba.py bimamba_type="v2").
+
+    out = out_proj(0.5 * scan_fwd(xz) + 0.5 * flip(scan_bwd(flip(xz))))
+    with independent parameters per direction but shared in/out
+    projections (bimamba.py:221-253, if_devide_out=True default).
+    """
+
+    d_model: int
+    cfg: MambaConfig = MambaConfig()
+    dtype: Any = jnp.float32
+
+    @property
+    def d_inner(self) -> int:
+        return self.cfg.expand * self.d_model
+
+    def setup(self):
+        cfg = self.cfg
+        dt_rank = cfg.resolved_dt_rank(self.d_model)
+        self.in_proj = nn.Dense(
+            2 * self.d_inner, use_bias=cfg.bias, dtype=self.dtype, name="in_proj"
+        )
+        self.fwd = _ScanHead(self.d_inner, dt_rank, cfg, dtype=self.dtype, name="fwd")
+        self.bwd = _ScanHead(self.d_inner, dt_rank, cfg, dtype=self.dtype, name="bwd")
+        self.out_proj = nn.Dense(
+            self.d_model, use_bias=cfg.bias, dtype=self.dtype, name="out_proj"
+        )
+
+    def __call__(self, x: Array) -> Array:
+        """x: (B, L, d_model) -> (B, L, d_model)."""
+        xz = self.in_proj(x)
+        x_in, z = jnp.split(xz, 2, axis=-1)
+        y_f = self.fwd(x_in, z)
+        y_b = self.bwd(x_in[:, ::-1], z[:, ::-1])[:, ::-1]
+        return self.out_proj(0.5 * y_f + 0.5 * y_b)

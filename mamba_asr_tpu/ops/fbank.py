@@ -1,0 +1,143 @@
+"""Log-mel filterbank frontend, built for the MXU.
+
+Replaces SpeechBrain's `Fbank` feature extractor (configured at
+/root/reference/hparams/CTC/conmamba_large.yaml:322-326: 16 kHz audio,
+n_fft 512, 80 mels, 25 ms Hamming window, 10 ms hop; the S2S large
+configs use a 32 ms window, the small configs n_fft 400).
+
+TPU-first design: rather than an FFT (awkward sizes for the TPU's FFT
+path at n_fft 400/512), the DFT is expressed as two real matmuls with
+precomputed windowed cos/sin bases — (num_frames, n_fft) @ (n_fft, n_bins)
+— followed by the mel projection (n_bins, n_mels) matmul. All three land
+on the MXU and XLA fuses the elementwise power/log stages between them.
+This *is* the "fused STFT+mel kernel": the fusion is done by the compiler
+from a formulation chosen to be fusible.
+
+Numerics: power spectrum |X|^2, triangular mel filters on the HTK mel
+scale (f_min 0, f_max sr/2), log compression via 10*log10(x + eps) with
+an optional per-utterance top_db floor — matching SpeechBrain's
+Filterbank(log_mel=True) behavior.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def _hz_to_mel(f):
+    return 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
+
+
+def _mel_to_hz(m):
+    return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
+
+
+@functools.lru_cache(maxsize=8)
+def _mel_matrix_np(
+    n_mels: int, n_fft: int, sample_rate: int, f_min: float, f_max: float
+) -> np.ndarray:
+    """Triangular mel filterbank matrix, (n_fft//2 + 1, n_mels)."""
+    n_bins = n_fft // 2 + 1
+    freqs = np.linspace(0.0, sample_rate / 2.0, n_bins)
+    mel_pts = np.linspace(_hz_to_mel(f_min), _hz_to_mel(f_max), n_mels + 2)
+    hz_pts = _mel_to_hz(mel_pts)
+    fb = np.zeros((n_bins, n_mels), dtype=np.float32)
+    for m in range(n_mels):
+        left, center, right = hz_pts[m], hz_pts[m + 1], hz_pts[m + 2]
+        up = (freqs - left) / max(center - left, 1e-10)
+        down = (right - freqs) / max(right - center, 1e-10)
+        fb[:, m] = np.maximum(0.0, np.minimum(up, down))
+    return fb
+
+
+def mel_filterbank(
+    n_mels: int = 80,
+    n_fft: int = 512,
+    sample_rate: int = 16000,
+    f_min: float = 0.0,
+    f_max: Optional[float] = None,
+) -> Array:
+    """Mel filterbank matrix as a jnp array, (n_fft//2 + 1, n_mels)."""
+    if f_max is None:
+        f_max = sample_rate / 2.0
+    return jnp.asarray(_mel_matrix_np(n_mels, n_fft, sample_rate, f_min, f_max))
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_bases_np(n_fft: int, win_samples: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Windowed real-DFT bases (win_samples, n_bins) for cos and -sin.
+
+    The Hamming window (SpeechBrain's STFT default window_fn) is folded
+    into the bases so framing feeds the matmul directly.
+    """
+    n_bins = n_fft // 2 + 1
+    window = np.hamming(win_samples).astype(np.float64)
+    t = np.arange(win_samples)[:, None]  # window is zero-padded to n_fft
+    k = np.arange(n_bins)[None, :]
+    angle = -2.0 * np.pi * t * k / n_fft
+    cos_b = (np.cos(angle) * window[:, None]).astype(np.float32)
+    sin_b = (np.sin(angle) * window[:, None]).astype(np.float32)
+    return cos_b, sin_b
+
+
+def frame_signal(wav: Array, win_samples: int, hop: int, center: bool = True) -> Array:
+    """(B, T) -> (B, num_frames, win_samples) via strided gather.
+
+    center=True pads win_samples//2 zeros on both sides (SpeechBrain STFT
+    center/constant-pad behavior), so num_frames = T // hop + 1.
+    """
+    if center:
+        pad = win_samples // 2
+        wav = jnp.pad(wav, ((0, 0), (pad, pad)))
+    t = wav.shape[1]
+    num_frames = max(1 + (t - win_samples) // hop, 1)
+    idx = jnp.arange(num_frames)[:, None] * hop + jnp.arange(win_samples)[None, :]
+    return wav[:, idx]
+
+
+def log_mel_spectrogram(
+    wav: Array,
+    sample_rate: int = 16000,
+    n_fft: int = 512,
+    n_mels: int = 80,
+    win_length_ms: float = 25.0,
+    hop_length_ms: float = 10.0,
+    f_min: float = 0.0,
+    f_max: Optional[float] = None,
+    top_db: Optional[float] = 80.0,
+    eps: float = 1e-10,
+) -> Array:
+    """Waveform (B, T) -> log-mel features (B, num_frames, n_mels).
+
+    num_frames = T // hop + 1 (center-padded framing).
+    """
+    win_samples = int(round(sample_rate * win_length_ms / 1000.0))
+    hop = int(round(sample_rate * hop_length_ms / 1000.0))
+    win_samples = min(win_samples, n_fft)
+
+    frames = frame_signal(wav.astype(jnp.float32), win_samples, hop)
+    cos_b, sin_b = _dft_bases_np(n_fft, win_samples)
+    re = frames @ jnp.asarray(cos_b)
+    im = frames @ jnp.asarray(sin_b)
+    power = re * re + im * im  # (B, F, n_bins)
+
+    mel = power @ mel_filterbank(n_mels, n_fft, sample_rate, f_min, f_max)
+    log_mel = 10.0 * jnp.log10(jnp.maximum(mel, eps))
+    if top_db is not None:
+        floor = jnp.max(log_mel, axis=(1, 2), keepdims=True) - top_db
+        log_mel = jnp.maximum(log_mel, floor)
+    return log_mel
+
+
+def num_feature_frames(num_samples: int, sample_rate: int = 16000,
+                       hop_length_ms: float = 10.0) -> int:
+    """Static frame-count helper for bucket shape planning."""
+    hop = int(round(sample_rate * hop_length_ms / 1000.0))
+    return num_samples // hop + 1

@@ -1,0 +1,115 @@
+"""Selective scan: XLA parallel scan vs sequential reference, grads, step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mamba_asr_tpu.ops.selective_scan import (
+    selective_scan,
+    selective_scan_ref,
+    selective_scan_xla,
+    ssm_step,
+)
+
+
+def _make_inputs(key, bsz=2, length=37, d=8, n=4, dtype=jnp.float32):
+    ks = jax.random.split(key, 7)
+    u = jax.random.normal(ks[0], (bsz, length, d), dtype)
+    delta = jax.random.normal(ks[1], (bsz, length, d), dtype) * 0.5
+    A = -jnp.exp(jax.random.normal(ks[2], (d, n)))
+    B = jax.random.normal(ks[3], (bsz, length, n), dtype)
+    C = jax.random.normal(ks[4], (bsz, length, n), dtype)
+    D = jax.random.normal(ks[5], (d,))
+    z = jax.random.normal(ks[6], (bsz, length, d), dtype)
+    delta_bias = jnp.linspace(-1.0, 1.0, d)
+    return u, delta, A, B, C, D, z, delta_bias
+
+
+@pytest.mark.parametrize("with_extras", [False, True])
+def test_xla_matches_ref(with_extras):
+    u, delta, A, B, C, D, z, db = _make_inputs(jax.random.PRNGKey(0))
+    kwargs = dict(delta_softplus=True)
+    if with_extras:
+        kwargs.update(D=D, z=z, delta_bias=db)
+    out_ref = selective_scan_ref(u, delta, A, B, C, **kwargs)
+    out_xla = selective_scan_xla(u, delta, A, B, C, **kwargs)
+    np.testing.assert_allclose(out_ref, out_xla, rtol=2e-5, atol=2e-5)
+
+
+def test_last_state_matches():
+    u, delta, A, B, C, D, z, db = _make_inputs(jax.random.PRNGKey(1))
+    out_ref, h_ref = selective_scan_ref(
+        u, delta, A, B, C, D, z, db, True, return_last_state=True
+    )
+    out_xla, h_xla = selective_scan_xla(
+        u, delta, A, B, C, D, z, db, True, return_last_state=True
+    )
+    np.testing.assert_allclose(h_ref, h_xla, rtol=2e-5, atol=2e-5)
+
+
+def test_initial_state_chaining():
+    """Scanning [first half] then [second half with h0] == full scan."""
+    u, delta, A, B, C, D, z, db = _make_inputs(jax.random.PRNGKey(2), length=24)
+    half = 12
+    full = selective_scan_xla(u, delta, A, B, C, D, z, db, True)
+    out1, h = selective_scan_xla(
+        u[:, :half], delta[:, :half], A, B[:, :half], C[:, :half],
+        D, z[:, :half], db, True, return_last_state=True,
+    )
+    out2 = selective_scan_xla(
+        u[:, half:], delta[:, half:], A, B[:, half:], C[:, half:],
+        D, z[:, half:], db, True, h0=h,
+    )
+    np.testing.assert_allclose(
+        full, jnp.concatenate([out1, out2], axis=1), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_gradients_match_ref():
+    u, delta, A, B, C, D, z, db = _make_inputs(jax.random.PRNGKey(3), length=19)
+
+    def loss(fn, args):
+        return jnp.sum(fn(*args, D=D, z=z, delta_bias=db, delta_softplus=True) ** 2)
+
+    g_ref = jax.grad(lambda *a: loss(selective_scan_ref, a), argnums=(0, 1, 2, 3, 4))(
+        u, delta, A, B, C
+    )
+    g_xla = jax.grad(lambda *a: loss(selective_scan_xla, a), argnums=(0, 1, 2, 3, 4))(
+        u, delta, A, B, C
+    )
+    for gr, gx in zip(g_ref, g_xla):
+        np.testing.assert_allclose(gr, gx, rtol=5e-4, atol=5e-5)
+
+
+def test_ssm_step_matches_scan():
+    """Stepping token-by-token reproduces the full scan (decode cache)."""
+    u, delta, A, B, C, D, z, db = _make_inputs(jax.random.PRNGKey(4), length=9)
+    full = selective_scan_ref(u, delta, A, B, C, D, z, db, True)
+    h = jnp.zeros((u.shape[0], u.shape[2], A.shape[1]), jnp.float32)
+    outs = []
+    for t in range(u.shape[1]):
+        y, h = ssm_step(
+            h, u[:, t], delta[:, t], A, B[:, t], C[:, t], D, z[:, t], db, True
+        )
+        outs.append(y)
+    stepped = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(full, stepped, rtol=2e-5, atol=2e-5)
+
+
+def test_dispatch_auto_runs():
+    u, delta, A, B, C, D, z, db = _make_inputs(jax.random.PRNGKey(5))
+    out = selective_scan(u, delta, A, B, C, D, z, db, True)
+    assert out.shape == u.shape
+
+
+def test_bf16_inputs():
+    u, delta, A, B, C, D, z, db = _make_inputs(
+        jax.random.PRNGKey(6), dtype=jnp.bfloat16
+    )
+    out = selective_scan_xla(u, delta, A, B, C, D, z, db, True)
+    assert out.dtype == jnp.bfloat16
+    ref = selective_scan_ref(u, delta, A, B, C, D, z, db, True)
+    np.testing.assert_allclose(
+        out.astype(np.float32), ref.astype(np.float32), rtol=2e-2, atol=2e-2
+    )
