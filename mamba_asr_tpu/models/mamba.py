@@ -65,7 +65,13 @@ def _dt_proj_kernel_init(dt_rank: int, cfg: MambaConfig):
     if cfg.dt_init == "constant":
         return nn.initializers.constant(std)
     if cfg.dt_init == "random":
-        return nn.initializers.uniform(scale=2 * std, offset=-std)  # U(-std, std)
+
+        def init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(
+                key, shape, dtype, minval=-std, maxval=std
+            )
+
+        return init
     raise NotImplementedError(cfg.dt_init)
 
 
@@ -109,87 +115,74 @@ class _ScanHead(nn.Module):
     cfg: MambaConfig
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: Array, z: Array) -> Array:
+    def setup(self):
         cfg = self.cfg
-        conv_w = self.param(
+        self.conv_w = self.param(
             "conv_w",
             nn.initializers.lecun_normal(),
             (cfg.d_conv, self.d_inner),
             jnp.float32,
         )
-        conv_b = (
+        self.conv_b = (
             self.param("conv_b", nn.initializers.zeros, (self.d_inner,), jnp.float32)
             if cfg.conv_bias
             else None
         )
-        x = causal_conv1d(x, conv_w, conv_b, activation="silu")
-        return self._scan(x, z)
-
-    def _projections(self):
-        cfg = self.cfg
-        x_proj = nn.Dense(
+        self.x_proj = nn.Dense(
             self.dt_rank + 2 * cfg.d_state,
             use_bias=False,
             dtype=self.dtype,
             name="x_proj",
         )
-        dt_kernel = self.param(
+        self.dt_kernel = self.param(
             "dt_kernel",
             _dt_proj_kernel_init(self.dt_rank, cfg),
             (self.dt_rank, self.d_inner),
             jnp.float32,
         )
-        dt_bias = self.param(
+        self.dt_bias = self.param(
             "dt_bias", _dt_bias_init(cfg), (self.d_inner,), jnp.float32
         )
-        a_log = self.param(
+        self.a_log = self.param(
             "A_log", _a_log_init(cfg.d_state), (self.d_inner, cfg.d_state), jnp.float32
         )
-        d_skip = self.param("D", nn.initializers.ones, (self.d_inner,), jnp.float32)
-        return x_proj, dt_kernel, dt_bias, a_log, d_skip
+        self.d_skip = self.param("D", nn.initializers.ones, (self.d_inner,), jnp.float32)
 
-    def _scan(self, x: Array, z: Array) -> Array:
+    def _dt_bc(self, x: Array):
         cfg = self.cfg
-        x_proj, dt_kernel, dt_bias, a_log, d_skip = self._projections()
-        x_dbl = x_proj(x)  # (B, L, dt_rank + 2N)
+        x_dbl = self.x_proj(x)  # (..., dt_rank + 2N)
         dt, b_mat, c_mat = jnp.split(
             x_dbl, [self.dt_rank, self.dt_rank + cfg.d_state], axis=-1
         )
-        delta = dt @ dt_kernel.astype(dt.dtype)  # (B, L, d_inner)
-        a = -jnp.exp(a_log)
+        delta = dt @ self.dt_kernel.astype(dt.dtype)
+        return delta, b_mat, c_mat
+
+    def __call__(self, x: Array, z: Array) -> Array:
+        x = causal_conv1d(x, self.conv_w, self.conv_b, activation="silu")
+        delta, b_mat, c_mat = self._dt_bc(x)
         return selective_scan(
             x,
             delta,
-            a,
+            -jnp.exp(self.a_log),
             b_mat,
             c_mat,
-            D=d_skip,
+            D=self.d_skip,
             z=z,
-            delta_bias=dt_bias,
+            delta_bias=self.dt_bias,
             delta_softplus=True,
-            implementation=cfg.scan_impl,
+            implementation=self.cfg.scan_impl,
         )
 
     def step(
         self, x_t: Array, z_t: Array, cache: Tuple[Array, Array]
     ) -> Tuple[Array, Tuple[Array, Array]]:
         """O(1) single-token update. x_t, z_t: (B, d_inner)."""
-        cfg = self.cfg
         conv_state, ssm_state = cache
-        conv_w = self.get_variable("params", "conv_w")
-        conv_b = self.get_variable("params", "conv_b") if cfg.conv_bias else None
-        x_c, conv_state = causal_conv1d_step(conv_state, x_t, conv_w, conv_b)
-        x_proj, dt_kernel, dt_bias, a_log, d_skip = self._projections()
-        x_dbl = x_proj(x_c)
-        dt, b_mat, c_mat = jnp.split(
-            x_dbl, [self.dt_rank, self.dt_rank + cfg.d_state], axis=-1
-        )
-        delta = dt @ dt_kernel.astype(dt.dtype)
-        a = -jnp.exp(a_log)
+        x_c, conv_state = causal_conv1d_step(conv_state, x_t, self.conv_w, self.conv_b)
+        delta, b_mat, c_mat = self._dt_bc(x_c)
         y, ssm_state = ssm_step(
-            ssm_state, x_c, delta, a, b_mat, c_mat,
-            D=d_skip, z=z_t, delta_bias=dt_bias, delta_softplus=True,
+            ssm_state, x_c, delta, -jnp.exp(self.a_log), b_mat, c_mat,
+            D=self.d_skip, z=z_t, delta_bias=self.dt_bias, delta_softplus=True,
         )
         return y, (conv_state, ssm_state)
 
