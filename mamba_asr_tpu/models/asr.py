@@ -1,0 +1,326 @@
+"""Top-level ASR model assembly (the reference's TransformerASR + CNN +
+ctc_lin/seq_lin object graph folded into one flax module).
+
+Reference: /root/reference/modules/TransformerASR.py:428-1105 —
+- conv frontend -> flatten (B,T',F',C) -> (B,T',F'*C)  (:760-762)
+- custom_src_module Linear(input_size -> d_model) + dropout (:726-734)
+- positional-encoding dispatch by attention type (:774-781)
+- encoder select: transformer | conformer | conmamba
+  (/root/reference/modules/Transformer.py:690-758)
+- decoder select: transformer (always causal, regularMHA) | mamba
+  (/root/reference/modules/Transformer.py:760-789)
+- custom_tgt_module NormalizedEmbedding (:739-742)
+- ctc head / seq head (the hparams' ctc_lin & seq_lin Linears, e.g.
+  /root/reference/hparams/CTC/conmamba_large.yaml:212-215)
+
+Init policy: the reference xavier_normal-reinitializes every parameter
+with ndim > 1 (:1051-1054), which *overwrites* Mamba's S4D A_log and dt
+init — SURVEY.md §7 recommends keeping the proper SSM init. This model
+keeps S4D init by default; `xavier_parity_init=True` reproduces the
+reference quirk for parity experiments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mamba_asr_tpu.models.conformer import ConformerEncoder
+from mamba_asr_tpu.models.conmamba import ConmambaEncoder, MambaDecoder
+from mamba_asr_tpu.models.layers import ConvolutionFrontEnd, swish
+from mamba_asr_tpu.models.mamba import MambaConfig
+from mamba_asr_tpu.models.transformer import (
+    NormalizedEmbedding,
+    TransformerDecoder,
+    TransformerEncoder,
+    get_key_padding_mask,
+    get_lookahead_mask,
+    lengths_to_padding_mask,
+    make_chunked_src_mask,
+    sinusoidal_position_encoding,
+)
+from mamba_asr_tpu.models.attention import rel_pos_encoding
+
+Array = jax.Array
+
+_ACTIVATIONS = {
+    "gelu": nn.gelu,
+    "relu": nn.relu,
+    "swish": swish,
+    "silu": swish,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class ASRConfig:
+    """Model hyperparameters (mirrors the reference yaml model stanzas)."""
+
+    vocab_size: int = 31
+    n_mels: int = 80
+    d_model: int = 256
+    nhead: int = 4
+    num_encoder_layers: int = 18
+    num_decoder_layers: int = 0
+    d_ffn: int = 1024
+    dropout: float = 0.1
+    activation: str = "gelu"
+    encoder_module: str = "conmamba"  # transformer | conformer | conmamba
+    decoder_module: str = "transformer"  # transformer | mamba
+    attention_type: str = "RelPosMHAXL"  # RelPosMHAXL | regularMHA
+    positional_encoding: str = "fixed_abs_sine"
+    kernel_size: int = 31
+    bias: bool = True
+    causal: bool = False
+    max_length: int = 2500
+    # Conv frontend (4x time downsampling).
+    frontend_channels: Tuple[int, ...] = (64, 32)
+    frontend_strides: Tuple[int, ...] = (2, 2)
+    # Mamba mixer config.
+    mamba: MambaConfig = MambaConfig()
+    bidirectional: bool = True
+    # Compute dtype for the network ("float32" | "bfloat16").
+    compute_dtype: str = "float32"
+    xavier_parity_init: bool = False
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+    @property
+    def frontend_output_dim(self) -> int:
+        f = self.n_mels
+        for s in self.frontend_strides:
+            f = -(-f // s)
+        return f * self.frontend_channels[-1]
+
+    @property
+    def downsample(self) -> int:
+        d = 1
+        for s in self.frontend_strides:
+            d *= s
+        return d
+
+    def activation_fn(self) -> Callable[[Array], Array]:
+        return _ACTIVATIONS[self.activation]
+
+
+class ASRModel(nn.Module):
+    """feats (B, T, n_mels) -> encoder states, CTC logits, S2S logits."""
+
+    cfg: ASRConfig
+
+    def setup(self):
+        cfg = self.cfg
+        dtype = cfg.dtype
+        act = cfg.activation_fn()
+
+        self.frontend = ConvolutionFrontEnd(
+            out_channels=cfg.frontend_channels,
+            kernel_sizes=tuple(3 for _ in cfg.frontend_channels),
+            strides=cfg.frontend_strides,
+            dropout=cfg.dropout,
+            dtype=dtype,
+            name="frontend",
+        )
+        self.src_proj = nn.Dense(cfg.d_model, dtype=dtype, name="src_proj")
+        self.src_drop = nn.Dropout(cfg.dropout)
+
+        if cfg.encoder_module == "conmamba":
+            self.encoder = ConmambaEncoder(
+                num_layers=cfg.num_encoder_layers,
+                d_ffn=cfg.d_ffn,
+                kernel_size=cfg.kernel_size,
+                activation=act,
+                bias=cfg.bias,
+                dropout=cfg.dropout,
+                causal=cfg.causal,
+                mamba_cfg=cfg.mamba,
+                bidirectional=cfg.bidirectional,
+                dtype=dtype,
+                name="encoder",
+            )
+        elif cfg.encoder_module == "conformer":
+            self.encoder = ConformerEncoder(
+                num_layers=cfg.num_encoder_layers,
+                d_ffn=cfg.d_ffn,
+                nhead=cfg.nhead,
+                kernel_size=cfg.kernel_size,
+                activation=act,
+                bias=cfg.bias,
+                dropout=cfg.dropout,
+                causal=cfg.causal,
+                attention_type=cfg.attention_type,
+                dtype=dtype,
+                name="encoder",
+            )
+        elif cfg.encoder_module == "transformer":
+            self.encoder = TransformerEncoder(
+                num_layers=cfg.num_encoder_layers,
+                d_ffn=cfg.d_ffn,
+                nhead=cfg.nhead,
+                dropout=cfg.dropout,
+                activation=act,
+                normalize_before=True,
+                attention_type=cfg.attention_type,
+                dtype=dtype,
+                name="encoder",
+            )
+        else:
+            raise ValueError(f"unknown encoder_module {cfg.encoder_module}")
+
+        if cfg.num_decoder_layers > 0:
+            self.tgt_embed = NormalizedEmbedding(
+                cfg.vocab_size, cfg.d_model, dtype=dtype, name="tgt_embed"
+            )
+            if cfg.decoder_module == "mamba":
+                self.decoder = MambaDecoder(
+                    num_layers=cfg.num_decoder_layers,
+                    d_ffn=cfg.d_ffn,
+                    activation=act,
+                    dropout=cfg.dropout,
+                    normalize_before=False,
+                    mamba_cfg=cfg.mamba,
+                    dtype=dtype,
+                    name="decoder",
+                )
+            elif cfg.decoder_module == "transformer":
+                self.decoder = TransformerDecoder(
+                    num_layers=cfg.num_decoder_layers,
+                    d_ffn=cfg.d_ffn,
+                    nhead=cfg.nhead,
+                    dropout=cfg.dropout,
+                    activation=act,
+                    normalize_before=False,
+                    dtype=dtype,
+                    name="decoder",
+                )
+            else:
+                raise ValueError(f"unknown decoder_module {cfg.decoder_module}")
+            self.seq_head = nn.Dense(
+                cfg.vocab_size, dtype=jnp.float32, name="seq_head"
+            )
+
+        self.ctc_head = nn.Dense(
+            cfg.vocab_size, dtype=jnp.float32, name="ctc_head"
+        )
+
+    # -- encoder ----------------------------------------------------------
+
+    def encode(
+        self,
+        feats: Array,
+        feat_lengths: Optional[Array] = None,
+        chunk_size: Optional[int] = None,
+        left_context_chunks: Optional[int] = None,
+        train: bool = False,
+    ) -> Tuple[Array, Array]:
+        """feats (B, T, n_mels) -> (enc_out (B, T', d_model), enc_lengths)."""
+        cfg = self.cfg
+        x = self.frontend(feats, train=train)  # (B, T', F', C)
+        b, t, f, c = x.shape
+        x = x.reshape(b, t, f * c)
+        x = self.src_proj(x)
+        x = self.src_drop(x, deterministic=not train)
+
+        if feat_lengths is not None:
+            enc_lengths = -(-feat_lengths // cfg.downsample)  # ceil div
+        else:
+            enc_lengths = jnp.full((b,), t, jnp.int32)
+        pad_mask = lengths_to_padding_mask(enc_lengths, t)
+
+        src_mask = None
+        if chunk_size is not None:
+            src_mask = make_chunked_src_mask(t, chunk_size, left_context_chunks)
+
+        if cfg.encoder_module == "conmamba":
+            enc = self.encoder(
+                x, src_key_padding_mask=pad_mask, chunk_size=chunk_size,
+                train=train,
+            )
+        elif cfg.encoder_module == "conformer":
+            pos = rel_pos_encoding(t, cfg.d_model, dtype=x.dtype)
+            enc, _ = self.encoder(
+                x, src_mask=src_mask, src_key_padding_mask=pad_mask,
+                pos_embs=pos, chunk_size=chunk_size, train=train,
+            )
+        else:  # transformer
+            if cfg.attention_type == "RelPosMHAXL":
+                pos = rel_pos_encoding(t, cfg.d_model, dtype=x.dtype)
+            else:
+                x = x + sinusoidal_position_encoding(t, cfg.d_model, x.dtype)
+                pos = None
+            enc, _ = self.encoder(
+                x, src_mask=src_mask, src_key_padding_mask=pad_mask,
+                pos_embs=pos, train=train,
+            )
+        return enc, enc_lengths
+
+    # -- decoder ----------------------------------------------------------
+
+    def decode(
+        self,
+        tokens: Array,
+        enc_out: Array,
+        enc_lengths: Optional[Array] = None,
+        pad_idx: int = 0,
+        train: bool = False,
+    ) -> Array:
+        """tokens (B, S) -> decoder states (B, S, d_model)."""
+        cfg = self.cfg
+        s = tokens.shape[1]
+        tgt = self.tgt_embed(tokens)
+        # Decoder positional encoding: fixed sinusoidal added to tgt
+        # regardless of encoder attention type (TransformerASR.py:793-806).
+        tgt = tgt + sinusoidal_position_encoding(s, cfg.d_model, tgt.dtype)
+        if cfg.decoder_module == "mamba":
+            return self.decoder(tgt, enc_out, train=train)
+        tgt_mask = get_lookahead_mask(s)
+        tgt_kpm = get_key_padding_mask(tokens, pad_idx) if train else None
+        mem_kpm = (
+            lengths_to_padding_mask(enc_lengths, enc_out.shape[1])
+            if enc_lengths is not None
+            else None
+        )
+        dec, _, _ = self.decoder(
+            tgt, enc_out,
+            tgt_mask=tgt_mask,
+            tgt_key_padding_mask=tgt_kpm,
+            memory_key_padding_mask=mem_kpm,
+            train=train,
+        )
+        return dec
+
+    # -- heads & full forward ----------------------------------------------
+
+    def __call__(
+        self,
+        feats: Array,
+        feat_lengths: Optional[Array] = None,
+        tokens_bos: Optional[Array] = None,
+        pad_idx: int = 0,
+        chunk_size: Optional[int] = None,
+        left_context_chunks: Optional[int] = None,
+        train: bool = False,
+    ):
+        """Full forward: returns dict with enc_out, enc_lengths,
+        ctc_log_probs, and (if decoding) seq_log_probs."""
+        enc, enc_lengths = self.encode(
+            feats, feat_lengths, chunk_size, left_context_chunks, train=train
+        )
+        ctc_logits = self.ctc_head(enc.astype(jnp.float32))
+        out = {
+            "enc_out": enc,
+            "enc_lengths": enc_lengths,
+            "ctc_log_probs": jax.nn.log_softmax(ctc_logits, axis=-1),
+        }
+        if tokens_bos is not None and self.cfg.num_decoder_layers > 0:
+            dec = self.decode(
+                tokens_bos, enc, enc_lengths, pad_idx=pad_idx, train=train
+            )
+            seq_logits = self.seq_head(dec.astype(jnp.float32))
+            out["seq_log_probs"] = jax.nn.log_softmax(seq_logits, axis=-1)
+        return out

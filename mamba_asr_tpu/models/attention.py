@@ -1,0 +1,181 @@
+"""Attention modules: regular MHA and Transformer-XL relative-position MHA.
+
+Reference behavior: SpeechBrain's `nnet.attention.MultiheadAttention`
+and `RelPosMHAXL` + `RelPosEncXL`, which the reference's Conformer layers
+use via attention_type="RelPosMHAXL"
+(/root/reference/modules/Conformer.py:1536-1542 and the hparams at
+/root/reference/hparams/CTC/conformer_large.yaml).
+
+RelPosMHAXL math (Transformer-XL, Dai et al. 2019):
+
+    score(i, j) = (q_i + u)·k_j  +  (q_i + v)·p_{j-i}
+    attn = softmax(score / sqrt(d_head) + masks)
+
+with learned per-head biases u (content) and v (position) and sinusoidal
+relative embeddings p projected by a learned matrix.
+
+TPU notes: everything is expressed as batched matmuls (MXU); the
+relative-position term is computed against all 2L-1 offsets then gathered
+with `take_along_axis` (static shapes; XLA lowers the gather efficiently).
+Masks are boolean (True = disallowed) and applied as additive -inf.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+
+NEG_INF = -1e9
+
+
+def rel_pos_encoding(length: int, d_model: int, dtype=jnp.float32) -> Array:
+    """Sinusoidal embeddings for relative offsets r = j - i.
+
+    Returns (2L-1, d_model); row index r + (L-1) holds offset r in
+    [-(L-1), L-1]. Mirrors SpeechBrain's RelPosEncXL output (which the
+    reference requests once per utterance and passes down as `pos_embs`).
+    """
+    positions = jnp.arange(-(length - 1), length, dtype=jnp.float32)[:, None]
+    div = jnp.exp(
+        jnp.arange(0, d_model, 2, dtype=jnp.float32)
+        * (-math.log(10000.0) / d_model)
+    )
+    pe = jnp.zeros((2 * length - 1, d_model), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(positions * div))
+    pe = pe.at[:, 1::2].set(jnp.cos(positions * div))
+    return pe.astype(dtype)
+
+
+def _apply_masks(
+    scores: Array,
+    attn_mask: Optional[Array],
+    key_padding_mask: Optional[Array],
+) -> Array:
+    """scores (B, H, Lq, Lk); attn_mask (Lq, Lk) bool True=disallow;
+    key_padding_mask (B, Lk) bool True=pad."""
+    if attn_mask is not None:
+        scores = jnp.where(attn_mask[None, None], NEG_INF, scores)
+    if key_padding_mask is not None:
+        scores = jnp.where(
+            key_padding_mask[:, None, None, :], NEG_INF, scores
+        )
+    return scores
+
+
+class MultiheadAttention(nn.Module):
+    """Standard multi-head attention (SpeechBrain regularMHA equivalent)."""
+
+    num_heads: int
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query: Array,
+        key: Array,
+        value: Array,
+        attn_mask: Optional[Array] = None,
+        key_padding_mask: Optional[Array] = None,
+        pos_embs: Optional[Array] = None,
+        train: bool = False,
+    ) -> Tuple[Array, Array]:
+        del pos_embs  # absolute-PE path adds encodings to inputs instead
+        d_model = query.shape[-1]
+        h = self.num_heads
+        dh = d_model // h
+        assert dh * h == d_model
+
+        def proj(x, name):
+            y = nn.Dense(d_model, dtype=self.dtype, name=name)(x)
+            return y.reshape(*y.shape[:-1], h, dh)
+
+        q = proj(query, "q")  # (B, Lq, H, dh)
+        k = proj(key, "k")
+        v = proj(value, "v")
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(dh)
+        scores = _apply_masks(scores, attn_mask, key_padding_mask)
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(
+            scores.dtype
+        )
+        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        out = out.reshape(*out.shape[:-2], d_model)
+        out = nn.Dense(d_model, dtype=self.dtype, name="out")(out)
+        return out, attn
+
+
+class RelPosMHAXL(nn.Module):
+    """Transformer-XL relative-position multi-head self-attention."""
+
+    num_heads: int
+    dropout: float = 0.0
+    mask_pos_future: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query: Array,
+        key: Array,
+        value: Array,
+        attn_mask: Optional[Array] = None,
+        key_padding_mask: Optional[Array] = None,
+        pos_embs: Optional[Array] = None,
+        train: bool = False,
+    ) -> Tuple[Array, Array]:
+        d_model = query.shape[-1]
+        h = self.num_heads
+        dh = d_model // h
+        lq, lk = query.shape[1], key.shape[1]
+
+        def proj(x, name):
+            y = nn.Dense(d_model, use_bias=False, dtype=self.dtype, name=name)(x)
+            return y.reshape(*y.shape[:-1], h, dh)
+
+        q = proj(query, "q")
+        k = proj(key, "k")
+        v = proj(value, "v")
+
+        if pos_embs is None:
+            pos_embs = rel_pos_encoding(lk, d_model, dtype=query.dtype)
+        p = nn.Dense(d_model, use_bias=False, dtype=self.dtype, name="pos")(
+            pos_embs
+        ).reshape(-1, h, dh)  # (2Lk-1, H, dh)
+
+        u = self.param(
+            "pos_bias_u", nn.initializers.zeros, (h, dh), jnp.float32
+        )
+        vb = self.param(
+            "pos_bias_v", nn.initializers.zeros, (h, dh), jnp.float32
+        )
+
+        content = jnp.einsum("bqhd,bkhd->bhqk", q + u.astype(q.dtype), k)
+        # Position scores against all offsets, then gather r = j - i.
+        pos_all = jnp.einsum("bqhd,rhd->bhqr", q + vb.astype(q.dtype), p)
+        offset_idx = (
+            jnp.arange(lk)[None, :] - jnp.arange(lq)[:, None] + (lk - 1)
+        )  # (Lq, Lk) in [0, 2Lk-2]
+        pos_score = jnp.take_along_axis(
+            pos_all, offset_idx[None, None], axis=-1
+        )
+
+        scores = (content + pos_score) / math.sqrt(dh)
+        if self.mask_pos_future:
+            future = jnp.triu(jnp.ones((lq, lk), bool), k=1)
+            scores = jnp.where(future[None, None], NEG_INF, scores)
+        scores = _apply_masks(scores, attn_mask, key_padding_mask)
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(
+            scores.dtype
+        )
+        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        out = out.reshape(*out.shape[:-2], d_model)
+        out = nn.Dense(d_model, dtype=self.dtype, name="out")(out)
+        return out, attn

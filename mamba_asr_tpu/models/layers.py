@@ -1,0 +1,214 @@
+"""Shared model layers: FFN, Conformer convolution module, conv frontend.
+
+Reference behaviors reproduced:
+- PositionalwiseFeedForward (SpeechBrain nnet.attention, used by both
+  Conformer and ConMamba layers): Dense(d_ffn) -> activation -> dropout
+  -> Dense(d_model).
+- ConvolutionModule (/root/reference/modules/Conformer.py:759-1230, and
+  its near-identical copy /root/reference/modules/Conmamba.py:182-454):
+  LN -> pointwise 2x expansion + GLU -> depthwise conv (k=31) -> LN +
+  Swish + pointwise Dense -> dropout, with causal chomp or symmetric
+  padding, plus the Dynamic Chunk Convolution path (pad/reframe into
+  per-chunk windows so no output frame sees past its chunk end).
+- ConvolutionFrontEnd (SpeechBrain lobes.models.convolution, configured
+  at /root/reference/hparams/CTC/conmamba_large.yaml:186-194): N blocks
+  of Conv2d(stride 2) + LayerNorm + activation -> 4x time downsampling.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+
+
+def swish(x: Array) -> Array:
+    return jax.nn.silu(x)
+
+
+class PositionalwiseFeedForward(nn.Module):
+    """Dense(d_ffn) -> activation -> dropout -> Dense(d_model)."""
+
+    d_ffn: int
+    activation: Callable[[Array], Array] = swish
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        d_model = x.shape[-1]
+        h = nn.Dense(self.d_ffn, dtype=self.dtype)(x)
+        h = self.activation(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        return nn.Dense(d_model, dtype=self.dtype)(h)
+
+
+def _depthwise_conv1d(
+    x: Array, kernel: Array, bias: Optional[Array], padding
+) -> Array:
+    """x (B, L, D), kernel (K, D) -> (B, L', D) depthwise conv."""
+    d = x.shape[-1]
+    k = kernel.shape[0]
+    out = jax.lax.conv_general_dilated(
+        x,
+        kernel.reshape(k, 1, d).astype(x.dtype),
+        window_strides=(1,),
+        padding=padding,
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=d,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+class ConvolutionModule(nn.Module):
+    """Conformer convolution module with Dynamic Chunk Convolution.
+
+    Matches /root/reference/modules/Conformer.py:1005-1230. `mask` is a
+    padding mask (True where padded) applied to the output; with
+    `chunk_size` set, the depthwise conv is computed per chunk with only
+    left context visible (Dynamic Chunk Convolution,
+    Conformer.py:1090-1213).
+    """
+
+    kernel_size: int = 31
+    bias: bool = True
+    activation: Callable[[Array], Array] = swish
+    dropout: float = 0.0
+    causal: bool = False
+    dilation: int = 1
+    dtype: Any = jnp.float32
+
+    @property
+    def padding_amount(self) -> int:
+        if self.causal:
+            return (self.kernel_size - 1) * self.dilation
+        return (self.kernel_size - 1) * self.dilation // 2
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        mask: Optional[Array] = None,
+        chunk_size: Optional[int] = None,
+        train: bool = False,
+    ) -> Array:
+        d_model = x.shape[-1]
+        out = nn.LayerNorm(dtype=self.dtype, name="layer_norm")(x)
+        # Pointwise 2x expansion + GLU gate.
+        out = nn.Dense(2 * d_model, use_bias=self.bias, dtype=self.dtype,
+                       name="bottleneck")(out)
+        a, g = jnp.split(out, 2, axis=-1)
+        out = a * jax.nn.sigmoid(g)
+
+        dw_kernel = self.param(
+            "dw_kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, d_model),
+            jnp.float32,
+        )
+        dw_bias = (
+            self.param("dw_bias", nn.initializers.zeros, (d_model,), jnp.float32)
+            if self.bias
+            else None
+        )
+
+        if chunk_size is not None:
+            assert not self.causal, "chunked conv incompatible with causal"
+            assert self.dilation == 1
+            out = self._chunked_depthwise(out, dw_kernel, dw_bias, chunk_size)
+        elif self.causal:
+            out = _depthwise_conv1d(
+                out, dw_kernel, dw_bias, [(self.padding_amount, 0)]
+            )
+        else:
+            p = self.padding_amount
+            out = _depthwise_conv1d(out, dw_kernel, dw_bias, [(p, p)])
+
+        out = nn.LayerNorm(dtype=self.dtype, name="after_norm")(out)
+        out = self.activation(out)
+        out = nn.Dense(d_model, use_bias=self.bias, dtype=self.dtype,
+                       name="pointwise_out")(out)
+        out = nn.Dropout(self.dropout, deterministic=not train)(out)
+
+        if mask is not None:
+            out = jnp.where(mask, 0.0, out)
+        return out
+
+    def _chunked_depthwise(
+        self, x: Array, kernel: Array, bias: Optional[Array], chunk_size: int
+    ) -> Array:
+        """Dynamic Chunk Convolution (Conformer.py:1090-1213).
+
+        Frames the padded sequence into per-chunk windows carrying
+        `padding_amount` frames of left context and zero right context,
+        runs a VALID depthwise conv per chunk, and re-flattens.
+        """
+        bsz, t, d = x.shape
+        pad = self.padding_amount
+        rem = t % chunk_size
+        right = (chunk_size - rem) if rem else 0
+        num_chunks = (t + right) // chunk_size
+        xp = jnp.pad(x, ((0, 0), (pad, right), (0, 0)))
+        # Windows of [left context (pad frames) + chunk]; the right side of
+        # each window is *zero*-padded (future masked), not real frames.
+        win = pad + chunk_size
+        starts = jnp.arange(num_chunks) * chunk_size
+        idx = starts[:, None] + jnp.arange(win)[None, :]
+        windows = xp[:, idx]  # (B, num_chunks, win, D)
+        windows = jnp.pad(windows, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        windows = windows.reshape(bsz * num_chunks, win + pad, d)
+        out = _depthwise_conv1d(windows, kernel, bias, "VALID")
+        # VALID output length = win - k + 1 = chunk_size + 2*pad - k + 1
+        # = chunk_size (k = 2*pad + 1).
+        out = out.reshape(bsz, num_chunks * chunk_size, d)
+        return out[:, :t]
+
+
+class ConvolutionFrontEnd(nn.Module):
+    """Conv2d subsampling stack: (B, T, n_mels) -> (B, T/2^N, F', C_last).
+
+    Matches the reference's CNN frontend (2 blocks, out_channels (64, 32),
+    k=3, stride 2; /root/reference/hparams/CTC/conmamba_large.yaml:186-194).
+    Output is flattened to (B, T', F'*C) by the caller (TransformerASR.py
+    reshapes at :760-762).
+    """
+
+    out_channels: Sequence[int] = (64, 32)
+    kernel_sizes: Sequence[int] = (3, 3)
+    strides: Sequence[int] = (2, 2)
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Array, train: bool = False) -> Array:
+        x = feats[..., None]  # (B, T, F, 1)
+        for i, (c, k, s) in enumerate(
+            zip(self.out_channels, self.kernel_sizes, self.strides)
+        ):
+            x = nn.Conv(
+                c, (k, k), strides=(s, s), padding="SAME", dtype=self.dtype,
+                name=f"conv{i}",
+            )(x)
+            x = nn.LayerNorm(dtype=self.dtype, name=f"norm{i}")(x)
+            x = nn.leaky_relu(x)
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return x  # (B, T', F', C)
+
+    def output_dim(self, n_mels: int) -> int:
+        f = n_mels
+        for s in self.strides:
+            f = -(-f // s)
+        return f * self.out_channels[-1]
+
+    def downsample_factor(self) -> int:
+        d = 1
+        for s in self.strides:
+            d *= s
+        return d

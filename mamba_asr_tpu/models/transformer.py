@@ -1,0 +1,295 @@
+"""Vanilla Transformer infrastructure: embeddings, PEs, masks, blocks.
+
+Reference: /root/reference/modules/Transformer.py —
+- PositionalEncoding (sinusoidal buffer, :796-1022),
+- NormalizedEmbedding (embedding scaled by sqrt(d_model), :1650-1860),
+- TransformerEncoderLayer/Encoder (:1025-1344; pre/post-norm),
+- TransformerDecoderLayer/Decoder (:1347-1647; the reference's decoder is
+  always causal with regularMHA, :773-774),
+- mask helpers get_key_padding_mask/get_lookahead_mask (:1863-1933) and
+  the chunked streaming mask make_transformer_src_mask
+  (/root/reference/modules/TransformerASR.py:305-364).
+
+Mask convention in this framework: boolean, True = disallowed/padded.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mamba_asr_tpu.models.attention import MultiheadAttention, RelPosMHAXL
+from mamba_asr_tpu.models.layers import PositionalwiseFeedForward, swish
+
+Array = jax.Array
+
+
+# --------------------------------------------------------------------------
+# Positional encodings / embeddings
+# --------------------------------------------------------------------------
+
+
+def sinusoidal_position_encoding(
+    length: int, d_model: int, dtype=jnp.float32
+) -> Array:
+    """Absolute sinusoidal PE table (length, d_model)."""
+    pos = jnp.arange(length, dtype=jnp.float32)[:, None]
+    div = jnp.exp(
+        jnp.arange(0, d_model, 2, dtype=jnp.float32)
+        * (-math.log(10000.0) / d_model)
+    )
+    pe = jnp.zeros((length, d_model), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(pos * div))
+    pe = pe.at[:, 1::2].set(jnp.cos(pos * div))
+    return pe.astype(dtype)
+
+
+class NormalizedEmbedding(nn.Module):
+    """Token embedding scaled by sqrt(d_model) (Transformer.py:1851-1860)."""
+
+    vocab_size: int
+    d_model: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens: Array) -> Array:
+        emb = nn.Embed(
+            self.vocab_size,
+            self.d_model,
+            dtype=self.dtype,
+            embedding_init=nn.initializers.normal(stddev=1.0),
+            name="embed",
+        )(tokens)
+        return emb * math.sqrt(self.d_model)
+
+
+# --------------------------------------------------------------------------
+# Masks
+# --------------------------------------------------------------------------
+
+
+def lengths_to_padding_mask(lengths: Array, max_len: int) -> Array:
+    """(B,) absolute lengths -> (B, max_len) bool, True = padding."""
+    return jnp.arange(max_len)[None, :] >= lengths[:, None]
+
+
+def get_key_padding_mask(tokens: Array, pad_idx: int = 0) -> Array:
+    """(B, L) tokens -> (B, L) bool, True where token == pad."""
+    return tokens == pad_idx
+
+
+def get_lookahead_mask(length: int) -> Array:
+    """(L, L) bool causal mask, True above the diagonal (= disallowed)."""
+    return jnp.triu(jnp.ones((length, length), bool), k=1)
+
+
+def make_chunked_src_mask(
+    length: int, chunk_size: int, left_context_chunks: Optional[int] = None
+) -> Array:
+    """Chunked-attention mask for Dynamic Chunk Training
+    (TransformerASR.py:305-364): frame i may attend to frames in its own
+    chunk and up to `left_context_chunks` chunks back (all past if None).
+    Returns (L, L) bool, True = disallowed."""
+    idx = jnp.arange(length)
+    chunk_id = idx // chunk_size
+    future = chunk_id[None, :] > chunk_id[:, None]
+    if left_context_chunks is None:
+        return future
+    too_old = chunk_id[None, :] < (chunk_id[:, None] - left_context_chunks)
+    return future | too_old
+
+
+# --------------------------------------------------------------------------
+# Encoder / decoder blocks
+# --------------------------------------------------------------------------
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Self-attention + FFN block (Transformer.py:1025-1194)."""
+
+    d_ffn: int
+    nhead: int
+    dropout: float = 0.1
+    activation: Callable[[Array], Array] = nn.relu
+    normalize_before: bool = False
+    attention_type: str = "regularMHA"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        src: Array,
+        src_mask: Optional[Array] = None,
+        src_key_padding_mask: Optional[Array] = None,
+        pos_embs: Optional[Array] = None,
+        train: bool = False,
+    ) -> Tuple[Array, Array]:
+        if self.attention_type == "RelPosMHAXL":
+            mha = RelPosMHAXL(self.nhead, self.dropout, dtype=self.dtype,
+                              name="self_att")
+        else:
+            mha = MultiheadAttention(self.nhead, self.dropout,
+                                     dtype=self.dtype, name="self_att")
+        drop = nn.Dropout(self.dropout, deterministic=not train)
+        norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
+        norm2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
+
+        x = norm1(src) if self.normalize_before else src
+        att_out, attn = mha(
+            x, x, x,
+            attn_mask=src_mask,
+            key_padding_mask=src_key_padding_mask,
+            pos_embs=pos_embs,
+            train=train,
+        )
+        src = src + drop(att_out)
+        if not self.normalize_before:
+            src = norm1(src)
+
+        x = norm2(src) if self.normalize_before else src
+        ffn_out = PositionalwiseFeedForward(
+            self.d_ffn, self.activation, self.dropout, dtype=self.dtype,
+            name="ffn",
+        )(x, train=train)
+        src = src + drop(ffn_out)
+        if not self.normalize_before:
+            src = norm2(src)
+        return src, attn
+
+
+class TransformerEncoder(nn.Module):
+    """Stack of encoder layers + final LN (Transformer.py:1197-1344)."""
+
+    num_layers: int
+    d_ffn: int
+    nhead: int
+    dropout: float = 0.1
+    activation: Callable[[Array], Array] = nn.relu
+    normalize_before: bool = False
+    attention_type: str = "regularMHA"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        src: Array,
+        src_mask: Optional[Array] = None,
+        src_key_padding_mask: Optional[Array] = None,
+        pos_embs: Optional[Array] = None,
+        train: bool = False,
+    ) -> Tuple[Array, Array]:
+        out = src
+        attn = None
+        for i in range(self.num_layers):
+            out, attn = TransformerEncoderLayer(
+                d_ffn=self.d_ffn,
+                nhead=self.nhead,
+                dropout=self.dropout,
+                activation=self.activation,
+                normalize_before=self.normalize_before,
+                attention_type=self.attention_type,
+                dtype=self.dtype,
+                name=f"layer_{i}",
+            )(out, src_mask, src_key_padding_mask, pos_embs, train=train)
+        out = nn.LayerNorm(dtype=self.dtype, name="norm")(out)
+        return out, attn
+
+
+class TransformerDecoderLayer(nn.Module):
+    """Causal self-attn + cross-attn + FFN (Transformer.py:1347-1524)."""
+
+    d_ffn: int
+    nhead: int
+    dropout: float = 0.1
+    activation: Callable[[Array], Array] = nn.relu
+    normalize_before: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        tgt: Array,
+        memory: Array,
+        tgt_mask: Optional[Array] = None,
+        memory_mask: Optional[Array] = None,
+        tgt_key_padding_mask: Optional[Array] = None,
+        memory_key_padding_mask: Optional[Array] = None,
+        train: bool = False,
+    ) -> Tuple[Array, Array, Array]:
+        drop = nn.Dropout(self.dropout, deterministic=not train)
+        norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
+        norm2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
+        norm3 = nn.LayerNorm(dtype=self.dtype, name="norm3")
+
+        x = norm1(tgt) if self.normalize_before else tgt
+        sa_out, sa = MultiheadAttention(
+            self.nhead, self.dropout, dtype=self.dtype, name="self_attn"
+        )(x, x, x, attn_mask=tgt_mask,
+          key_padding_mask=tgt_key_padding_mask, train=train)
+        tgt = tgt + drop(sa_out)
+        if not self.normalize_before:
+            tgt = norm1(tgt)
+
+        x = norm2(tgt) if self.normalize_before else tgt
+        ca_out, ca = MultiheadAttention(
+            self.nhead, self.dropout, dtype=self.dtype, name="cross_attn"
+        )(x, memory, memory, attn_mask=memory_mask,
+          key_padding_mask=memory_key_padding_mask, train=train)
+        tgt = tgt + drop(ca_out)
+        if not self.normalize_before:
+            tgt = norm2(tgt)
+
+        x = norm3(tgt) if self.normalize_before else tgt
+        ffn_out = PositionalwiseFeedForward(
+            self.d_ffn, self.activation, self.dropout, dtype=self.dtype,
+            name="ffn",
+        )(x, train=train)
+        tgt = tgt + drop(ffn_out)
+        if not self.normalize_before:
+            tgt = norm3(tgt)
+        return tgt, sa, ca
+
+
+class TransformerDecoder(nn.Module):
+    """Stack of decoder layers + final LN (Transformer.py:1527-1647)."""
+
+    num_layers: int
+    d_ffn: int
+    nhead: int
+    dropout: float = 0.1
+    activation: Callable[[Array], Array] = nn.relu
+    normalize_before: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        tgt: Array,
+        memory: Array,
+        tgt_mask: Optional[Array] = None,
+        memory_mask: Optional[Array] = None,
+        tgt_key_padding_mask: Optional[Array] = None,
+        memory_key_padding_mask: Optional[Array] = None,
+        train: bool = False,
+    ) -> Tuple[Array, Array, Array]:
+        out = tgt
+        sa = ca = None
+        for i in range(self.num_layers):
+            out, sa, ca = TransformerDecoderLayer(
+                d_ffn=self.d_ffn,
+                nhead=self.nhead,
+                dropout=self.dropout,
+                activation=self.activation,
+                normalize_before=self.normalize_before,
+                dtype=self.dtype,
+                name=f"layer_{i}",
+            )(
+                out, memory, tgt_mask, memory_mask,
+                tgt_key_padding_mask, memory_key_padding_mask, train=train,
+            )
+        out = nn.LayerNorm(dtype=self.dtype, name="norm")(out)
+        return out, sa, ca

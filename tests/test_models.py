@@ -1,0 +1,157 @@
+"""Encoder/decoder/ASR assembly: shapes, masking, decode paths."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mamba_asr_tpu.models.asr import ASRConfig, ASRModel
+from mamba_asr_tpu.models.conformer import ConformerEncoder
+from mamba_asr_tpu.models.conmamba import ConmambaEncoder, MambaDecoder
+from mamba_asr_tpu.models.layers import ConvolutionFrontEnd, ConvolutionModule
+from mamba_asr_tpu.models.mamba import MambaConfig
+from mamba_asr_tpu.models.transformer import (
+    TransformerDecoder,
+    TransformerEncoder,
+    get_lookahead_mask,
+    make_chunked_src_mask,
+)
+
+MCFG = MambaConfig(d_state=4, d_conv=4, expand=2, scan_impl="xla")
+
+
+def test_conv_module_shapes_and_chunking():
+    m = ConvolutionModule(kernel_size=7)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 20, 8))
+    params = m.init(jax.random.PRNGKey(1), x)
+    y = m.apply(params, x)
+    assert y.shape == x.shape
+    # Dynamic chunk conv: no output frame may depend on frames past its
+    # chunk end.
+    y_chunk = m.apply(params, x, None, 5)
+    x2 = x.at[:, 5:].set(7.0)
+    y_chunk2 = m.apply(params, x2, None, 5)
+    np.testing.assert_allclose(
+        y_chunk[:, :5], y_chunk2[:, :5], rtol=1e-4, atol=1e-5
+    )
+    # And chunked != full (future within window is masked).
+    assert not np.allclose(np.array(y), np.array(y_chunk), atol=1e-5)
+
+
+def test_frontend_downsampling():
+    fe = ConvolutionFrontEnd()
+    feats = jnp.ones((2, 40, 80))
+    params = fe.init(jax.random.PRNGKey(0), feats)
+    y = fe.apply(params, feats)
+    assert y.shape == (2, 10, 20, 32)
+    assert fe.output_dim(80) == 640
+    assert fe.downsample_factor() == 4
+
+
+def test_conmamba_encoder():
+    enc = ConmambaEncoder(num_layers=2, d_ffn=16, kernel_size=7, mamba_cfg=MCFG)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 8))
+    params = enc.init(jax.random.PRNGKey(1), x)
+    y = enc.apply(params, x)
+    assert y.shape == (2, 12, 8)
+
+
+def test_conformer_encoder_padding_invariance():
+    """Padded frames must not change unpadded outputs (attention mask)."""
+    enc = ConformerEncoder(num_layers=1, d_ffn=16, nhead=2, kernel_size=31,
+                           dropout=0.0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 24, 8))
+    params = enc.init(jax.random.PRNGKey(1), x)
+    kpm = jnp.arange(24)[None, :] >= 20
+    y1, _ = enc.apply(params, x, None, kpm)
+    y2, _ = enc.apply(params, x.at[:, 20:].set(9.0), None, kpm)
+    # Conv module still mixes padding locally (kernel 31 reaches 15 frames);
+    # check frames far from the pad boundary.
+    np.testing.assert_allclose(y1[:, :5], y2[:, :5], rtol=1e-3, atol=1e-4)
+
+
+def test_transformer_encoder_decoder():
+    enc = TransformerEncoder(num_layers=2, d_ffn=16, nhead=2,
+                             attention_type="regularMHA")
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 8))
+    p = enc.init(jax.random.PRNGKey(1), x)
+    y, _ = enc.apply(p, x)
+    assert y.shape == (2, 10, 8)
+
+    dec = TransformerDecoder(num_layers=2, d_ffn=16, nhead=2)
+    tgt = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 8))
+    pd = dec.init(jax.random.PRNGKey(3), tgt, y)
+    out, _, _ = dec.apply(pd, tgt, y, get_lookahead_mask(5))
+    assert out.shape == (2, 5, 8)
+
+
+def test_decoder_causality():
+    dec = TransformerDecoder(num_layers=1, d_ffn=16, nhead=2, dropout=0.0)
+    mem = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8))
+    tgt = jax.random.normal(jax.random.PRNGKey(1), (1, 6, 8))
+    p = dec.init(jax.random.PRNGKey(2), tgt, mem)
+    mask = get_lookahead_mask(6)
+    y1, _, _ = dec.apply(p, tgt, mem, mask)
+    y2, _, _ = dec.apply(p, tgt.at[:, 4:].set(3.0), mem, mask)
+    np.testing.assert_allclose(y1[:, :4], y2[:, :4], rtol=1e-4, atol=1e-5)
+
+
+def test_mamba_decoder_cross_scan():
+    dec = MambaDecoder(num_layers=1, d_ffn=16, mamba_cfg=MCFG)
+    mem = jax.random.normal(jax.random.PRNGKey(0), (2, 9, 8))
+    tgt = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 8))
+    p = dec.init(jax.random.PRNGKey(2), tgt, mem)
+    y = dec.apply(p, tgt, mem)
+    assert y.shape == (2, 4, 8)
+    # Memory influences the output (cross-mamba state passes through).
+    y2 = dec.apply(p, tgt, mem * 2.0)
+    assert not np.allclose(np.array(y), np.array(y2), atol=1e-6)
+
+
+def test_chunked_mask():
+    m = make_chunked_src_mask(8, 3, left_context_chunks=1)
+    assert not m[4, 3]   # same chunk
+    assert not m[4, 2]   # one chunk back
+    assert m[4, 6]       # future chunk
+    assert m[7, 0]       # two chunks back (> left context)
+
+
+@pytest.mark.parametrize(
+    "enc_mod,dec_layers,dec_mod",
+    [("conmamba", 0, "transformer"),
+     ("conmamba", 2, "transformer"),
+     ("conmamba", 2, "mamba"),
+     ("conformer", 0, "transformer")],
+)
+def test_asr_model_forward(enc_mod, dec_layers, dec_mod):
+    cfg = ASRConfig(
+        vocab_size=11,
+        n_mels=16,
+        d_model=8,
+        nhead=2,
+        num_encoder_layers=1,
+        num_decoder_layers=dec_layers,
+        d_ffn=16,
+        dropout=0.0,
+        encoder_module=enc_mod,
+        decoder_module=dec_mod,
+        kernel_size=7,
+        mamba=MCFG,
+    )
+    model = ASRModel(cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(0), (2, 24, 16))
+    lens = jnp.array([24, 17])
+    toks = jnp.array([[1, 3, 4, 0], [1, 5, 0, 0]])
+    params = model.init(
+        jax.random.PRNGKey(1), feats, lens,
+        toks if dec_layers else None,
+    )
+    out = model.apply(params, feats, lens, toks if dec_layers else None)
+    t_out = 24 // 4
+    assert out["ctc_log_probs"].shape == (2, t_out, 11)
+    assert np.array_equal(np.array(out["enc_lengths"]), [6, 5])
+    if dec_layers:
+        assert out["seq_log_probs"].shape == (2, 4, 11)
+    # log-softmax sanity
+    s = np.exp(np.array(out["ctc_log_probs"])).sum(-1)
+    np.testing.assert_allclose(s, 1.0, rtol=1e-4)
