@@ -1,0 +1,133 @@
+"""End-to-end smoke test: tiny ConMamba-CTC learns a synthetic task.
+
+Mirrors SURVEY.md §4's recommendation: tiny config, synthetic audio,
+assert the loss decreases and greedy decode runs — the minimum
+train_CTC.py-equivalent slice, on CPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mamba_asr_tpu.decoding.ctc_greedy import ctc_greedy_decode
+from mamba_asr_tpu.models.asr import ASRConfig, ASRModel
+from mamba_asr_tpu.models.mamba import MambaConfig
+from mamba_asr_tpu.training.trainer import (
+    FrontendConfig,
+    SpecAugmentConfig,
+    TrainConfig,
+    init_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    num_params,
+)
+
+
+def _synthetic_batch(rng, bsz=4, seconds=0.5, sr=16000, vocab=8, s_max=6):
+    n = int(seconds * sr)
+    # Tones whose frequency depends on the label sequence.
+    tokens = rng.integers(4, vocab, size=(bsz, s_max))
+    token_lens = np.full((bsz,), s_max, np.int32)
+    t = np.arange(n) / sr
+    wav = np.zeros((bsz, n), np.float32)
+    for b in range(bsz):
+        for i, tok in enumerate(tokens[b]):
+            seg = slice(i * n // s_max, (i + 1) * n // s_max)
+            wav[b, seg] = np.sin(2 * np.pi * (300 + 200 * tok) * t[seg])
+    return {
+        "wav": wav,
+        "wav_lens": np.full((bsz,), n, np.int32),
+        "tokens": tokens.astype(np.int32),
+        "token_lens": token_lens,
+        "tokens_bos": np.zeros((bsz, s_max + 1), np.int32),
+        "tokens_eos": np.zeros((bsz, s_max + 1), np.int32),
+        "eos_lens": token_lens + 1,
+        "weight": np.ones((bsz,), np.float32),
+    }
+
+
+def test_ctc_training_learns():
+    cfg = ASRConfig(
+        vocab_size=8,
+        n_mels=20,
+        d_model=32,
+        num_encoder_layers=1,
+        num_decoder_layers=0,
+        d_ffn=32,
+        dropout=0.0,
+        encoder_module="conmamba",
+        kernel_size=7,
+        mamba=MambaConfig(d_state=4, scan_impl="xla"),
+    )
+    model = ASRModel(cfg)
+    frontend = FrontendConfig(n_mels=20, n_fft=256, win_length_ms=16.0)
+    tcfg = TrainConfig(
+        lr=2e-3, warmup_steps=20, grad_accumulation_factor=1,
+        normalizer_update_epochs=1,
+    )
+    tx = make_optimizer(tcfg)
+    batch = _synthetic_batch(np.random.default_rng(0))
+
+    state = init_train_state(model, tx, frontend, jax.random.PRNGKey(0), batch)
+    assert num_params(state.params) > 0
+
+    train_step = make_train_step(
+        model, tx, frontend, tcfg, SpecAugmentConfig(enabled=False)
+    )
+    losses = []
+    for i in range(40):
+        state, metrics = train_step(
+            state, batch, jax.random.PRNGKey(i), jnp.asarray(i < 10)
+        )
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.5, losses[::8]
+    # Normalizer gathered statistics during the first 10 steps, then froze.
+    assert float(state.normalizer.count) > 0
+
+    eval_step = make_eval_step(model, frontend)
+    out = eval_step(state.params, state.normalizer, batch)
+    toks, lens = ctc_greedy_decode(out["ctc_log_probs"], out["enc_lengths"])
+    assert toks.shape[0] == 4
+    assert (np.array(lens) <= np.array(out["enc_lengths"])).all()
+
+
+def test_s2s_training_step_runs():
+    cfg = ASRConfig(
+        vocab_size=12,
+        n_mels=20,
+        d_model=16,
+        nhead=2,
+        num_encoder_layers=1,
+        num_decoder_layers=1,
+        d_ffn=16,
+        dropout=0.1,
+        encoder_module="conmamba",
+        decoder_module="mamba",
+        kernel_size=7,
+        mamba=MambaConfig(d_state=4, scan_impl="xla"),
+    )
+    model = ASRModel(cfg)
+    frontend = FrontendConfig(n_mels=20, n_fft=256, win_length_ms=16.0)
+    tcfg = TrainConfig(
+        lr=1e-3, warmup_steps=10, grad_accumulation_factor=2,
+        ctc_weight=0.3, label_smoothing=0.1,
+    )
+    tx = make_optimizer(tcfg)
+    rng = np.random.default_rng(1)
+    batch = _synthetic_batch(rng, vocab=12)
+    batch["tokens_bos"][:, 0] = 1
+    batch["tokens_bos"][:, 1:] = batch["tokens"]
+    batch["tokens_eos"][:, :-1] = batch["tokens"]
+    batch["tokens_eos"][:, -1] = 2
+
+    state = init_train_state(model, tx, frontend, jax.random.PRNGKey(0), batch)
+    train_step = make_train_step(model, tx, frontend, tcfg, SpecAugmentConfig())
+    for i in range(4):
+        state, metrics = train_step(
+            state, batch, jax.random.PRNGKey(i), jnp.asarray(True)
+        )
+    assert np.isfinite(float(metrics["loss"]))
+    assert "loss_att" in metrics and "loss_ctc" in metrics
+    assert int(state.step) == 4
