@@ -1,0 +1,123 @@
+"""Shared CLI driver for the training entry points.
+
+Usage (mirrors the reference's `python train_CTC.py <yaml> [--overrides]`,
+/root/reference/train_CTC.py:1025-1207):
+
+    python train_ctc.py hparams/CTC/conmamba_small.yaml \
+        --data.data_folder /path/to/LibriSpeech [--train.lr 0.0005 ...]
+
+Pipeline: prepare manifests (process 0) -> fit/load tokenizer -> build
+bucketed loaders -> Trainer.fit -> evaluate each test split with
+checkpoint averaging.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import List, Optional
+
+from mamba_asr_tpu.configs.loader import (
+    ExperimentConfig,
+    load_config,
+    parse_overrides,
+)
+from mamba_asr_tpu.data.dataset import ASRDataset, BucketedLoader
+from mamba_asr_tpu.data.librispeech import load_manifest, prepare_librispeech
+from mamba_asr_tpu.data.tokenizer import (
+    CharTokenizer,
+    SubwordTokenizer,
+    load_tokenizer,
+)
+from mamba_asr_tpu.parallel.mesh import is_main_process
+from mamba_asr_tpu.training.loop import Trainer
+
+
+def build_tokenizer(cfg: ExperimentConfig, train_csv: str):
+    tok_path = os.path.join(
+        cfg.output_folder, f"tokenizer_{cfg.data.tokenizer_type}.json"
+    )
+    if os.path.isfile(tok_path):
+        return load_tokenizer(tok_path)
+    corpus = [u.words for u in load_manifest(train_csv)]
+    if cfg.data.tokenizer_type == "char":
+        tok = CharTokenizer.fit(corpus, vocab_size=cfg.data.vocab_size)
+    else:
+        tok = SubwordTokenizer.train(
+            corpus,
+            vocab_size=cfg.data.vocab_size,
+            model_type=cfg.data.tokenizer_type,
+        )
+    if is_main_process():
+        os.makedirs(cfg.output_folder, exist_ok=True)
+        tok.save(tok_path)
+    return tok
+
+
+def run_training(argv: Optional[List[str]] = None) -> Trainer:
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        raise SystemExit("usage: train_*.py <hparams.yaml> [--key value ...]")
+    cfg = load_config(argv[0], parse_overrides(argv[1:]))
+    os.makedirs(cfg.output_folder, exist_ok=True)
+
+    manifest_dir = os.path.join(cfg.output_folder, "manifests")
+    if is_main_process():
+        prepare_librispeech(
+            data_folder=cfg.data.data_folder,
+            save_folder=manifest_dir,
+            tr_splits=cfg.data.train_splits,
+            dev_splits=cfg.data.dev_splits,
+            te_splits=cfg.data.test_splits,
+            merge_lst=cfg.data.train_splits,
+            merge_name=cfg.data.train_csv,
+            skip_prep=cfg.data.skip_prep,
+        )
+    train_csv = os.path.join(manifest_dir, cfg.data.train_csv)
+    tokenizer = build_tokenizer(cfg, train_csv)
+
+    trainer = Trainer(cfg, tokenizer)
+    n_data = trainer.mesh.shape["data"]
+
+    train_ds = ASRDataset.from_csv(train_csv, tokenizer, cfg.data.sample_rate)
+    train_loader = BucketedLoader(
+        train_ds,
+        num_buckets=cfg.data.num_buckets,
+        max_batch_seconds=cfg.data.max_batch_seconds,
+        max_batch_ex=cfg.data.max_batch_ex,
+        shuffle=cfg.data.sorting == "random",
+        speed_perturb=cfg.data.speed_perturb,
+        seed=cfg.seed,
+        batch_divisor=n_data,
+    )
+    valid_loader = None
+    if cfg.data.dev_splits:
+        valid_ds = ASRDataset.from_csv(
+            os.path.join(manifest_dir, cfg.data.dev_splits[0] + ".csv"),
+            tokenizer, cfg.data.sample_rate,
+        )
+        valid_loader = BucketedLoader(
+            valid_ds,
+            num_buckets=max(cfg.data.num_buckets // 2, 2),
+            max_batch_seconds=cfg.data.valid_max_batch_seconds,
+            shuffle=False,
+            speed_perturb=False,
+        )
+
+    trainer.fit(train_loader, valid_loader)
+
+    for split in cfg.data.test_splits:
+        test_ds = ASRDataset.from_csv(
+            os.path.join(manifest_dir, split + ".csv"),
+            tokenizer, cfg.data.sample_rate,
+        )
+        test_loader = BucketedLoader(
+            test_ds,
+            num_buckets=max(cfg.data.num_buckets // 2, 2),
+            max_batch_seconds=cfg.data.valid_max_batch_seconds,
+            shuffle=False,
+            speed_perturb=False,
+        )
+        summary = trainer.evaluate(test_loader, test_name=split)
+        print(f"{split}: {summary}")
+    return trainer

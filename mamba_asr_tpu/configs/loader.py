@@ -1,0 +1,166 @@
+"""Experiment config: dataclass tree + safe-YAML loader + CLI overrides.
+
+The three roles of the reference's HyperPyYAML configs (SURVEY.md §5.6)
+are preserved — model hyperparameters, object wiring, CLI overrides —
+without arbitrary-code-execution YAML:
+
+- model hyperparameters -> nested dataclasses (ASRConfig etc.),
+- wiring -> code (ASRModel.setup, Trainer),
+- CLI overrides -> `--section.key value` dotted paths, type-coerced from
+  the dataclass field (the reference's `--key value` overrides,
+  /root/reference/train_CTC.py:1056-1058).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, List, Optional, Sequence, Tuple, get_args, get_origin
+
+import yaml
+
+from mamba_asr_tpu.models.asr import ASRConfig
+from mamba_asr_tpu.models.mamba import MambaConfig
+from mamba_asr_tpu.training.trainer import (
+    FrontendConfig,
+    SpecAugmentConfig,
+    TrainConfig,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    data_folder: str = ""
+    output_folder: str = "results"
+    train_splits: Tuple[str, ...] = ("train-clean-100",)
+    dev_splits: Tuple[str, ...] = ("dev-clean",)
+    test_splits: Tuple[str, ...] = ("test-clean", "test-other")
+    train_csv: str = "train.csv"
+    skip_prep: bool = False
+    tokenizer_type: str = "char"  # char | bpe | unigram
+    vocab_size: int = 31
+    sample_rate: int = 16000
+    num_buckets: int = 8
+    max_batch_seconds: float = 850.0
+    max_batch_ex: int = 128
+    valid_max_batch_seconds: float = 100.0
+    speed_perturb: bool = True
+    sorting: str = "random"
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeConfig:
+    # CTC beam search (hparams/CTC/conmamba_large.yaml:168-172, 232-237).
+    valid_greedy: bool = True
+    test_beam_size: int = 100
+    blank_index: int = 0
+    beam_prune_logp: float = -12.0
+    token_prune_min_logp: float = -1.2
+    # S2S joint search (hparams/S2S/conmamba_large.yaml:239-245).
+    valid_search_interval: int = 10
+    valid_beam_size: int = 10
+    s2s_test_beam_size: int = 66
+    ctc_weight_decode: float = 0.4
+    lm_weight: float = 0.6
+    temperature: float = 1.15
+    temperature_lm: float = 1.15
+    using_eos_threshold: bool = False
+    length_normalization: bool = True
+    max_decode_ratio: float = 1.0
+    min_decode_ratio: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    name: str = "experiment"
+    seed: int = 3407
+    model: ASRConfig = ASRConfig()
+    frontend: FrontendConfig = FrontendConfig()
+    train: TrainConfig = TrainConfig()
+    specaug: SpecAugmentConfig = SpecAugmentConfig()
+    data: DataConfig = DataConfig()
+    decode: DecodeConfig = DecodeConfig()
+
+    @property
+    def output_folder(self) -> str:
+        return os.path.join(self.data.output_folder, self.name, str(self.seed))
+
+
+_NESTED = {
+    "model": ASRConfig,
+    "frontend": FrontendConfig,
+    "train": TrainConfig,
+    "specaug": SpecAugmentConfig,
+    "data": DataConfig,
+    "decode": DecodeConfig,
+    "mamba": MambaConfig,
+}
+
+
+def _coerce(field_type, value):
+    origin = get_origin(field_type)
+    if origin in (tuple, Tuple):
+        args = get_args(field_type)
+        elem = args[0] if args else str
+        return tuple(_coerce(elem, v) for v in value)
+    if field_type is float and value is not None:
+        return float(value)
+    if field_type is int and value is not None and not isinstance(value, bool):
+        return int(value)
+    if field_type is bool and isinstance(value, str):
+        return value.lower() in ("1", "true", "yes")
+    if field_type is Optional[int] and value is not None:
+        return int(value)
+    return value
+
+
+def _build(cls, d: Dict[str, Any]):
+    import typing
+
+    field_names = {f.name for f in dataclasses.fields(cls)}
+    hints = typing.get_type_hints(cls)
+    kwargs = {}
+    for k, v in d.items():
+        if k not in field_names:
+            raise KeyError(f"unknown config key '{k}' for {cls.__name__}")
+        if k in _NESTED and isinstance(v, dict):
+            kwargs[k] = _build(_NESTED[k], v)
+        else:
+            kwargs[k] = _coerce(hints[k], v)
+    return cls(**kwargs)
+
+
+def load_config(path: str, overrides: Optional[Dict[str, Any]] = None
+                ) -> ExperimentConfig:
+    with open(path, encoding="utf-8") as f:
+        raw = yaml.safe_load(f) or {}
+    if overrides:
+        for dotted, value in overrides.items():
+            node = raw
+            parts = dotted.split(".")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = value
+    return _build(ExperimentConfig, raw)
+
+
+def parse_overrides(argv: Sequence[str]) -> Dict[str, Any]:
+    """`--a.b value` pairs -> {"a.b": parsed_value} (yaml-parsed scalars)."""
+    out: Dict[str, Any] = {}
+    i = 0
+    args = list(argv)
+    while i < len(args):
+        a = args[i]
+        if not a.startswith("--"):
+            raise ValueError(f"expected --key, got {a}")
+        key = a[2:]
+        if "=" in key:
+            key, val = key.split("=", 1)
+            i += 1
+        else:
+            if i + 1 >= len(args):
+                raise ValueError(f"missing value for --{key}")
+            val = args[i + 1]
+            i += 2
+        out[key] = yaml.safe_load(val)
+    return out

@@ -57,9 +57,14 @@ def make_bucket_plan(
     max_batch_ex: int = 128,
     sample_rate: int = 16000,
     min_batch_size: int = 1,
+    batch_divisor: int = 1,
 ) -> BucketPlan:
     """Build bucket boundaries from the duration distribution (quantiles),
-    each with a batch size targeting `max_batch_seconds` of audio."""
+    each with a batch size targeting `max_batch_seconds` of audio.
+
+    batch_divisor: every batch size is rounded up to a multiple of this
+    (the mesh "data"-axis size, so batches shard evenly over devices).
+    """
     durations = np.asarray(durations, np.float64)
     label_lengths = np.asarray(label_lengths, np.int64)
     qs = np.linspace(0, 1, num_buckets + 1)[1:]
@@ -75,6 +80,7 @@ def make_bucket_plan(
         bs = int(
             np.clip(max_batch_seconds // max(b, 0.1), min_batch_size, max_batch_ex)
         )
+        bs = _round_up(bs, batch_divisor)
         in_bucket = label_lengths[durations <= b]
         max_lab = int(in_bucket.max()) if in_bucket.size else 16
         buckets.append(

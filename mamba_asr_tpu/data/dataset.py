@@ -64,6 +64,7 @@ class BucketedLoader:
         speed_perturb: bool = False,
         seed: int = 0,
         drop_last: bool = False,
+        batch_divisor: int = 1,
     ):
         self.ds = dataset
         self.speed_perturb = speed_perturb
@@ -78,6 +79,7 @@ class BucketedLoader:
             max_batch_seconds=max_batch_seconds,
             max_batch_ex=max_batch_ex,
             sample_rate=dataset.sample_rate,
+            batch_divisor=batch_divisor,
         )
         self.sampler = BucketSampler(
             plan_durations, self.plan, shuffle=shuffle, seed=seed,

@@ -1,0 +1,253 @@
+"""Epoch orchestration: the sb.Brain-fit equivalent, explicit and small.
+
+Reference behaviors reproduced (SURVEY.md §2.1 training drivers):
+- per-epoch train pass with grad accumulation + Noam (inside the jitted
+  step, training/trainer.py);
+- normalizer statistics updated only while epoch <= update_until_epoch
+  (/root/reference/hparams/CTC/conmamba_large.yaml:218);
+- validation each epoch: greedy-WER for CTC (train_CTC.py:306,590-610),
+  token accuracy for S2S (train_S2S.py:545) with beam search every
+  valid_search_interval epochs (train_S2S.py:382-394);
+- checkpoint keep-10 by min WER / max ACC (train_CTC.py:653-657,
+  train_S2S.py:799-803), parameter averaging before evaluation
+  (train_CTC.py:479-489);
+- train_log.txt rows per epoch (train_CTC.py:620-652);
+- auto-resume from the latest checkpoint at fit() start (SpeechBrain
+  Brain behavior, SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mamba_asr_tpu.configs.loader import ExperimentConfig
+from mamba_asr_tpu.data.dataset import BucketedLoader
+from mamba_asr_tpu.decoding.ctc_greedy import ctc_greedy_decode, tokens_to_lists
+from mamba_asr_tpu.models.asr import ASRModel
+from mamba_asr_tpu.parallel.mesh import is_main_process, make_mesh, shard_batch
+from mamba_asr_tpu.training.checkpoint import CheckpointManager
+from mamba_asr_tpu.training.logger import FileTrainLogger, JsonlLogger
+from mamba_asr_tpu.training.metrics import AccuracyStats, ErrorRateStats
+from mamba_asr_tpu.training.trainer import (
+    TrainState,
+    init_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    num_params,
+)
+
+
+class Trainer:
+    def __init__(self, cfg: ExperimentConfig, tokenizer, mesh=None):
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.mesh = mesh or make_mesh()
+        self.model = ASRModel(cfg.model)
+        self.tx = make_optimizer(cfg.train)
+        self.train_step = make_train_step(
+            self.model, self.tx, cfg.frontend, cfg.train, cfg.specaug
+        )
+        self.eval_step = make_eval_step(self.model, cfg.frontend)
+        out_dir = cfg.output_folder
+        self.ckpt = CheckpointManager(
+            os.path.join(out_dir, "save"), keep=cfg.train.keep_checkpoints
+        )
+        self.logger = FileTrainLogger(os.path.join(out_dir, "train_log.txt"))
+        self.steps_logger = JsonlLogger(os.path.join(out_dir, "steps.jsonl"))
+        self.state: Optional[TrainState] = None
+        self.is_s2s = cfg.model.num_decoder_layers > 0
+        self.metric_key = "ACC" if self.is_s2s else "WER"
+        self.start_epoch = 1
+
+    # -- state ---------------------------------------------------------------
+
+    def init_state(self, example_batch: Dict[str, np.ndarray]) -> None:
+        rng = jax.random.PRNGKey(self.cfg.seed)
+        self.state = init_train_state(
+            self.model, self.tx, self.cfg.frontend, rng, example_batch
+        )
+        # Auto-resume (reference Brain recovers latest at fit start).
+        restored = self.ckpt.restore(jax.device_get(self.state))
+        if restored is not None:
+            meta = max(
+                self.ckpt._entries(), key=lambda e: e.get("time", 0)
+            )
+            self.start_epoch = int(meta["metrics"].get("epoch", 0)) + 1
+            self.state = jax.device_put(restored)
+            print(f"resumed from checkpoint at epoch {self.start_epoch - 1}")
+
+    # -- training -------------------------------------------------------------
+
+    def fit(
+        self,
+        train_loader: BucketedLoader,
+        valid_loader: Optional[BucketedLoader] = None,
+        epochs: Optional[int] = None,
+    ) -> None:
+        cfg = self.cfg
+        epochs = epochs or cfg.train.number_of_epochs
+        base_rng = jax.random.PRNGKey(cfg.seed + 1)
+
+        for epoch in range(self.start_epoch, epochs + 1):
+            t0 = time.time()
+            update_norm = epoch <= cfg.train.normalizer_update_epochs
+            losses = []
+            for i, batch in enumerate(train_loader.epoch(epoch)):
+                if self.state is None:
+                    self.init_state(batch)
+                rng = jax.random.fold_in(base_rng, epoch * 100003 + i)
+                sharded = shard_batch(
+                    {k: v for k, v in batch.items() if k not in ("ids", "bucket")},
+                    self.mesh,
+                )
+                self.state, metrics = self.train_step(
+                    self.state, sharded, rng, jnp.asarray(update_norm)
+                )
+                losses.append(float(metrics["loss"]))
+                if i % 50 == 0:
+                    self.steps_logger.log(
+                        epoch=epoch, step=int(self.state.step),
+                        loss=float(metrics["loss"]),
+                        grad_norm=float(metrics["grad_norm"]),
+                    )
+            train_stats = {"loss": float(np.mean(losses)) if losses else 0.0}
+
+            valid_stats = {}
+            if valid_loader is not None:
+                valid_stats = self.validate(valid_loader, epoch)
+
+            dur = time.time() - t0
+            self.logger.log_stats(
+                {"epoch": epoch, "steps": int(self.state.step),
+                 "epoch_sec": round(dur, 1)},
+                train_stats=train_stats,
+                valid_stats=valid_stats,
+            )
+            if is_main_process() and valid_stats:
+                min_keys = () if self.is_s2s else ("WER",)
+                max_keys = ("ACC",) if self.is_s2s else ()
+                self.ckpt.save(
+                    jax.device_get(self.state),
+                    metrics={**valid_stats, "epoch": epoch},
+                    min_keys=min_keys,
+                    max_keys=max_keys,
+                )
+
+    # -- validation -----------------------------------------------------------
+
+    def validate(self, loader: BucketedLoader, epoch: int) -> Dict[str, float]:
+        wer = ErrorRateStats()
+        cer = ErrorRateStats(split_tokens=True)
+        acc = AccuracyStats()
+        losses = []
+        for batch in loader.epoch(0):
+            out = self.eval_step(
+                self.state.params,
+                self.state.normalizer,
+                {k: jnp.asarray(v) for k, v in batch.items()
+                 if k not in ("ids", "bucket")},
+            )
+            real = int(batch["weight"].sum())
+            toks, lens = ctc_greedy_decode(
+                out["ctc_log_probs"], out["enc_lengths"]
+            )
+            hyps = [
+                self.tokenizer.decode(t)
+                for t in tokens_to_lists(np.array(toks), np.array(lens))
+            ][:real]
+            refs = [
+                self.tokenizer.decode(
+                    list(batch["tokens"][i, : batch["token_lens"][i]])
+                )
+                for i in range(real)
+            ]
+            wer.append(batch["ids"][:real], hyps, refs)
+            cer.append(batch["ids"][:real], hyps, refs)
+            if self.is_s2s:
+                acc.append(
+                    np.array(out["seq_log_probs"]),
+                    batch["tokens_eos"],
+                    batch["eos_lens"],
+                    batch["weight"],
+                )
+        stats = {
+            "WER": wer.summarize()["WER"],
+            "CER": cer.summarize()["WER"],
+        }
+        if self.is_s2s:
+            stats["ACC"] = acc.summarize()
+        return stats
+
+    # -- evaluation -----------------------------------------------------------
+
+    def evaluate(
+        self,
+        loader: BucketedLoader,
+        test_name: str = "test",
+        use_averaged: bool = True,
+        decoder=None,
+    ) -> Dict[str, float]:
+        """Full test pass with checkpoint averaging + WER file dump.
+
+        `decoder(params, normalizer, batch, eval_out) -> list[list[int]]`
+        overrides greedy decoding (beam searchers plug in here).
+        """
+        state = self.state
+        if use_averaged:
+            restored = self.ckpt.restore_averaged(
+                jax.device_get(self.state),
+                k=self.cfg.train.avg_checkpoints,
+                min_key=None if self.is_s2s else "WER",
+                max_key="ACC" if self.is_s2s else None,
+                select=lambda s: s.params,
+            )
+            if restored is not None:
+                full, avg_params = restored
+                state = jax.device_put(full.replace(params=avg_params))
+
+        wer = ErrorRateStats()
+        cer = ErrorRateStats(split_tokens=True)
+        for batch in loader.epoch(0):
+            jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+                      if k not in ("ids", "bucket")}
+            out = self.eval_step(state.params, state.normalizer, jbatch)
+            real = int(batch["weight"].sum())
+            if decoder is None:
+                toks, lens = ctc_greedy_decode(
+                    out["ctc_log_probs"], out["enc_lengths"]
+                )
+                hyp_ids = tokens_to_lists(np.array(toks), np.array(lens))
+            else:
+                hyp_ids = decoder(state.params, state.normalizer, jbatch, out)
+            hyps = [self.tokenizer.decode(t) for t in hyp_ids][:real]
+            refs = [
+                self.tokenizer.decode(
+                    list(batch["tokens"][i, : batch["token_lens"][i]])
+                )
+                for i in range(real)
+            ]
+            wer.append(batch["ids"][:real], hyps, refs)
+            cer.append(batch["ids"][:real], hyps, refs)
+
+        summary = {
+            "WER": wer.summarize()["WER"],
+            "CER": cer.summarize()["WER"],
+        }
+        if is_main_process():
+            out_path = os.path.join(
+                self.cfg.output_folder, f"wer_{test_name}.txt"
+            )
+            os.makedirs(os.path.dirname(out_path), exist_ok=True)
+            with open(out_path, "w", encoding="utf-8") as f:
+                wer.write_stats(f)
+            self.logger.log_stats(
+                {"test_set": test_name}, test_stats=summary
+            )
+        return summary
