@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark: inference RTFx (audio-seconds decoded per wall-second per
+chip) of ConMamba Small CTC on the available accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference reports inference RTF 0.05x on A100 at batch 32
+(/root/reference/README/DEVICE_OPTIMIZATION_GUIDE.md:290-292), i.e.
+RTFx == 20 audio-sec/sec. BASELINE.json's target is RTFx >= 100 per v5e
+chip; vs_baseline is reported against the A100 reference number (20).
+
+Pipeline measured: waveform -> log-mel -> ConMamba encoder -> CTC head ->
+greedy decode (token ids + lengths), all inside one jitted function.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_RTFX = 20.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mamba_asr_tpu.decoding.ctc_greedy import ctc_greedy_decode
+    from mamba_asr_tpu.models.asr import ASRConfig, ASRModel
+    from mamba_asr_tpu.models.mamba import MambaConfig
+    from mamba_asr_tpu.ops.fbank import log_mel_spectrogram
+
+    cfg = ASRConfig(
+        vocab_size=31, n_mels=80, d_model=144, nhead=4,
+        num_encoder_layers=12, num_decoder_layers=0, d_ffn=1024,
+        dropout=0.0, encoder_module="conmamba", kernel_size=31,
+        compute_dtype="bfloat16",
+        mamba=MambaConfig(d_state=16, expand=2, d_conv=4),
+    )
+    model = ASRModel(cfg)
+
+    batch, seconds, sr = 32, 30.0, 16000
+    n = int(seconds * sr)
+    rng = np.random.default_rng(0)
+    wav_np = rng.normal(0.0, 0.1, size=(batch, n)).astype(np.float32)
+    wav = jnp.asarray(wav_np)
+    wav_lens = jnp.full((batch,), n, jnp.int32)
+
+    feats0 = log_mel_spectrogram(wav[:1], n_fft=400)
+    params = model.init(
+        jax.random.PRNGKey(0), feats0,
+        jnp.full((1,), feats0.shape[1], jnp.int32),
+    )
+
+    @jax.jit
+    def infer(wav, wav_lens):
+        feats = log_mel_spectrogram(wav, n_fft=400)
+        flens = jnp.minimum(wav_lens // 160 + 1, feats.shape[1])
+        out = model.apply(params, feats, flens)
+        toks, lens = ctc_greedy_decode(out["ctc_log_probs"], out["enc_lengths"])
+        return toks, lens
+
+    # Warmup / compile.
+    toks, lens = infer(wav, wav_lens)
+    jax.block_until_ready((toks, lens))
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        toks, lens = infer(wav, wav_lens)
+    jax.block_until_ready((toks, lens))
+    dt = time.perf_counter() - t0
+
+    audio_seconds = batch * seconds * iters
+    rtfx = audio_seconds / dt
+    print(json.dumps({
+        "metric": "inference_rtfx_conmamba_small_ctc",
+        "value": round(rtfx, 2),
+        "unit": "audio-sec/sec/chip",
+        "vs_baseline": round(rtfx / BASELINE_RTFX, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -116,8 +116,14 @@ def ctc_loss(
     blank_id: int = 0,
     reduction: str = "batchmean",
     weight: Optional[Array] = None,
+    zero_infinity: bool = True,
 ) -> Array:
     """CTC loss with SpeechBrain-compatible reductions.
+
+    zero_infinity: zero out infeasible utterances (label lattice longer
+    than the input), matching torch's ctc_loss(zero_infinity=True) — with
+    static bucket padding an occasional infeasible row must not poison
+    the batch.
 
     reduction:
       "none"      — (B,) per-utterance NLL.
@@ -130,6 +136,8 @@ def ctc_loss(
     nll = ctc_forward_score(
         log_probs, labels, input_lengths, label_lengths, blank_id
     )
+    if zero_infinity:
+        nll = jnp.where(nll > 0.5 * -_NEG_INF, 0.0, nll)
     if weight is not None:
         nll = nll * weight
     if reduction == "none":

@@ -113,3 +113,49 @@ def test_bf16_inputs():
     np.testing.assert_allclose(
         out.astype(np.float32), ref.astype(np.float32), rtol=2e-2, atol=2e-2
     )
+
+
+def test_chunked_matches_ref():
+    from mamba_asr_tpu.ops.selective_scan import selective_scan_chunked
+
+    u, delta, A, B, C, D, z, db = _make_inputs(
+        jax.random.PRNGKey(7), length=70, d=6, n=3
+    )
+    ref = selective_scan_ref(u, delta, A, B, C, D, z, db, True)
+    out, h = selective_scan_chunked(
+        u, delta, A, B, C, D, z, db, True,
+        return_last_state=True, chunk_size=16,
+    )
+    np.testing.assert_allclose(ref, out, rtol=2e-5, atol=2e-5)
+    _, h_ref = selective_scan_ref(
+        u, delta, A, B, C, D, z, db, True, return_last_state=True
+    )
+    np.testing.assert_allclose(h_ref, h, rtol=2e-5, atol=2e-5)
+
+
+def test_chunked_gradients_match():
+    from mamba_asr_tpu.ops.selective_scan import selective_scan_chunked
+
+    u, delta, A, B, C, D, z, db = _make_inputs(
+        jax.random.PRNGKey(8), length=40, d=4, n=3
+    )
+
+    def loss(fn, u, delta, A, B, C):
+        return jnp.sum(
+            fn(u, delta, A, B, C, D=D, z=z, delta_bias=db,
+               delta_softplus=True) ** 2
+        )
+
+    g_ref = jax.grad(
+        lambda *a: loss(selective_scan_ref, *a), argnums=(0, 1, 2, 3, 4)
+    )(u, delta, A, B, C)
+    g_chk = jax.grad(
+        lambda *a: loss(
+            lambda *args, **kw: selective_scan_chunked(
+                *args, **kw, chunk_size=16
+            ), *a
+        ),
+        argnums=(0, 1, 2, 3, 4),
+    )(u, delta, A, B, C)
+    for gr, gc in zip(g_ref, g_chk):
+        np.testing.assert_allclose(gr, gc, rtol=5e-4, atol=5e-5)
