@@ -1,0 +1,70 @@
+"""CTC prefix beam search: on-device vs host oracle vs greedy."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mamba_asr_tpu.decoding.ctc_beam import ctc_beam_search, ctc_beam_search_ref
+from mamba_asr_tpu.decoding.ctc_greedy import ctc_greedy_decode
+
+
+def _rand_logprobs(seed, bsz=2, t=12, v=6, peaky=2.0):
+    rng = np.random.default_rng(seed)
+    logits = rng.normal(size=(bsz, t, v)).astype(np.float32) * peaky
+    return np.array(jax.nn.log_softmax(jnp.asarray(logits), -1))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_device_beam_matches_host_oracle(seed):
+    lp = _rand_logprobs(seed)
+    lens = np.array([12, 9])
+    toks, tlens = jax.jit(
+        lambda l, il: ctc_beam_search(l, il, beam_size=8,
+                                      token_prune_min_logp=-5.0)
+    )(jnp.asarray(lp), jnp.asarray(lens))
+    for b in range(lp.shape[0]):
+        ref = ctc_beam_search_ref(
+            lp[b], lens[b], beam_size=8, token_prune_min_logp=-5.0
+        )
+        got = list(np.array(toks[b, : int(tlens[b])]))
+        assert got == ref, (seed, b, got, ref)
+
+
+def test_device_beam_matches_oracle_longer_ref_params():
+    """Longer sequence, the reference's pruning params (-12 / -1.2)."""
+    lp = _rand_logprobs(11, bsz=2, t=40, v=8, peaky=1.5)
+    lens = np.array([40, 33])
+    toks, tlens = ctc_beam_search(
+        jnp.asarray(lp), jnp.asarray(lens), beam_size=12,
+        beam_prune_logp=-12.0, token_prune_min_logp=-1.2,
+    )
+    for b in range(2):
+        ref = ctc_beam_search_ref(lp[b], lens[b], beam_size=12)
+        got = list(np.array(toks[b, : int(tlens[b])]))
+        assert got == ref, (b, got, ref)
+
+
+def test_beam_equals_greedy_when_peaky():
+    """With a dominant per-frame path, beam must reduce to greedy."""
+    lp = _rand_logprobs(5, bsz=2, t=20, v=6, peaky=8.0)
+    lens = np.array([20, 20])
+    toks_b, lens_b = ctc_beam_search(
+        jnp.asarray(lp), jnp.asarray(lens), beam_size=8
+    )
+    toks_g, lens_g = ctc_greedy_decode(jnp.asarray(lp), jnp.asarray(lens))
+    for b in range(2):
+        gb = list(np.array(toks_b[b, : int(lens_b[b])]))
+        gg = list(np.array(toks_g[b, : int(lens_g[b])]))
+        assert gb == gg
+
+
+def test_sharp_path_decodes_exactly():
+    v, t = 5, 8
+    path = [0, 1, 1, 0, 2, 0, 3, 3]  # -> [1, 2, 3]
+    logits = np.full((1, t, v), -15.0, np.float32)
+    for i, c in enumerate(path):
+        logits[0, i, c] = 10.0
+    lp = np.array(jax.nn.log_softmax(jnp.asarray(logits), -1))
+    toks, lens = ctc_beam_search(jnp.asarray(lp), jnp.asarray([t]), beam_size=4)
+    assert list(np.array(toks[0, : int(lens[0])])) == [1, 2, 3]
