@@ -118,6 +118,12 @@ def run_training(argv: Optional[List[str]] = None) -> Trainer:
             shuffle=False,
             speed_perturb=False,
         )
-        summary = trainer.evaluate(test_loader, test_name=split)
+        decoder = (
+            trainer.s2s_decoder(test=True)
+            if trainer.is_s2s
+            else trainer.ctc_decoder()
+        )
+        summary = trainer.evaluate(test_loader, test_name=split,
+                                   decoder=decoder)
         print(f"{split}: {summary}")
     return trainer

@@ -1,0 +1,186 @@
+"""Batched CTC prefix scorer for joint CTC/attention beam search.
+
+Reference behavior: speechbrain.decoders.scorer.CTCScorer (the ESPnet
+CTCPrefixScore formulation) configured with ctc_weight 0.4 in the test
+scorer at /root/reference/hparams/S2S/conmamba_large.yaml:331-361.
+
+Math (Watanabe et al. 2017, log space; per hypothesis g, candidate c):
+    r_nb(t, c) = logaddexp(r_nb(t-1, c), phi(t-1, c)) + logp(t, c)
+    r_b(t, c)  = logaddexp(r_nb(t-1, c), r_b(t-1, c)) + logp(t, blank)
+    phi(t, c)  = r_b^g(t) + (c == last(g) ? -inf : r_nb^g(t))
+    psi(c)     = logsumexp_t[ phi(t-1, c) + logp(t, c) ]  (+ final blank)
+where r^g is the state of the parent prefix. The returned score for a
+step is psi(c) - psi_prev (incremental), so summing per-step scores
+gives the full CTC prefix log probability.
+
+Fully vectorized over (hyps, vocab) with a lax.scan over frames —
+jittable, static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+NEG_INF = -1e30
+
+
+class CTCPrefixState(NamedTuple):
+    r_nb: Array   # (N, T) non-blank end prob of current prefix
+    r_b: Array    # (N, T) blank end prob of current prefix
+    psi: Array    # (N,) accumulated prefix score
+    last: Array   # (N,) last token of prefix (-1 = empty)
+
+
+class CTCPrefixScorer:
+    """Scorer over a flattened hypothesis batch of size N = B * beam."""
+
+    def __init__(self, log_probs: Array, input_lengths: Array, beam: int,
+                 blank_id: int = 0, eos_id: int = 2):
+        # log_probs (B, T, V) -> expand to hypothesis rows (B*beam, T, V).
+        b, t, v = log_probs.shape
+        self.lp = jnp.repeat(log_probs.astype(jnp.float32), beam, axis=0)
+        self.lens = jnp.repeat(input_lengths, beam, axis=0)
+        self.blank = blank_id
+        self.eos = eos_id
+        self.n = b * beam
+        self.t = t
+        self.v = v
+        frame_valid = jnp.arange(t)[None, :] < self.lens[:, None]
+        self.frame_valid = frame_valid  # (N, T)
+        # Pre-extract blank row (N, T).
+        self.lp_blank = jnp.where(
+            frame_valid, self.lp[:, :, blank_id], 0.0
+        )
+
+    def init_state(self) -> CTCPrefixState:
+        """State of the empty prefix: r_b(t) = sum of blanks up to t."""
+        cum_blank = jnp.cumsum(self.lp_blank, axis=1)
+        r_b = jnp.where(self.frame_valid, cum_blank, NEG_INF)
+        r_nb = jnp.full((self.n, self.t), NEG_INF)
+        return CTCPrefixState(
+            r_nb=r_nb,
+            r_b=r_b,
+            psi=jnp.zeros((self.n,)),
+            last=jnp.full((self.n,), -1, jnp.int32),
+        )
+
+    def score(self, state: CTCPrefixState) -> Tuple[Array, dict]:
+        """Scores for every next token: (N, V) incremental log probs.
+
+        Returns (scores, aux) where aux holds the per-candidate DP rows
+        needed by `select` to advance the state for chosen tokens.
+        """
+        n, t, v = self.n, self.t, self.v
+        lp = self.lp  # (N, T, V)
+        # phi(t, c): parent can emit c after ending blank always, or after
+        # ending non-blank only if c != last.
+        same = jnp.arange(v)[None, :] == state.last[:, None]  # (N, V)
+        phi = jnp.where(
+            same[:, None, :],
+            state.r_b[:, :, None],
+            jnp.logaddexp(state.r_b, state.r_nb)[:, :, None],
+        )  # (N, T, V)
+
+        # Scan over frames computing r_nb(t, c) and accumulating psi.
+        def step(carry, inputs):
+            r_nb_prev, psi = carry
+            lp_t, lp_b_t, phi_prev, valid_t = inputs
+            # (N, V) each; phi_prev = phi(t-1).
+            grow = phi_prev + lp_t
+            r_nb_t = jnp.logaddexp(r_nb_prev + lp_t, grow)
+            psi = jnp.logaddexp(psi, jnp.where(valid_t[:, None], grow, NEG_INF))
+            r_nb_t = jnp.where(valid_t[:, None], r_nb_t, r_nb_prev)
+            return (r_nb_t, psi), r_nb_t
+
+        # Shift phi by one frame: phi(t-1); at t=0, parent prefix must be
+        # empty for a first emission -> phi(-1) = 0 if prefix empty else -inf.
+        empty = (state.last < 0)[:, None]  # (N, 1)
+        phi_shift = jnp.concatenate(
+            [
+                jnp.where(empty, 0.0, NEG_INF)[:, None, :]
+                * jnp.ones((1, 1, v)),
+                phi[:, :-1, :],
+            ],
+            axis=1,
+        )
+        xs = (
+            jnp.moveaxis(lp, 1, 0),             # (T, N, V)
+            jnp.moveaxis(self.lp_blank, 1, 0),  # (T, N)
+            jnp.moveaxis(phi_shift, 1, 0),      # (T, N, V)
+            jnp.moveaxis(self.frame_valid, 1, 0),
+        )
+        (_, psi), r_nb_all = jax.lax.scan(
+            step,
+            (jnp.full((n, v), NEG_INF), jnp.full((n, v), NEG_INF)),
+            xs,
+        )
+        r_nb_all = jnp.moveaxis(r_nb_all, 0, 1)  # (N, T, V)
+
+        # r_b(t, c): blank extension of the new prefix g+c.
+        def blank_step(r_b_prev, inputs):
+            r_nb_tm1, lp_b_t, valid_t = inputs
+            r_b_t = jnp.logaddexp(r_b_prev, r_nb_tm1) + lp_b_t[:, None]
+            r_b_t = jnp.where(valid_t[:, None], r_b_t, r_b_prev)
+            return r_b_t, r_b_t
+
+        r_nb_shift = jnp.concatenate(
+            [jnp.full((n, 1, v), NEG_INF), r_nb_all[:, :-1]], axis=1
+        )
+        _, r_b_all = jax.lax.scan(
+            blank_step,
+            jnp.full((n, v), NEG_INF),
+            (
+                jnp.moveaxis(r_nb_shift, 1, 0),
+                jnp.moveaxis(self.lp_blank, 1, 0),
+                jnp.moveaxis(self.frame_valid, 1, 0),
+            ),
+        )
+        r_b_all = jnp.moveaxis(r_b_all, 0, 1)
+
+        # EOS score = full prefix probability of g itself at the last
+        # valid frame (r_b + r_nb at T_end).
+        idx = jnp.maximum(self.lens - 1, 0)[:, None]  # (N, 1)
+        end_b = jnp.take_along_axis(state.r_b, idx, axis=1)[:, 0]
+        end_nb = jnp.take_along_axis(state.r_nb, idx, axis=1)[:, 0]
+        eos_psi = jnp.logaddexp(end_b, end_nb)
+        eos_psi = jnp.where(state.last < 0, 0.0, eos_psi)
+
+        scores = psi - state.psi[:, None]  # incremental
+        scores = scores.at[:, self.eos].set(eos_psi - state.psi)
+        scores = scores.at[:, self.blank].set(NEG_INF)
+        aux = {"r_nb": r_nb_all, "r_b": r_b_all, "psi": psi}
+        return scores, aux
+
+    def select(
+        self, state: CTCPrefixState, aux: dict, tokens: Array,
+        reorder: Array,
+    ) -> CTCPrefixState:
+        """Advance the state after beam selection.
+
+        tokens: (N,) chosen next token per surviving hypothesis;
+        reorder: (N,) index of the parent hypothesis row.
+        """
+        def take(x):
+            return x[reorder]
+
+        r_nb = jnp.take_along_axis(
+            take(aux["r_nb"]), tokens[:, None, None], axis=2
+        )[:, :, 0]
+        r_b = jnp.take_along_axis(
+            take(aux["r_b"]), tokens[:, None, None], axis=2
+        )[:, :, 0]
+        psi = jnp.take_along_axis(take(aux["psi"]), tokens[:, None], axis=1)[:, 0]
+        # Hypotheses that chose EOS (or padding) keep their parent state.
+        keep_old = (tokens == self.eos)[:, None]
+        old = CTCPrefixState(*[take(x) for x in state])
+        return CTCPrefixState(
+            r_nb=jnp.where(keep_old, old.r_nb, r_nb),
+            r_b=jnp.where(keep_old, old.r_b, r_b),
+            psi=jnp.where(keep_old[:, 0], old.psi, psi),
+            last=jnp.where(tokens == self.eos, old.last, tokens),
+        )

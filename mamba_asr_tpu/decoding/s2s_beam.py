@@ -1,0 +1,220 @@
+"""Joint CTC/attention beam search with optional LM shallow fusion.
+
+Reference behavior: speechbrain.decoders.S2STransformerBeamSearcher +
+ScorerBuilder as configured at
+/root/reference/hparams/S2S/conmamba_large.yaml:331-373 and invoked at
+/root/reference/train_S2S.py:382-394:
+- autoregressive beam over `model.decode(tokens_so_far, enc_out)`;
+- combined step score = log_softmax(attn_logits / temperature)
+  + ctc_weight_decode * CTCPrefixScorer + lm_weight *
+  log_softmax(lm_logits / temperature_lm);
+- valid: beam 10, CTC scorer only; test: beam 66 + TransformerLM;
+- length normalization of final scores.
+
+TPU-native design: one jitted step function with fully static shapes —
+tokens live in a (B*K, S_max) buffer, the decoder re-scores the padded
+buffer each step (causality makes the padding inert) and position `s` is
+read dynamically, so the whole search compiles ONCE; the per-step loop on
+the host just feeds step indices. The reference re-runs the decoder on
+the growing prefix per step (SURVEY.md §3.2) — same asymptotics, but here
+nothing recompiles and everything stays on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mamba_asr_tpu.decoding.ctc_prefix_scorer import CTCPrefixScorer
+
+Array = jax.Array
+NEG_INF = -1e30
+
+
+@dataclasses.dataclass
+class S2SBeamSearcher:
+    """Beam search over an ASRModel's decoder."""
+
+    model: object               # ASRModel
+    beam_size: int = 10
+    bos_id: int = 1
+    eos_id: int = 2
+    blank_id: int = 0
+    min_decode_ratio: float = 0.0
+    max_decode_ratio: float = 1.0
+    ctc_weight: float = 0.0
+    lm_weight: float = 0.0
+    temperature: float = 1.0
+    temperature_lm: float = 1.0
+    length_normalization: bool = True
+    lm_model: Optional[object] = None   # TransformerLM
+    max_steps_cap: int = 256
+
+    def __call__(
+        self,
+        params,
+        enc_out: Array,
+        enc_lens: Array,
+        ctc_log_probs: Optional[Array] = None,
+        lm_params=None,
+    ) -> Tuple[Array, Array, Array]:
+        """Returns (tokens (B, S) without bos/eos, lengths (B,), scores)."""
+        b, t_enc, _ = enc_out.shape
+        k = self.beam_size
+        n = b * k
+        s_max = min(self.max_steps_cap, int(self.max_decode_ratio * t_enc) + 1)
+        min_steps = int(self.min_decode_ratio * t_enc)
+
+        enc_rep = jnp.repeat(enc_out, k, axis=0)
+        enc_lens_rep = jnp.repeat(enc_lens, k, axis=0)
+
+        scorer = None
+        scorer_state = None
+        if self.ctc_weight > 0.0 and ctc_log_probs is not None:
+            scorer = CTCPrefixScorer(
+                ctc_log_probs, enc_lens, k, self.blank_id, self.eos_id
+            )
+            scorer_state = scorer.init_state()
+
+        tokens0 = jnp.full((n, s_max + 1), 0, jnp.int32).at[:, 0].set(self.bos_id)
+        scores0 = jnp.tile(
+            jnp.concatenate([jnp.zeros((1,)), jnp.full((k - 1,), NEG_INF)])[None],
+            (b, 1),
+        ).reshape(n)
+        finished0 = jnp.zeros((n,), bool)
+        lengths0 = jnp.zeros((n,), jnp.int32)
+
+        step_fn = self._build_step(b, k, n, s_max, min_steps, scorer,
+                                   enc_rep, enc_lens_rep)
+        carry = (tokens0, scores0, finished0, lengths0, scorer_state)
+        for s in range(s_max):
+            carry = step_fn(params, lm_params, carry, jnp.asarray(s))
+            # Early exit when every hypothesis has finished.
+            if bool(jax.device_get(carry[2].all())):
+                break
+        tokens, scores, finished, lengths, _ = carry
+
+        # Unfinished hypotheses: count full length.
+        lengths = jnp.where(finished, lengths, s_max)
+        final = jnp.where(
+            self.length_normalization,
+            scores / jnp.maximum(lengths.astype(jnp.float32), 1.0),
+            scores,
+        )
+        final = final.reshape(b, k)
+        best = jnp.argmax(final, axis=1)
+        tokens = tokens.reshape(b, k, s_max + 1)
+        best_toks = jnp.take_along_axis(
+            tokens, best[:, None, None], axis=1
+        )[:, 0, 1:]  # strip bos
+        best_lens = jnp.take_along_axis(
+            lengths.reshape(b, k), best[:, None], axis=1
+        )[:, 0]
+        best_scores = jnp.take_along_axis(final, best[:, None], axis=1)[:, 0]
+        return best_toks, best_lens, best_scores
+
+    # ------------------------------------------------------------------
+
+    def _build_step(self, b, k, n, s_max, min_steps, scorer, enc_rep,
+                    enc_lens_rep):
+        model = self.model
+        lm_model = self.lm_model
+        eos = self.eos_id
+
+        @partial(jax.jit, static_argnums=())
+        def step(params, lm_params, carry, s):
+            tokens, scores, finished, lengths, sc_state = carry
+
+            dec = model.apply(
+                params,
+                tokens[:, :-1],
+                enc_rep,
+                enc_lens_rep,
+                method=model.decode,
+            )
+            logits = model.apply(
+                params,
+                dec,
+                method=lambda mdl, d: mdl.seq_head(d.astype(jnp.float32)),
+            )
+            step_logits = jnp.take_along_axis(
+                logits, s[None, None, None].astype(jnp.int32), axis=1
+            )[:, 0]  # (N, V)
+            lp = jax.nn.log_softmax(step_logits / self.temperature, axis=-1)
+            total = lp
+
+            if lm_model is not None and lm_params is not None:
+                lm_logits = lm_model.apply(lm_params, tokens[:, :-1])
+                lm_step = jnp.take_along_axis(
+                    lm_logits, s[None, None, None].astype(jnp.int32), axis=1
+                )[:, 0]
+                lm_lp = jax.nn.log_softmax(
+                    lm_step / self.temperature_lm, axis=-1
+                )
+                total = total + self.lm_weight * lm_lp
+
+            aux = None
+            if scorer is not None:
+                ctc_scores, aux = scorer.score(sc_state)
+                total = total + self.ctc_weight * ctc_scores
+
+            v = total.shape[-1]
+            # Forbid eos before min_steps.
+            total = jnp.where(
+                (s < min_steps)
+                & (jnp.arange(v)[None, :] == eos),
+                NEG_INF,
+                total,
+            )
+            # Finished hypotheses only propagate via eos with 0 increment.
+            is_eos = jnp.arange(v)[None, :] == eos
+            total = jnp.where(
+                finished[:, None], jnp.where(is_eos, 0.0, NEG_INF), total
+            )
+
+            cand = scores[:, None] + total  # (N, V)
+            cand = cand.reshape(b, k * v)
+            top_val, top_idx = jax.lax.top_k(cand, k)  # (B, K)
+            parent = top_idx // v  # beam index within the batch row
+            tok = (top_idx % v).astype(jnp.int32)
+            # Flatten parent to hypothesis-row indices.
+            reorder = (
+                parent + jnp.arange(b)[:, None] * k
+            ).reshape(n)
+            tok = tok.reshape(n)
+            new_scores = top_val.reshape(n)
+
+            new_tokens = tokens[reorder].at[:, s + 1].set(tok)
+            was_finished = finished[reorder]
+            new_finished = was_finished | (tok == eos)
+            # Length counts emitted tokens incl. eos, frozen once finished.
+            new_lengths = jnp.where(
+                was_finished, lengths[reorder], s + 1
+            ).astype(jnp.int32)
+
+            new_state = sc_state
+            if scorer is not None:
+                new_state = scorer.select(sc_state, aux, tok, reorder)
+            return (new_tokens, new_scores, new_finished, new_lengths,
+                    new_state)
+
+        return step
+
+
+def strip_special(tokens: np.ndarray, lengths: np.ndarray, eos_id: int = 2
+                  ) -> List[List[int]]:
+    """(B, S) padded hyps -> lists of ids up to (excl.) eos."""
+    out = []
+    for i in range(tokens.shape[0]):
+        seq = []
+        for t in tokens[i, : int(lengths[i])]:
+            if t == eos_id:
+                break
+            seq.append(int(t))
+        out.append(seq)
+    return out

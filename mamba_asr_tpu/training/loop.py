@@ -45,7 +45,8 @@ from mamba_asr_tpu.training.trainer import (
 
 
 class Trainer:
-    def __init__(self, cfg: ExperimentConfig, tokenizer, mesh=None):
+    def __init__(self, cfg: ExperimentConfig, tokenizer, mesh=None,
+                 lm_model=None, lm_params=None):
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.mesh = mesh or make_mesh()
@@ -65,6 +66,66 @@ class Trainer:
         self.is_s2s = cfg.model.num_decoder_layers > 0
         self.metric_key = "ACC" if self.is_s2s else "WER"
         self.start_epoch = 1
+        self.lm_model = lm_model
+        self.lm_params = lm_params
+
+    def make_s2s_searcher(self, test: bool = True):
+        """Beam searcher per the decode config (valid: beam 10 CTC-only;
+        test: beam 66 + CTC 0.4 + LM 0.6, hparams/S2S/*:331-373)."""
+        from mamba_asr_tpu.decoding.s2s_beam import S2SBeamSearcher
+
+        d = self.cfg.decode
+        return S2SBeamSearcher(
+            self.model,
+            beam_size=d.s2s_test_beam_size if test else d.valid_beam_size,
+            ctc_weight=d.ctc_weight_decode,
+            lm_weight=d.lm_weight if (test and self.lm_model) else 0.0,
+            temperature=d.temperature,
+            temperature_lm=d.temperature_lm,
+            length_normalization=d.length_normalization,
+            max_decode_ratio=d.max_decode_ratio,
+            min_decode_ratio=d.min_decode_ratio,
+            lm_model=self.lm_model if test else None,
+        )
+
+    def ctc_decoder(self):
+        """Decoder hook for evaluate(): on-device CTC prefix beam search
+        (test-time decoder of the CTC recipes, beam 100 with logp pruning,
+        hparams/CTC/conmamba_large.yaml:232-237)."""
+        from mamba_asr_tpu.decoding.ctc_beam import ctc_beam_search
+
+        d = self.cfg.decode
+
+        def decode(params, normalizer, batch, eval_out):
+            toks, lens = ctc_beam_search(
+                eval_out["ctc_log_probs"],
+                eval_out["enc_lengths"],
+                beam_size=d.test_beam_size,
+                blank_id=d.blank_index,
+                beam_prune_logp=d.beam_prune_logp,
+                token_prune_min_logp=d.token_prune_min_logp,
+            )
+            return tokens_to_lists(np.array(toks), np.array(lens))
+
+        return decode
+
+    def s2s_decoder(self, test: bool = True):
+        """Decoder hook for evaluate(): joint beam search."""
+        from mamba_asr_tpu.decoding.s2s_beam import strip_special
+
+        searcher = self.make_s2s_searcher(test)
+
+        def decode(params, normalizer, batch, eval_out):
+            toks, lens, _ = searcher(
+                {"params": params},
+                eval_out["enc_out"],
+                eval_out["enc_lengths"],
+                ctc_log_probs=eval_out["ctc_log_probs"],
+                lm_params=self.lm_params if test else None,
+            )
+            return strip_special(np.array(toks), np.array(lens))
+
+        return decode
 
     # -- state ---------------------------------------------------------------
 

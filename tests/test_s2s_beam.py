@@ -1,0 +1,118 @@
+"""S2S beam search, CTC prefix scorer, TransformerLM."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mamba_asr_tpu.decoding.ctc_prefix_scorer import CTCPrefixScorer
+from mamba_asr_tpu.decoding.s2s_beam import S2SBeamSearcher, strip_special
+from mamba_asr_tpu.models.asr import ASRConfig, ASRModel
+from mamba_asr_tpu.models.lm import TransformerLM
+from mamba_asr_tpu.models.mamba import MambaConfig
+from mamba_asr_tpu.ops.ctc import ctc_forward_score
+
+MCFG = MambaConfig(d_state=4, scan_impl="xla")
+
+
+def test_ctc_prefix_scorer_consistency():
+    """Sum of incremental prefix scores along y + eos == full CTC NLL."""
+    rng = np.random.default_rng(0)
+    b, t, v = 2, 12, 6
+    logits = rng.normal(size=(b, t, v)).astype(np.float32)
+    lp = jnp.asarray(np.array(jax.nn.log_softmax(jnp.asarray(logits), -1)))
+    lens = jnp.array([12, 9])
+    y = np.array([[3, 4, 3], [5, 1, 1]], np.int32)
+
+    scorer = CTCPrefixScorer(lp, lens, beam=1, blank_id=0, eos_id=2)
+    state = scorer.init_state()
+    total = np.zeros(b)
+    for i in range(y.shape[1]):
+        scores, aux = scorer.score(state)
+        tok = jnp.asarray(y[:, i])
+        total += np.array(
+            jnp.take_along_axis(scores, tok[:, None], axis=1)[:, 0]
+        )
+        state = scorer.select(state, aux, tok, jnp.arange(b))
+    scores, _ = scorer.score(state)
+    total += np.array(scores[:, 2])  # eos closes the prefix
+
+    full_nll = np.array(
+        ctc_forward_score(lp, jnp.asarray(y), lens, jnp.array([3, 3]))
+    )
+    np.testing.assert_allclose(total, -full_nll, rtol=1e-4, atol=1e-4)
+
+
+def _make_s2s(decoder="transformer", vocab=9):
+    cfg = ASRConfig(
+        vocab_size=vocab, n_mels=8, d_model=16, nhead=2,
+        num_encoder_layers=1, num_decoder_layers=1, d_ffn=16,
+        dropout=0.0, encoder_module="conmamba", decoder_module=decoder,
+        kernel_size=7, mamba=MCFG,
+    )
+    model = ASRModel(cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 8))
+    lens = jnp.array([16, 12])
+    toks = jnp.array([[1, 3, 4], [1, 5, 0]])
+    params = model.init(jax.random.PRNGKey(1), feats, lens, toks)
+    out = model.apply(params, feats, lens, toks)
+    return model, params, out
+
+
+@pytest.mark.parametrize("decoder", ["transformer", "mamba"])
+def test_beam1_matches_stepwise_argmax(decoder):
+    model, params, out = _make_s2s(decoder)
+    searcher = S2SBeamSearcher(model, beam_size=1, max_steps_cap=6,
+                               length_normalization=False)
+    toks, lens, scores = searcher(params, out["enc_out"], out["enc_lengths"])
+
+    # Manual greedy decode with the same padded-buffer protocol.
+    b = out["enc_out"].shape[0]
+    s_max = 5  # t_enc=4 -> s_max = min(cap, 4+1)
+    buf = np.zeros((b, s_max + 1), np.int32)
+    buf[:, 0] = 1
+    done = np.zeros(b, bool)
+    for s in range(s_max):
+        dec = model.apply(
+            params, jnp.asarray(buf[:, :-1]), out["enc_out"],
+            out["enc_lengths"], method=model.decode,
+        )
+        logits = model.apply(
+            params, dec, method=lambda m, d: m.seq_head(d.astype(jnp.float32))
+        )
+        nxt = np.array(jnp.argmax(logits[:, s], -1))
+        buf[:, s + 1] = np.where(done, 2, nxt)
+        done |= nxt == 2
+    np.testing.assert_array_equal(np.array(toks)[:, :s_max], buf[:, 1:])
+
+
+def test_beam_with_ctc_and_lm_runs():
+    model, params, out = _make_s2s("mamba")
+    lm = TransformerLM(vocab_size=9, d_model=16, nhead=2, num_layers=1,
+                       d_ffn=16)
+    lm_params = lm.init(jax.random.PRNGKey(2), jnp.ones((1, 4), jnp.int32))
+    searcher = S2SBeamSearcher(
+        model, beam_size=4, ctc_weight=0.4, lm_weight=0.6,
+        temperature=1.15, temperature_lm=1.15, lm_model=lm, max_steps_cap=5,
+    )
+    toks, lens, scores = searcher(
+        params, out["enc_out"], out["enc_lengths"],
+        ctc_log_probs=out["ctc_log_probs"], lm_params=lm_params,
+    )
+    assert toks.shape[0] == 2
+    assert np.isfinite(np.array(scores)).all()
+    hyps = strip_special(np.array(toks), np.array(lens))
+    assert all(2 not in h for h in hyps)
+
+
+def test_lm_shapes_and_causality():
+    lm = TransformerLM(vocab_size=11, d_model=16, nhead=2, num_layers=2,
+                       d_ffn=32)
+    toks = jnp.asarray(np.random.default_rng(0).integers(0, 11, (2, 7)))
+    params = lm.init(jax.random.PRNGKey(0), toks)
+    logits = lm.apply(params, toks)
+    assert logits.shape == (2, 7, 11)
+    logits2 = lm.apply(params, toks.at[:, 5:].set(3))
+    np.testing.assert_allclose(
+        logits[:, :5], logits2[:, :5], rtol=1e-4, atol=1e-5
+    )
