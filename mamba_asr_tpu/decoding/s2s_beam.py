@@ -54,6 +54,11 @@ class S2SBeamSearcher:
     length_normalization: bool = True
     lm_model: Optional[object] = None   # TransformerLM
     max_steps_cap: int = 256
+    # Pure-SSM fast path: step the Mamba decoder through its primed
+    # (conv_state, ssm_state) cache — O(1) per token instead of the
+    # reference's full-prefix re-scan (SURVEY.md §3.2 note). Enabled
+    # automatically for mamba decoders.
+    use_cache: Optional[bool] = None
 
     def __call__(
         self,
@@ -81,6 +86,21 @@ class S2SBeamSearcher:
             )
             scorer_state = scorer.init_state()
 
+        use_cache = self.use_cache
+        if use_cache is None:
+            use_cache = getattr(self.model.cfg, "decoder_module", "") == "mamba"
+        dec_cache = None
+        if use_cache:
+            from mamba_asr_tpu.models.asr import ASRModel
+
+            dec_cache = self.model.apply(
+                params, n, method=ASRModel.init_decoder_cache
+            )
+            dec_cache = self.model.apply(
+                params, enc_rep, dec_cache,
+                method=ASRModel.prime_decoder_cache,
+            )
+
         tokens0 = jnp.full((n, s_max + 1), 0, jnp.int32).at[:, 0].set(self.bos_id)
         scores0 = jnp.tile(
             jnp.concatenate([jnp.zeros((1,)), jnp.full((k - 1,), NEG_INF)])[None],
@@ -90,14 +110,15 @@ class S2SBeamSearcher:
         lengths0 = jnp.zeros((n,), jnp.int32)
 
         step_fn = self._build_step(b, k, n, s_max, min_steps, scorer,
-                                   enc_rep, enc_lens_rep)
-        carry = (tokens0, scores0, finished0, lengths0, scorer_state)
+                                   enc_rep, enc_lens_rep, use_cache)
+        carry = (tokens0, scores0, finished0, lengths0, scorer_state,
+                 dec_cache)
         for s in range(s_max):
             carry = step_fn(params, lm_params, carry, jnp.asarray(s))
             # Early exit when every hypothesis has finished.
             if bool(jax.device_get(carry[2].all())):
                 break
-        tokens, scores, finished, lengths, _ = carry
+        tokens, scores, finished, lengths, _, _ = carry
 
         # Unfinished hypotheses: count full length.
         lengths = jnp.where(finished, lengths, s_max)
@@ -121,31 +142,45 @@ class S2SBeamSearcher:
     # ------------------------------------------------------------------
 
     def _build_step(self, b, k, n, s_max, min_steps, scorer, enc_rep,
-                    enc_lens_rep):
+                    enc_lens_rep, use_cache=False):
         model = self.model
         lm_model = self.lm_model
         eos = self.eos_id
 
         @partial(jax.jit, static_argnums=())
         def step(params, lm_params, carry, s):
-            tokens, scores, finished, lengths, sc_state = carry
+            tokens, scores, finished, lengths, sc_state, dec_cache = carry
 
-            dec = model.apply(
-                params,
-                tokens[:, :-1],
-                enc_rep,
-                enc_lens_rep,
-                method=model.decode,
-            )
-            logits = model.apply(
-                params,
-                dec,
-                method=lambda mdl, d: mdl.seq_head(d.astype(jnp.float32)),
-            )
-            step_logits = jnp.take_along_axis(
-                logits, s[None, None, None].astype(jnp.int32), axis=1
-            )[:, 0]  # (N, V)
-            lp = jax.nn.log_softmax(step_logits / self.temperature, axis=-1)
+            if use_cache:
+                from mamba_asr_tpu.models.asr import ASRModel
+
+                prev_tok = jnp.take_along_axis(
+                    tokens, s[None, None].astype(jnp.int32), axis=1
+                )[:, 0]
+                step_logits, dec_cache = model.apply(
+                    params, prev_tok, s, dec_cache,
+                    method=ASRModel.decode_step,
+                )
+                lp = jax.nn.log_softmax(step_logits / self.temperature,
+                                        axis=-1)
+            else:
+                dec = model.apply(
+                    params,
+                    tokens[:, :-1],
+                    enc_rep,
+                    enc_lens_rep,
+                    method=model.decode,
+                )
+                logits = model.apply(
+                    params,
+                    dec,
+                    method=lambda mdl, d: mdl.seq_head(d.astype(jnp.float32)),
+                )
+                step_logits = jnp.take_along_axis(
+                    logits, s[None, None, None].astype(jnp.int32), axis=1
+                )[:, 0]  # (N, V)
+                lp = jax.nn.log_softmax(step_logits / self.temperature,
+                                        axis=-1)
             total = lp
 
             if lm_model is not None and lm_params is not None:
@@ -200,8 +235,13 @@ class S2SBeamSearcher:
             new_state = sc_state
             if scorer is not None:
                 new_state = scorer.select(sc_state, aux, tok, reorder)
+            new_cache = dec_cache
+            if use_cache:
+                new_cache = jax.tree_util.tree_map(
+                    lambda x: x[reorder], dec_cache
+                )
             return (new_tokens, new_scores, new_finished, new_lengths,
-                    new_state)
+                    new_state, new_cache)
 
         return step
 

@@ -132,6 +132,7 @@ class ASRModel(nn.Module):
         if cfg.encoder_module == "conmamba":
             self.encoder = ConmambaEncoder(
                 num_layers=cfg.num_encoder_layers,
+                d_model=cfg.d_model,
                 d_ffn=cfg.d_ffn,
                 kernel_size=cfg.kernel_size,
                 activation=act,
@@ -146,6 +147,7 @@ class ASRModel(nn.Module):
         elif cfg.encoder_module == "conformer":
             self.encoder = ConformerEncoder(
                 num_layers=cfg.num_encoder_layers,
+                d_model=cfg.d_model,
                 d_ffn=cfg.d_ffn,
                 nhead=cfg.nhead,
                 kernel_size=cfg.kernel_size,
@@ -179,6 +181,7 @@ class ASRModel(nn.Module):
             if cfg.decoder_module == "mamba":
                 self.decoder = MambaDecoder(
                     num_layers=cfg.num_decoder_layers,
+                    d_model=cfg.d_model,
                     d_ffn=cfg.d_ffn,
                     activation=act,
                     dropout=cfg.dropout,
@@ -293,6 +296,52 @@ class ASRModel(nn.Module):
             train=train,
         )
         return dec
+
+    # -- streaming encode ---------------------------------------------------
+
+    def init_streaming_state(self, batch: int):
+        """Per-layer carried state for chunked streaming encode —
+        the reference's make_streaming_context
+        (/root/reference/modules/TransformerASR.py:1024-1049), extended to
+        ConMamba (carried SSM state + conv tails), which the reference
+        documents but never implemented (SURVEY.md §3.3)."""
+        assert self.cfg.encoder_module in ("conmamba", "conformer")
+        return self.encoder.init_stream_state(batch, self.cfg.dtype)
+
+    def encode_chunk(self, feats: Array, state):
+        """One chunk of normalized features (B, T_chunk, n_mels) ->
+        (enc_out_chunk, new_state). The conv frontend is applied
+        per-chunk (the granularity of the reference's streaming wrapper).
+        """
+        x = self.frontend(feats, train=False)
+        b, t, f, c = x.shape
+        x = self.src_proj(x.reshape(b, t, f * c))
+        return self.encoder.forward_chunk(x, state)
+
+    # -- stateful decoder cache (pure-SSM decode) ----------------------------
+
+    def init_decoder_cache(self, batch: int):
+        assert self.cfg.decoder_module == "mamba"
+        return self.decoder.init_cache(batch, self.cfg.dtype)
+
+    def prime_decoder_cache(self, enc_out: Array, cache):
+        """Scan the encoder memory into every layer's cross-mamba state
+        (replaces the reference's full-prefix re-scan per decode step,
+        SURVEY.md §3.2)."""
+        return self.decoder.prime_cache(enc_out, cache)
+
+    def decode_step(self, token_t: Array, pos: Array, cache):
+        """One decode step. token_t (B,) int32, pos scalar position.
+
+        Returns (raw seq-head logits (B, V), new_cache)."""
+        tgt = self.tgt_embed(token_t[:, None])[:, 0]
+        pe = sinusoidal_position_encoding(
+            self.cfg.max_length, self.cfg.d_model, tgt.dtype
+        )
+        tgt = tgt + pe[pos]
+        dec, cache = self.decoder.step(tgt, cache)
+        logits = self.seq_head(dec.astype(jnp.float32))
+        return logits, cache
 
     # -- heads & full forward ----------------------------------------------
 

@@ -8,21 +8,27 @@ ConformerEncoderLayer (:1511-1630): Macaron structure
     x = x + ConvModule(x)
     x = LN(x + 0.5 * ffn2(x))
 
-ConformerEncoder (:1737-2175): layer stack; the chunked-mask +
-Dynamic Chunk Convolution streaming capability is exposed through
-`chunk_size`/`left_context_chunks` here, with the stateful per-chunk
-streaming path in mamba_asr_tpu/models/streaming.py.
+ConformerEncoder (:1737-2175). Streaming (forward_streaming,
+:1632-1717): each layer carries (a) up to `left_context_frames` of its
+pre-MHA activations — attention runs over [left, chunk] and keeps the
+chunk outputs — and (b) a (kernel-1)/2 conv tail for the Dynamic Chunk
+Convolution; reproduced here as explicit state pytrees
+(init_stream_state / forward_chunk).
 """
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mamba_asr_tpu.models.attention import MultiheadAttention, RelPosMHAXL
+from mamba_asr_tpu.models.attention import (
+    MultiheadAttention,
+    RelPosMHAXL,
+    rel_pos_encoding,
+)
 from mamba_asr_tpu.models.layers import (
     ConvolutionModule,
     PositionalwiseFeedForward,
@@ -35,6 +41,7 @@ MACARON_FFN_SCALE = 0.5  # Conformer.py:156-158
 
 
 class ConformerEncoderLayer(nn.Module):
+    d_model: int
     d_ffn: int
     nhead: int
     kernel_size: int = 31
@@ -43,9 +50,45 @@ class ConformerEncoderLayer(nn.Module):
     dropout: float = 0.0
     causal: bool = False
     attention_type: str = "RelPosMHAXL"
+    left_context_frames: int = 16
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.ffn1_norm = nn.LayerNorm(dtype=self.dtype)
+        self.ffn1 = PositionalwiseFeedForward(
+            self.d_ffn, self.activation, self.dropout, dtype=self.dtype
+        )
+        self.ffn2_norm = nn.LayerNorm(dtype=self.dtype)
+        self.ffn2 = PositionalwiseFeedForward(
+            self.d_ffn, self.activation, self.dropout, dtype=self.dtype
+        )
+        self.norm1 = nn.LayerNorm(dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(dtype=self.dtype)
+        self.drop = nn.Dropout(self.dropout)
+        if self.attention_type == "RelPosMHAXL":
+            self.mha = RelPosMHAXL(
+                self.nhead, self.dropout, mask_pos_future=self.causal,
+                dtype=self.dtype,
+            )
+        else:
+            self.mha = MultiheadAttention(
+                self.nhead, self.dropout, dtype=self.dtype
+            )
+        self.conv = ConvolutionModule(
+            d_model=self.d_model,
+            kernel_size=self.kernel_size,
+            bias=self.bias,
+            activation=self.activation,
+            dropout=self.dropout,
+            causal=self.causal,
+            dtype=self.dtype,
+        )
+
+    def _ffn(self, which: int, x: Array, train: bool) -> Array:
+        norm = self.ffn1_norm if which == 1 else self.ffn2_norm
+        ffn = self.ffn1 if which == 1 else self.ffn2
+        return self.drop(ffn(norm(x), train=train), deterministic=not train)
+
     def __call__(
         self,
         x: Array,
@@ -55,40 +98,17 @@ class ConformerEncoderLayer(nn.Module):
         chunk_size: Optional[int] = None,
         train: bool = False,
     ) -> Tuple[Array, Array]:
-        drop = nn.Dropout(self.dropout, deterministic=not train)
-
-        def ffn(name):
-            def run(h):
-                h = nn.LayerNorm(dtype=self.dtype, name=f"{name}_norm")(h)
-                h = PositionalwiseFeedForward(
-                    self.d_ffn, self.activation, self.dropout,
-                    dtype=self.dtype, name=name,
-                )(h, train=train)
-                return drop(h)
-
-            return run
-
         conv_mask = (
             src_key_padding_mask[..., None]
             if src_key_padding_mask is not None
             else None
         )
-
-        x = x + MACARON_FFN_SCALE * ffn("ffn1")(x)
+        x = x + MACARON_FFN_SCALE * self._ffn(1, x, train)
 
         skip = x
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
-        if self.attention_type == "RelPosMHAXL":
-            mha = RelPosMHAXL(
-                self.nhead, self.dropout, mask_pos_future=self.causal,
-                dtype=self.dtype, name="mha",
-            )
-        else:
-            mha = MultiheadAttention(
-                self.nhead, self.dropout, dtype=self.dtype, name="mha"
-            )
-        att_out, attn = mha(
-            x, x, x,
+        xn = self.norm1(x)
+        att_out, attn = self.mha(
+            xn, xn, xn,
             attn_mask=src_mask,
             key_padding_mask=src_key_padding_mask,
             pos_embs=pos_embs,
@@ -96,24 +116,67 @@ class ConformerEncoderLayer(nn.Module):
         )
         x = att_out + skip
 
-        x = x + ConvolutionModule(
-            kernel_size=self.kernel_size,
-            bias=self.bias,
-            activation=self.activation,
-            dropout=self.dropout,
-            causal=self.causal,
-            dtype=self.dtype,
-            name="conv",
-        )(x, conv_mask, chunk_size=chunk_size, train=train)
-
-        x = nn.LayerNorm(dtype=self.dtype, name="norm2")(
-            x + MACARON_FFN_SCALE * ffn("ffn2")(x)
-        )
+        x = x + self.conv(x, conv_mask, chunk_size=chunk_size, train=train)
+        x = self.norm2(x + MACARON_FFN_SCALE * self._ffn(2, x, train))
         return x, attn
+
+    # -- streaming ----------------------------------------------------------
+
+    def init_stream_state(self, batch: int, dtype=jnp.float32):
+        return {
+            # Pre-MHA activations of the previous chunk(s) + a validity
+            # count (ramps up from 0 at stream start).
+            "mha_left": jnp.zeros(
+                (batch, self.left_context_frames, self.d_model), dtype
+            ),
+            "mha_left_len": jnp.zeros((batch,), jnp.int32),
+            "conv": self.conv.init_stream_state(batch, dtype),
+        }
+
+    def forward_chunk(self, x: Array, state) -> Tuple[Array, dict]:
+        """Chunked streaming forward (Conformer.py:1632-1717 semantics)."""
+        lc = self.left_context_frames
+        x = x + MACARON_FFN_SCALE * self._ffn(1, x, False)
+
+        skip = x
+        xn = self.norm1(x)
+        window = jnp.concatenate([state["mha_left"].astype(xn.dtype), xn],
+                                 axis=1)
+        chunk = x.shape[1]
+        # Mask out left-context slots not yet filled.
+        filled = state["mha_left_len"]  # (B,)
+        pad_mask = jnp.concatenate(
+            [
+                jnp.arange(lc)[None, :] < (lc - filled[:, None]),
+                jnp.zeros((x.shape[0], chunk), bool),
+            ],
+            axis=1,
+        )
+        pos = rel_pos_encoding(window.shape[1], self.d_model, dtype=xn.dtype)
+        att_out, _ = self.mha(
+            window, window, window,
+            key_padding_mask=pad_mask,
+            pos_embs=pos,
+        )
+        # Queries included the left context; keep the chunk tail only.
+        x = (att_out[:, lc:] if lc else att_out) + skip
+
+        c, conv_tail = self.conv.forward_chunk(x, state["conv"])
+        x = x + c
+        x = self.norm2(x + MACARON_FFN_SCALE * self._ffn(2, x, False))
+
+        new_left = window[:, -lc:] if lc else state["mha_left"]
+        new_len = jnp.minimum(filled + chunk, lc)
+        return x, {
+            "mha_left": new_left,
+            "mha_left_len": new_len,
+            "conv": conv_tail,
+        }
 
 
 class ConformerEncoder(nn.Module):
     num_layers: int
+    d_model: int
     d_ffn: int
     nhead: int
     kernel_size: int = 31
@@ -122,9 +185,28 @@ class ConformerEncoder(nn.Module):
     dropout: float = 0.0
     causal: bool = False
     attention_type: str = "RelPosMHAXL"
+    left_context_frames: int = 16
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.layers = [
+            ConformerEncoderLayer(
+                d_model=self.d_model,
+                d_ffn=self.d_ffn,
+                nhead=self.nhead,
+                kernel_size=self.kernel_size,
+                activation=self.activation,
+                bias=self.bias,
+                dropout=self.dropout,
+                causal=self.causal,
+                attention_type=self.attention_type,
+                left_context_frames=self.left_context_frames,
+                name=f"layer_{i}",
+            )
+            for i in range(self.num_layers)
+        ]
+        self.norm = nn.LayerNorm(dtype=self.dtype, name="norm")
+
     def __call__(
         self,
         src: Array,
@@ -136,19 +218,17 @@ class ConformerEncoder(nn.Module):
     ) -> Tuple[Array, Array]:
         out = src
         attn = None
-        for i in range(self.num_layers):
-            out, attn = ConformerEncoderLayer(
-                d_ffn=self.d_ffn,
-                nhead=self.nhead,
-                kernel_size=self.kernel_size,
-                activation=self.activation,
-                bias=self.bias,
-                dropout=self.dropout,
-                causal=self.causal,
-                attention_type=self.attention_type,
-                dtype=self.dtype,
-                name=f"layer_{i}",
-            )(out, src_mask, src_key_padding_mask, pos_embs,
-              chunk_size=chunk_size, train=train)
-        out = nn.LayerNorm(dtype=self.dtype, name="norm")(out)
-        return out, attn
+        for layer in self.layers:
+            out, attn = layer(out, src_mask, src_key_padding_mask, pos_embs,
+                              chunk_size=chunk_size, train=train)
+        return self.norm(out), attn
+
+    def init_stream_state(self, batch: int, dtype=jnp.float32):
+        return [l.init_stream_state(batch, dtype) for l in self.layers]
+
+    def forward_chunk(self, x: Array, state) -> Tuple[Array, list]:
+        new_state = []
+        for layer, s in zip(self.layers, state):
+            x, s2 = layer.forward_chunk(x, s)
+            new_state.append(s2)
+        return self.norm(x), new_state

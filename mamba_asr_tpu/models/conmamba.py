@@ -23,16 +23,21 @@ attention via state instead of pairwise scores. No masks are needed
 
 MambaDecoder (:956-1031): layer stack + final LN.
 
-TPU notes: the decoder's O(1)-per-token decode cache (conv tail + SSM
-state per mamba) is first-class here — `init_cache`/`step` mirror
-bimamba.py:320-406 and are used by the S2S beam search so ConMambaMamba
-decodes without the reference's full-prefix re-scan per step
-(SURVEY.md §3.2 note).
+TPU-native additions over the reference:
+- chunk-level *streaming* encode (init_stream_state / forward_chunk):
+  forward-scan SSM state + conv tails carried across chunks — the
+  ConMamba streaming path the reference documents but never implemented
+  (SURVEY.md §3.3);
+- an O(1)-per-token decode cache for the decoder (init_cache /
+  prime_cache / step): the cross-mamba state is primed by scanning the
+  encoder memory once, then each generated token is a single state
+  update — replacing the reference's full-prefix re-scan per beam step
+  (SURVEY.md §3.2 note).
 """
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +56,7 @@ FFN_RESIDUAL_SCALE = 0.5  # Conmamba.py ConMambaConstants.FFN_RESIDUAL_SCALE
 
 
 class ConmambaEncoderLayer(nn.Module):
+    d_model: int
     d_ffn: int
     kernel_size: int = 31
     activation: Callable[[Array], Array] = swish
@@ -61,7 +67,39 @@ class ConmambaEncoderLayer(nn.Module):
     bidirectional: bool = True
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.ffn1_norm = nn.LayerNorm(dtype=self.dtype)
+        self.ffn1 = PositionalwiseFeedForward(
+            self.d_ffn, self.activation, self.dropout, dtype=self.dtype
+        )
+        self.ffn2_norm = nn.LayerNorm(dtype=self.dtype)
+        self.ffn2 = PositionalwiseFeedForward(
+            self.d_ffn, self.activation, self.dropout, dtype=self.dtype
+        )
+        self.norm1 = nn.LayerNorm(dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(dtype=self.dtype)
+        self.drop = nn.Dropout(self.dropout)
+        if self.causal or not self.bidirectional:
+            self.mamba = MambaBlock(self.d_model, self.mamba_cfg,
+                                    dtype=self.dtype)
+        else:
+            self.mamba = BiMambaBlock(self.d_model, self.mamba_cfg,
+                                      dtype=self.dtype)
+        self.conv = ConvolutionModule(
+            d_model=self.d_model,
+            kernel_size=self.kernel_size,
+            bias=self.bias,
+            activation=self.activation,
+            dropout=self.dropout,
+            causal=self.causal,
+            dtype=self.dtype,
+        )
+
+    def _ffn(self, which: int, x: Array, train: bool) -> Array:
+        norm = self.ffn1_norm if which == 1 else self.ffn2_norm
+        ffn = self.ffn1 if which == 1 else self.ffn2
+        return self.drop(ffn(norm(x), train=train), deterministic=not train)
+
     def __call__(
         self,
         x: Array,
@@ -70,50 +108,31 @@ class ConmambaEncoderLayer(nn.Module):
         train: bool = False,
     ) -> Array:
         del src_key_padding_mask  # reference zeroes conv_mask (Conmamba.py:631)
-        d_model = x.shape[-1]
-        drop = nn.Dropout(self.dropout, deterministic=not train)
-
-        def ffn(name):
-            def run(h):
-                h = nn.LayerNorm(dtype=self.dtype, name=f"{name}_norm")(h)
-                h = PositionalwiseFeedForward(
-                    self.d_ffn, self.activation, self.dropout,
-                    dtype=self.dtype, name=name,
-                )(h, train=train)
-                return drop(h)
-
-            return run
-
-        x = x + FFN_RESIDUAL_SCALE * ffn("ffn1")(x)
-
-        skip = x
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
-        if self.causal or not self.bidirectional:
-            mamba = MambaBlock(d_model, self.mamba_cfg, dtype=self.dtype,
-                               name="mamba")
-        else:
-            mamba = BiMambaBlock(d_model, self.mamba_cfg, dtype=self.dtype,
-                                 name="mamba")
-        x = mamba(x) + skip
-
-        x = x + ConvolutionModule(
-            kernel_size=self.kernel_size,
-            bias=self.bias,
-            activation=self.activation,
-            dropout=self.dropout,
-            causal=self.causal,
-            dtype=self.dtype,
-            name="conv",
-        )(x, None, chunk_size=chunk_size, train=train)
-
-        x = nn.LayerNorm(dtype=self.dtype, name="norm2")(
-            x + FFN_RESIDUAL_SCALE * ffn("ffn2")(x)
-        )
+        x = x + FFN_RESIDUAL_SCALE * self._ffn(1, x, train)
+        x = self.mamba(self.norm1(x)) + x
+        x = x + self.conv(x, None, chunk_size=chunk_size, train=train)
+        x = self.norm2(x + FFN_RESIDUAL_SCALE * self._ffn(2, x, train))
         return x
+
+    def init_stream_state(self, batch: int, dtype=jnp.float32):
+        return {
+            "mamba": self.mamba.init_stream_state(batch, dtype),
+            "conv": self.conv.init_stream_state(batch, dtype),
+        }
+
+    def forward_chunk(self, x: Array, state) -> Tuple[Array, dict]:
+        x = x + FFN_RESIDUAL_SCALE * self._ffn(1, x, False)
+        y, mamba_state = self.mamba.forward_chunk(self.norm1(x), state["mamba"])
+        x = y + x
+        c, conv_tail = self.conv.forward_chunk(x, state["conv"])
+        x = x + c
+        x = self.norm2(x + FFN_RESIDUAL_SCALE * self._ffn(2, x, False))
+        return x, {"mamba": mamba_state, "conv": conv_tail}
 
 
 class ConmambaEncoder(nn.Module):
     num_layers: int
+    d_model: int
     d_ffn: int
     kernel_size: int = 31
     activation: Callable[[Array], Array] = swish
@@ -124,17 +143,10 @@ class ConmambaEncoder(nn.Module):
     bidirectional: bool = True
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(
-        self,
-        src: Array,
-        src_key_padding_mask: Optional[Array] = None,
-        chunk_size: Optional[int] = None,
-        train: bool = False,
-    ) -> Array:
-        out = src
-        for i in range(self.num_layers):
-            out = ConmambaEncoderLayer(
+    def setup(self):
+        self.layers = [
+            ConmambaEncoderLayer(
+                d_model=self.d_model,
                 d_ffn=self.d_ffn,
                 kernel_size=self.kernel_size,
                 activation=self.activation,
@@ -143,13 +155,38 @@ class ConmambaEncoder(nn.Module):
                 causal=self.causal,
                 mamba_cfg=self.mamba_cfg,
                 bidirectional=self.bidirectional,
-                dtype=self.dtype,
                 name=f"layer_{i}",
-            )(out, src_key_padding_mask, chunk_size=chunk_size, train=train)
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(out)
+            )
+            for i in range(self.num_layers)
+        ]
+        self.norm = nn.LayerNorm(dtype=self.dtype, name="norm")
+
+    def __call__(
+        self,
+        src: Array,
+        src_key_padding_mask: Optional[Array] = None,
+        chunk_size: Optional[int] = None,
+        train: bool = False,
+    ) -> Array:
+        out = src
+        for layer in self.layers:
+            out = layer(out, src_key_padding_mask, chunk_size=chunk_size,
+                        train=train)
+        return self.norm(out)
+
+    def init_stream_state(self, batch: int, dtype=jnp.float32):
+        return [l.init_stream_state(batch, dtype) for l in self.layers]
+
+    def forward_chunk(self, x: Array, state) -> Tuple[Array, list]:
+        new_state = []
+        for layer, s in zip(self.layers, state):
+            x, s2 = layer.forward_chunk(x, s)
+            new_state.append(s2)
+        return self.norm(x), new_state
 
 
 class MambaDecoderLayer(nn.Module):
+    d_model: int
     d_ffn: int
     activation: Callable[[Array], Array] = nn.relu
     dropout: float = 0.0
@@ -157,52 +194,81 @@ class MambaDecoderLayer(nn.Module):
     mamba_cfg: MambaConfig = MambaConfig()
     dtype: Any = jnp.float32
 
-    # Decoder mambas are always unidirectional (Conmamba.py:854-862).
+    def setup(self):
+        # Decoder mambas are always unidirectional (Conmamba.py:854-862).
+        self.self_mamba = MambaBlock(self.d_model, self.mamba_cfg,
+                                     dtype=self.dtype)
+        self.cross_mamba = MambaBlock(self.d_model, self.mamba_cfg,
+                                      dtype=self.dtype)
+        self.pos_ffn = PositionalwiseFeedForward(
+            self.d_ffn, self.activation, self.dropout, dtype=self.dtype
+        )
+        self.norm1 = nn.LayerNorm(dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(dtype=self.dtype)
+        self.norm3 = nn.LayerNorm(dtype=self.dtype)
+        self.drop = nn.Dropout(self.dropout)
 
-    @nn.compact
-    def __call__(
-        self,
-        tgt: Array,
-        memory: Array,
-        train: bool = False,
-    ) -> Array:
-        d_model = tgt.shape[-1]
-        drop = nn.Dropout(self.dropout, deterministic=not train)
-        norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
-        norm2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
-        norm3 = nn.LayerNorm(dtype=self.dtype, name="norm3")
-        self_mamba = MambaBlock(d_model, self.mamba_cfg, dtype=self.dtype,
-                                name="self_mamba")
-        cross_mamba = MambaBlock(d_model, self.mamba_cfg, dtype=self.dtype,
-                                 name="cross_mamba")
+    def __call__(self, tgt: Array, memory: Array, train: bool = False) -> Array:
+        d = lambda h: self.drop(h, deterministic=not train)
 
-        x = norm1(tgt) if self.normalize_before else tgt
-        tgt = tgt + drop(self_mamba(x))
+        x = self.norm1(tgt) if self.normalize_before else tgt
+        tgt = tgt + d(self.self_mamba(x))
         if not self.normalize_before:
-            tgt = norm1(tgt)
+            tgt = self.norm1(tgt)
 
-        x = norm2(tgt) if self.normalize_before else tgt
+        x = self.norm2(tgt) if self.normalize_before else tgt
         # Cross-mamba: scan over [memory; tgt], keep the tgt tail
         # (Conmamba.py:932-934).
         joint = jnp.concatenate([memory, x], axis=1)
-        cross = cross_mamba(joint)[:, -x.shape[1]:]
-        tgt = tgt + drop(cross)
+        cross = self.cross_mamba(joint)[:, -x.shape[1]:]
+        tgt = tgt + d(cross)
         if not self.normalize_before:
-            tgt = norm2(tgt)
+            tgt = self.norm2(tgt)
 
-        x = norm3(tgt) if self.normalize_before else tgt
-        ffn_out = PositionalwiseFeedForward(
-            self.d_ffn, self.activation, self.dropout, dtype=self.dtype,
-            name="ffn",
-        )(x, train=train)
-        tgt = tgt + drop(ffn_out)
+        x = self.norm3(tgt) if self.normalize_before else tgt
+        tgt = tgt + d(self.pos_ffn(x, train=train))
         if not self.normalize_before:
-            tgt = norm3(tgt)
+            tgt = self.norm3(tgt)
         return tgt
+
+    # -- O(1) decode cache --------------------------------------------------
+
+    def init_cache(self, batch: int, dtype=jnp.float32):
+        return {
+            "self": self.self_mamba.init_cache(batch, dtype),
+            "cross": self.cross_mamba.init_cache(batch, dtype),
+        }
+
+    def prime_cache(self, memory: Array, cache) -> dict:
+        """Run the cross-mamba over the encoder memory once, keeping its
+        (conv_state, ssm_state) so decode steps continue the scan."""
+        return {"self": cache["self"],
+                "cross": self.cross_mamba.prime(memory)}
+
+    def step(self, tgt_t: Array, cache) -> Tuple[Array, dict]:
+        """Single-token decode step. tgt_t: (B, d_model)."""
+        x = self.norm1(tgt_t) if self.normalize_before else tgt_t
+        y, self_cache = self.self_mamba.step(x, cache["self"])
+        tgt_t = tgt_t + y
+        if not self.normalize_before:
+            tgt_t = self.norm1(tgt_t)
+
+        x = self.norm2(tgt_t) if self.normalize_before else tgt_t
+        y, cross_cache = self.cross_mamba.step(x, cache["cross"])
+        tgt_t = tgt_t + y
+        if not self.normalize_before:
+            tgt_t = self.norm2(tgt_t)
+
+        x = self.norm3(tgt_t) if self.normalize_before else tgt_t
+        tgt_t = tgt_t + self.pos_ffn(x)
+        if not self.normalize_before:
+            tgt_t = self.norm3(tgt_t)
+        return tgt_t, {"self": self_cache, "cross": cross_cache}
 
 
 class MambaDecoder(nn.Module):
     num_layers: int
+    d_model: int
     d_ffn: int
     activation: Callable[[Array], Array] = nn.relu
     dropout: float = 0.0
@@ -210,17 +276,45 @@ class MambaDecoder(nn.Module):
     mamba_cfg: MambaConfig = MambaConfig()
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, tgt: Array, memory: Array, train: bool = False) -> Array:
-        out = tgt
-        for i in range(self.num_layers):
-            out = MambaDecoderLayer(
+    def setup(self):
+        self.layers = [
+            MambaDecoderLayer(
+                d_model=self.d_model,
                 d_ffn=self.d_ffn,
                 activation=self.activation,
                 dropout=self.dropout,
                 normalize_before=self.normalize_before,
                 mamba_cfg=self.mamba_cfg,
-                dtype=self.dtype,
                 name=f"layer_{i}",
-            )(out, memory, train=train)
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(out)
+            )
+            for i in range(self.num_layers)
+        ]
+        self.norm = nn.LayerNorm(dtype=self.dtype, name="norm")
+
+    def __call__(self, tgt: Array, memory: Array, train: bool = False) -> Array:
+        out = tgt
+        for layer in self.layers:
+            out = layer(out, memory, train=train)
+        return self.norm(out)
+
+    def init_cache(self, batch: int, dtype=jnp.float32):
+        return [l.init_cache(batch, dtype) for l in self.layers]
+
+    def prime_cache(self, memory: Array, cache) -> list:
+        """Prime every layer's cross-mamba with the encoder memory.
+
+        Layer i's cross input is layer i-1's *full* output sequence, so
+        priming must run the full stack over the memory... but the memory
+        only feeds cross_mamba directly (the tgt stream is separate), so
+        each layer's cross cache depends only on `memory` itself — prime
+        all layers from the same memory tensor.
+        """
+        return [l.prime_cache(memory, c) for l, c in zip(self.layers, cache)]
+
+    def step(self, tgt_t: Array, cache) -> Tuple[Array, list]:
+        new = []
+        x = tgt_t
+        for layer, c in zip(self.layers, cache):
+            x, c2 = layer.step(x, c)
+            new.append(c2)
+        return self.norm(x), new

@@ -85,13 +85,55 @@ class ConvolutionModule(nn.Module):
     dilation: int = 1
     dtype: Any = jnp.float32
 
+    d_model: int = 0  # required (static, for setup-time param shapes)
+
     @property
     def padding_amount(self) -> int:
         if self.causal:
             return (self.kernel_size - 1) * self.dilation
         return (self.kernel_size - 1) * self.dilation // 2
 
-    @nn.compact
+    def setup(self):
+        assert self.d_model > 0, "ConvolutionModule requires d_model"
+        self.layer_norm = nn.LayerNorm(dtype=self.dtype, name="layer_norm")
+        self.bottleneck = nn.Dense(
+            2 * self.d_model, use_bias=self.bias, dtype=self.dtype,
+            name="bottleneck",
+        )
+        self.dw_kernel = self.param(
+            "dw_kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, self.d_model),
+            jnp.float32,
+        )
+        self.dw_bias = (
+            self.param("dw_bias", nn.initializers.zeros, (self.d_model,),
+                       jnp.float32)
+            if self.bias
+            else None
+        )
+        self.after_norm = nn.LayerNorm(dtype=self.dtype, name="after_norm")
+        self.pointwise_out = nn.Dense(
+            self.d_model, use_bias=self.bias, dtype=self.dtype,
+            name="pointwise_out",
+        )
+        self.drop = nn.Dropout(self.dropout)
+
+    def _pre(self, x: Array) -> Array:
+        out = self.layer_norm(x)
+        out = self.bottleneck(out)
+        a, g = jnp.split(out, 2, axis=-1)
+        return a * jax.nn.sigmoid(g)
+
+    def _post(self, out: Array, mask, train: bool) -> Array:
+        out = self.after_norm(out)
+        out = self.activation(out)
+        out = self.pointwise_out(out)
+        out = self.drop(out, deterministic=not train)
+        if mask is not None:
+            out = jnp.where(mask, 0.0, out)
+        return out
+
     def __call__(
         self,
         x: Array,
@@ -99,47 +141,41 @@ class ConvolutionModule(nn.Module):
         chunk_size: Optional[int] = None,
         train: bool = False,
     ) -> Array:
-        d_model = x.shape[-1]
-        out = nn.LayerNorm(dtype=self.dtype, name="layer_norm")(x)
-        # Pointwise 2x expansion + GLU gate.
-        out = nn.Dense(2 * d_model, use_bias=self.bias, dtype=self.dtype,
-                       name="bottleneck")(out)
-        a, g = jnp.split(out, 2, axis=-1)
-        out = a * jax.nn.sigmoid(g)
-
-        dw_kernel = self.param(
-            "dw_kernel",
-            nn.initializers.lecun_normal(),
-            (self.kernel_size, d_model),
-            jnp.float32,
-        )
-        dw_bias = (
-            self.param("dw_bias", nn.initializers.zeros, (d_model,), jnp.float32)
-            if self.bias
-            else None
-        )
-
+        out = self._pre(x)
         if chunk_size is not None:
             assert not self.causal, "chunked conv incompatible with causal"
             assert self.dilation == 1
-            out = self._chunked_depthwise(out, dw_kernel, dw_bias, chunk_size)
+            out = self._chunked_depthwise(
+                out, self.dw_kernel, self.dw_bias, chunk_size
+            )
         elif self.causal:
             out = _depthwise_conv1d(
-                out, dw_kernel, dw_bias, [(self.padding_amount, 0)]
+                out, self.dw_kernel, self.dw_bias, [(self.padding_amount, 0)]
             )
         else:
             p = self.padding_amount
-            out = _depthwise_conv1d(out, dw_kernel, dw_bias, [(p, p)])
+            out = _depthwise_conv1d(out, self.dw_kernel, self.dw_bias, [(p, p)])
+        return self._post(out, mask, train)
 
-        out = nn.LayerNorm(dtype=self.dtype, name="after_norm")(out)
-        out = self.activation(out)
-        out = nn.Dense(d_model, use_bias=self.bias, dtype=self.dtype,
-                       name="pointwise_out")(out)
-        out = nn.Dropout(self.dropout, deterministic=not train)(out)
+    def init_stream_state(self, batch: int, dtype=jnp.float32) -> Array:
+        """Left-context tail carried across chunks: (B, pad, D)."""
+        return jnp.zeros((batch, self.padding_amount, self.d_model), dtype)
 
-        if mask is not None:
-            out = jnp.where(mask, 0.0, out)
-        return out
+    def forward_chunk(
+        self, x: Array, tail: Array
+    ) -> Tuple[Array, Array]:
+        """Streaming chunk: conv over [tail, chunk]; non-causal convs see
+        zero right padding (the per-chunk view of Dynamic Chunk
+        Convolution, Conformer.py:1701-1707), causal convs are exact.
+        Returns (out, new_tail)."""
+        out = self._pre(x)
+        pad = self.padding_amount
+        buf = jnp.concatenate([tail.astype(out.dtype), out], axis=1)
+        new_tail = buf[:, -pad:] if pad else tail
+        if not self.causal and pad:
+            buf = jnp.pad(buf, ((0, 0), (0, pad), (0, 0)))
+        conv = _depthwise_conv1d(buf, self.dw_kernel, self.dw_bias, "VALID")
+        return self._post(conv, None, False), new_tail
 
     def _chunked_depthwise(
         self, x: Array, kernel: Array, bias: Optional[Array], chunk_size: int

@@ -186,6 +186,30 @@ class _ScanHead(nn.Module):
         )
         return y, (conv_state, ssm_state)
 
+    def forward_chunk(
+        self, x: Array, z: Array, cache: Tuple[Array, Array]
+    ) -> Tuple[Array, Tuple[Array, Array]]:
+        """Chunk-level streaming: carried conv tail + SSM state.
+
+        cache = (conv_tail (B, K-1, d_inner) of raw pre-conv inputs,
+                 ssm_state (B, d_inner, N)).
+        """
+        conv_tail, h = cache
+        k = self.cfg.d_conv
+        buf = jnp.concatenate([conv_tail.astype(x.dtype), x], axis=1)
+        new_tail = buf[:, -(k - 1):]
+        x_c = causal_conv1d(buf, self.conv_w, self.conv_b, activation="silu")
+        x_c = x_c[:, k - 1:]
+        delta, b_mat, c_mat = self._dt_bc(x_c)
+        y, h_new = selective_scan(
+            x_c, delta, -jnp.exp(self.a_log), b_mat, c_mat,
+            D=self.d_skip, z=z, delta_bias=self.dt_bias, delta_softplus=True,
+            h0=h, return_last_state=True,
+            implementation="chunked" if self.cfg.scan_impl == "auto"
+            else self.cfg.scan_impl,
+        )
+        return y, (new_tail, h_new)
+
 
 class MambaBlock(nn.Module):
     """Unidirectional Mamba mixer (reference bimamba.py, type "none")."""
@@ -234,6 +258,52 @@ class MambaBlock(nn.Module):
         y, cache = self.head.step(x_in, z, cache)
         return self.out_proj(y), cache
 
+    def init_stream_state(self, batch: int, dtype=jnp.float32):
+        """(conv_tail (B, K-1, Din), ssm_state (B, Din, N)) for
+        chunk-level streaming."""
+        return (
+            jnp.zeros((batch, self.cfg.d_conv - 1, self.d_inner), dtype),
+            jnp.zeros((batch, self.d_inner, self.cfg.d_state), jnp.float32),
+        )
+
+    def prime(self, x_seq: Array) -> Tuple[Array, Array]:
+        """Scan a context sequence and return the step-cache positioned
+        after it — used to prime the decoder's cross-mamba with the
+        encoder memory so generation continues the scan in O(1)/token."""
+        head = self.head
+        k = self.cfg.d_conv
+        xz = self.in_proj(x_seq)
+        x_in, z = jnp.split(xz, 2, axis=-1)
+        x_c = causal_conv1d(x_in, head.conv_w, head.conv_b, activation="silu")
+        delta, b_mat, c_mat = head._dt_bc(x_c)
+        _, h = selective_scan(
+            x_c, delta, -jnp.exp(head.a_log), b_mat, c_mat,
+            D=head.d_skip, z=z, delta_bias=head.dt_bias, delta_softplus=True,
+            return_last_state=True,
+            implementation="chunked"
+            if self.cfg.scan_impl == "auto" else self.cfg.scan_impl,
+        )
+        # Step conv_state holds the last K raw inputs (most recent last);
+        # the oldest slot is rolled off on the first step.
+        pad_rows = max(k - 1 - x_seq.shape[1], 0)
+        tail = x_in[:, x_in.shape[1] - (k - 1 - pad_rows):]
+        if pad_rows:
+            tail = jnp.concatenate(
+                [jnp.zeros((x_in.shape[0], pad_rows, self.d_inner),
+                           x_in.dtype), tail], axis=1,
+            )
+        conv_state = jnp.concatenate(
+            [jnp.zeros_like(tail[:, :1]), tail], axis=1
+        )
+        return (conv_state, h)
+
+    def forward_chunk(self, x: Array, cache) -> Tuple[Array, Tuple]:
+        """Chunk-level streaming forward. x: (B, L_chunk, d_model)."""
+        xz = self.in_proj(x)
+        x_in, z = jnp.split(xz, 2, axis=-1)
+        y, cache = self.head.forward_chunk(x_in, z, cache)
+        return self.out_proj(y), cache
+
 
 class BiMambaBlock(nn.Module):
     """Bidirectional Mamba (reference bimamba.py bimamba_type="v2").
@@ -270,3 +340,22 @@ class BiMambaBlock(nn.Module):
         y_f = self.fwd(x_in, z)
         y_b = self.bwd(x_in[:, ::-1], z[:, ::-1])[:, ::-1]
         return self.out_proj(0.5 * y_f + 0.5 * y_b)
+
+    def init_stream_state(self, batch: int, dtype=jnp.float32):
+        """Streaming state of the *forward* direction only."""
+        return (
+            jnp.zeros((batch, self.cfg.d_conv - 1, self.d_inner), dtype),
+            jnp.zeros((batch, self.d_inner, self.cfg.d_state), jnp.float32),
+        )
+
+    def forward_chunk(self, x: Array, cache) -> Tuple[Array, Tuple]:
+        """Chunk-level streaming: the forward scan carries state across
+        chunks; the backward scan is chunk-local (it would need future
+        context — the standard streaming compromise for bidirectional
+        SSMs; the reference never implemented ConMamba streaming at all,
+        SURVEY.md §3.3)."""
+        xz = self.in_proj(x)
+        x_in, z = jnp.split(xz, 2, axis=-1)
+        y_f, cache = self.fwd.forward_chunk(x_in, z, cache)
+        y_b = self.bwd(x_in[:, ::-1], z[:, ::-1])[:, ::-1]
+        return self.out_proj(0.5 * y_f + 0.5 * y_b), cache

@@ -113,16 +113,19 @@ def log_mel_spectrogram(
     f_max: Optional[float] = None,
     top_db: Optional[float] = 80.0,
     eps: float = 1e-10,
+    center: bool = True,
 ) -> Array:
     """Waveform (B, T) -> log-mel features (B, num_frames, n_mels).
 
-    num_frames = T // hop + 1 (center-padded framing).
+    num_frames = T // hop + 1 (center-padded framing); with center=False
+    (streaming), num_frames = 1 + (T - win) // hop.
     """
     win_samples = int(round(sample_rate * win_length_ms / 1000.0))
     hop = int(round(sample_rate * hop_length_ms / 1000.0))
     win_samples = min(win_samples, n_fft)
 
-    frames = frame_signal(wav.astype(jnp.float32), win_samples, hop)
+    frames = frame_signal(wav.astype(jnp.float32), win_samples, hop,
+                          center=center)
     cos_b, sin_b = _dft_bases_np(n_fft, win_samples)
     re = frames @ jnp.asarray(cos_b)
     im = frames @ jnp.asarray(sin_b)

@@ -21,7 +21,7 @@ MCFG = MambaConfig(d_state=4, d_conv=4, expand=2, scan_impl="xla")
 
 
 def test_conv_module_shapes_and_chunking():
-    m = ConvolutionModule(kernel_size=7)
+    m = ConvolutionModule(d_model=8, kernel_size=7)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 20, 8))
     params = m.init(jax.random.PRNGKey(1), x)
     y = m.apply(params, x)
@@ -49,7 +49,7 @@ def test_frontend_downsampling():
 
 
 def test_conmamba_encoder():
-    enc = ConmambaEncoder(num_layers=2, d_ffn=16, kernel_size=7, mamba_cfg=MCFG)
+    enc = ConmambaEncoder(num_layers=2, d_model=8, d_ffn=16, kernel_size=7, mamba_cfg=MCFG)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 8))
     params = enc.init(jax.random.PRNGKey(1), x)
     y = enc.apply(params, x)
@@ -58,8 +58,8 @@ def test_conmamba_encoder():
 
 def test_conformer_encoder_padding_invariance():
     """Padded frames must not change unpadded outputs (attention mask)."""
-    enc = ConformerEncoder(num_layers=1, d_ffn=16, nhead=2, kernel_size=31,
-                           dropout=0.0)
+    enc = ConformerEncoder(num_layers=1, d_model=8, d_ffn=16, nhead=2,
+                           kernel_size=31, dropout=0.0)
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 24, 8))
     params = enc.init(jax.random.PRNGKey(1), x)
     kpm = jnp.arange(24)[None, :] >= 20
@@ -97,7 +97,7 @@ def test_decoder_causality():
 
 
 def test_mamba_decoder_cross_scan():
-    dec = MambaDecoder(num_layers=1, d_ffn=16, mamba_cfg=MCFG)
+    dec = MambaDecoder(num_layers=1, d_model=8, d_ffn=16, mamba_cfg=MCFG)
     mem = jax.random.normal(jax.random.PRNGKey(0), (2, 9, 8))
     tgt = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 8))
     p = dec.init(jax.random.PRNGKey(2), tgt, mem)

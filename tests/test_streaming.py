@@ -1,0 +1,152 @@
+"""Streaming: chunked encode state-carry, causal exactness, decoder cache."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mamba_asr_tpu.models.asr import ASRConfig, ASRModel
+from mamba_asr_tpu.models.conformer import ConformerEncoder
+from mamba_asr_tpu.models.conmamba import ConmambaEncoder, MambaDecoder
+from mamba_asr_tpu.models.mamba import MambaConfig
+from mamba_asr_tpu.models.streaming import StreamingASRSession
+from mamba_asr_tpu.training.trainer import FrontendConfig
+
+MCFG = MambaConfig(d_state=4, d_conv=4, expand=2, scan_impl="xla")
+
+
+def test_causal_conmamba_streaming_exact():
+    """Causal encoder: chunked streaming must equal the full forward."""
+    enc = ConmambaEncoder(
+        num_layers=2, d_model=8, d_ffn=16, kernel_size=7,
+        causal=True, bidirectional=False, mamba_cfg=MCFG, dropout=0.0,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 24, 8))
+    params = enc.init(jax.random.PRNGKey(1), x)
+    full = enc.apply(params, x)
+
+    state = enc.apply(params, 2, method=ConmambaEncoder.init_stream_state)
+    outs = []
+    for c in range(3):
+        y, state = enc.apply(
+            params, x[:, c * 8 : (c + 1) * 8], state,
+            method=ConmambaEncoder.forward_chunk,
+        )
+        outs.append(y)
+    stream = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(full, stream, rtol=2e-4, atol=2e-5)
+
+
+def test_bidirectional_conmamba_streaming_carries_state():
+    enc = ConmambaEncoder(
+        num_layers=1, d_model=8, d_ffn=16, kernel_size=7,
+        causal=False, bidirectional=True, mamba_cfg=MCFG, dropout=0.0,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 8))
+    params = enc.init(jax.random.PRNGKey(1), x)
+    state0 = enc.apply(params, 1, method=ConmambaEncoder.init_stream_state)
+    y1, state1 = enc.apply(params, x[:, :8], state0,
+                           method=ConmambaEncoder.forward_chunk)
+    # Second chunk depends on the first via forward SSM state.
+    y2a, _ = enc.apply(params, x[:, 8:], state1,
+                       method=ConmambaEncoder.forward_chunk)
+    y2b, _ = enc.apply(params, x[:, 8:], state0,
+                       method=ConmambaEncoder.forward_chunk)
+    assert y1.shape == (1, 8, 8)
+    assert not np.allclose(np.array(y2a), np.array(y2b), atol=1e-6)
+
+
+def test_conformer_streaming_left_context():
+    enc = ConformerEncoder(
+        num_layers=1, d_model=8, d_ffn=16, nhead=2, kernel_size=7,
+        dropout=0.0, left_context_frames=8,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 8))
+    params = enc.init(jax.random.PRNGKey(1), x)
+    s0 = enc.apply(params, 1, method=ConformerEncoder.init_stream_state)
+    y1, s1 = enc.apply(params, x[:, :8], s0,
+                       method=ConformerEncoder.forward_chunk)
+    y2a, _ = enc.apply(params, x[:, 8:], s1,
+                       method=ConformerEncoder.forward_chunk)
+    y2b, _ = enc.apply(params, x[:, 8:], s0,
+                       method=ConformerEncoder.forward_chunk)
+    assert y1.shape == (1, 8, 8)
+    assert not np.allclose(np.array(y2a), np.array(y2b), atol=1e-6)
+
+
+def test_mamba_decoder_cache_matches_full():
+    """prime + token steps must reproduce the full decoder exactly."""
+    dec = MambaDecoder(num_layers=2, d_model=8, d_ffn=16, mamba_cfg=MCFG,
+                       dropout=0.0)
+    mem = jax.random.normal(jax.random.PRNGKey(0), (2, 9, 8))
+    tgt = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 8))
+    params = dec.init(jax.random.PRNGKey(2), tgt, mem)
+    full = dec.apply(params, tgt, mem)
+
+    cache = dec.apply(params, 2, method=MambaDecoder.init_cache)
+    cache = dec.apply(params, mem, cache, method=MambaDecoder.prime_cache)
+    outs = []
+    for t in range(tgt.shape[1]):
+        y, cache = dec.apply(params, tgt[:, t], cache,
+                             method=MambaDecoder.step)
+        outs.append(y)
+    stepped = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(full, stepped, rtol=2e-4, atol=2e-5)
+
+
+def test_asr_decode_step_matches_decode():
+    """ASRModel.decode_step with primed cache == ASRModel.decode."""
+    cfg = ASRConfig(
+        vocab_size=9, n_mels=8, d_model=8, nhead=2,
+        num_encoder_layers=1, num_decoder_layers=1, d_ffn=16,
+        dropout=0.0, encoder_module="conmamba", decoder_module="mamba",
+        kernel_size=7, mamba=MCFG,
+    )
+    model = ASRModel(cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 8))
+    lens = jnp.array([16, 16])
+    toks = jnp.array([[1, 3, 4, 5], [1, 5, 6, 7]])
+    params = model.init(jax.random.PRNGKey(1), feats, lens, toks)
+    out = model.apply(params, feats, lens, toks)
+    full_lp = out["seq_log_probs"]  # (2, 4, 9)
+
+    cache = model.apply(params, 2, method=ASRModel.init_decoder_cache)
+    cache = model.apply(params, out["enc_out"], cache,
+                        method=ASRModel.prime_decoder_cache)
+    lps = []
+    for s in range(4):
+        logits, cache = model.apply(
+            params, toks[:, s], jnp.asarray(s), cache,
+            method=ASRModel.decode_step,
+        )
+        lps.append(jax.nn.log_softmax(logits, -1))
+    stepped = jnp.stack(lps, axis=1)
+    np.testing.assert_allclose(full_lp, stepped, rtol=2e-4, atol=2e-5)
+
+
+def test_streaming_session_runs():
+    cfg = ASRConfig(
+        vocab_size=9, n_mels=20, d_model=8, nhead=2,
+        num_encoder_layers=1, num_decoder_layers=0, d_ffn=16,
+        dropout=0.0, encoder_module="conmamba", kernel_size=7,
+        causal=True, bidirectional=False, mamba=MCFG,
+    )
+    model = ASRModel(cfg)
+    frontend = FrontendConfig(n_fft=256, n_mels=20, win_length_ms=16.0)
+    wav = jax.random.normal(jax.random.PRNGKey(0), (1, 256))
+    import mamba_asr_tpu.ops.fbank as fb
+
+    feats = fb.log_mel_spectrogram(wav, n_fft=256, n_mels=20,
+                                   win_length_ms=16.0)
+    params = model.init(
+        jax.random.PRNGKey(1), feats, jnp.array([feats.shape[1]])
+    )
+    sess = StreamingASRSession(model, params, frontend, chunk_frames=16,
+                               batch=1)
+    rng = np.random.default_rng(0)
+    emitted = []
+    for _ in range(4):
+        chunk = rng.normal(0, 0.3, size=(1, 16 * 160)).astype(np.float32)
+        emitted.extend(sess.feed(chunk)[0])
+    # Emits some tokens or none — must simply run without recompile blowups
+    # and keep state shapes consistent.
+    assert isinstance(emitted, list)
