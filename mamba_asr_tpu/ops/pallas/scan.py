@@ -1,40 +1,215 @@
-"""Pallas fused selective-scan kernel (forward path).
+"""Pallas fused selective-scan kernel (TPU).
 
-Replaces the reference's `selective_scan_cuda.fwd` + `causal_conv1d_fwd`
-pair (/root/reference/modules/mamba/selective_scan_interface.py:160-294):
-the depthwise causal conv prologue, input projections, discretization,
-first-order linear recurrence, output contraction, and silu gating are
-fused into a single VMEM-resident pipeline so the (B, L, D, N)
-intermediates never touch HBM.
+Replaces the reference's `selective_scan_cuda.fwd`
+(/root/reference/modules/mamba/selective_scan_interface.py:42,218): the
+discretization (softplus, exp), first-order recurrence, output
+contraction, D-skip, and silu(z) gating run in one VMEM-resident kernel —
+the (L, D, N) discretized tensors never touch HBM. HBM traffic is exactly
+the inputs once in + outputs once out.
 
-Kernel layout (see docstring of selective_scan_pallas): grid over
-(batch, d_inner tiles), sequential over length chunks; the running state
-h (d_tile, N) lives in a VMEM scratch accumulator carried across chunks.
-Within a chunk the recurrence is evaluated with a log-depth
-associative-scan (doubling) over the chunk axis.
+Layout (TPU tiling: last dim = 128 lanes, 2nd-to-last = sublanes):
+  per grid cell (batch b, d-tile d, length-chunk l):
+    u/delta/z blocks   (L_CHUNK, D_TILE)        D_TILE = 128 lanes
+    B/C blocks         (L_CHUNK, N)
+    A^T, carry h       (N, D_TILE)              N sublanes x 128 lanes
+  the in-chunk recurrence runs as a Hillis-Steele doubling scan over the
+  leading L axis of (L_CHUNK, N, D_TILE) arrays — log2(L_CHUNK) fully
+  vectorized VPU passes instead of L sequential steps — and the running
+  state h is carried across length-chunks in a VMEM scratch accumulator
+  (grid iterates the L axis innermost).
 
-Status: implemented incrementally — `supported()` gates dispatch so the
-XLA associative-scan path (selective_scan_xla) is used whenever the
-kernel does not cover a configuration.
+Backward: jax.custom_vjp whose bwd re-runs the chunked XLA scan
+(ops.selective_scan.selective_scan_chunked) under jax.vjp — the same
+"recompute in backward" strategy as the reference kernel's
+checkpoint_lvl=1 (selective_scan_interface.py:223-226). The Pallas fwd
+therefore accelerates both inference and the training forward pass.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
+
+L_CHUNK = 128
+D_TILE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
 
 
 def supported(u: Array, A: Array, h0, return_last_state: bool) -> bool:
     """Whether the Pallas kernel covers this config on this backend."""
-    del u, A
     if h0 is not None or return_last_state:
         return False
-    # Forward kernel lands later in this round; dispatch falls back to the
-    # XLA associative scan until then.
-    return False
+    if jax.default_backend() != "tpu":
+        return False
+    b, length, d = u.shape
+    n = A.shape[1]
+    # VMEM budget per cell ~ (L_CHUNK * N * D_TILE) * 4B * ~4 live arrays
+    # = 128*32*128*4*4 = 8 MB at N=32; cap N.
+    return n <= 32 and length >= 1 and d >= 1
+
+
+def _scan_kernel(
+    u_ref, dt_ref, bmat_ref, cmat_ref, at_ref, dtb_ref, dskip_ref, z_ref,
+    out_ref, h_ref, *, n_state: int, delta_softplus: bool, lchunk: int,
+):
+    l_idx = pl.program_id(2)
+
+    @pl.when(l_idx == 0)
+    def _():
+        h_ref[...] = jnp.zeros_like(h_ref)
+
+    u = u_ref[0].astype(jnp.float32)          # (L, D)
+    dt = dt_ref[0].astype(jnp.float32)        # (L, D)
+    bmat = bmat_ref[0].astype(jnp.float32)    # (L, N)
+    cmat = cmat_ref[0].astype(jnp.float32)    # (L, N)
+    a_t = at_ref[...].astype(jnp.float32)     # (N, D)
+    dt_bias = dtb_ref[...].astype(jnp.float32)  # (1, D)
+    d_skip = dskip_ref[...].astype(jnp.float32)  # (1, D)
+    z = z_ref[0].astype(jnp.float32)          # (L, D)
+
+    dt = dt + dt_bias
+    if delta_softplus:
+        dt = jax.nn.softplus(dt)
+
+    # (L, N, D) discretized transition / input.
+    da = jnp.exp(dt[:, None, :] * a_t[None, :, :])
+    dbu = (dt * u)[:, None, :] * bmat[:, :, None]
+
+    # Hillis-Steele inclusive scan over axis 0 (length).
+    row = jax.lax.broadcasted_iota(jnp.int32, (lchunk, 1, 1), 0)
+    a, b = da, dbu
+    offset = 1
+    while offset < lchunk:
+        a_sh = pltpu_roll(a, offset)
+        b_sh = pltpu_roll(b, offset)
+        valid = row >= offset
+        b = jnp.where(valid, a * b_sh + b, b)
+        a = jnp.where(valid, a * a_sh, a)
+        offset *= 2
+
+    # Fold in the carried state: h[i] = aprod[i] * h_carry + b[i].
+    h_carry = h_ref[...].astype(jnp.float32)  # (N, D)
+    hs = a * h_carry[None, :, :] + b          # (L, N, D)
+    h_ref[...] = hs[lchunk - 1]
+
+    y = jnp.sum(hs * cmat[:, :, None], axis=1)  # (L, D)
+    y = y + u * d_skip
+    y = y * jax.nn.silu(z)
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+def pltpu_roll(x: Array, shift: int) -> Array:
+    """Shift +shift along axis 0 (rows move to higher indices)."""
+    # jnp.roll lowers fine in Mosaic for static shifts.
+    return jnp.roll(x, shift, axis=0)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(8,)
+)
+def _selective_scan_pallas(u, delta, A, B, C, D, z, delta_bias,
+                           delta_softplus):
+    return _pallas_fwd_impl(u, delta, A, B, C, D, z, delta_bias,
+                            delta_softplus)
+
+
+def _pallas_fwd_impl(u, delta, A, B, C, D, z, delta_bias, delta_softplus,
+                     interpret: bool = False):
+    bsz, length, d_in = u.shape
+    n = A.shape[1]
+    dtype_in = u.dtype
+
+    lp = _round_up(length, L_CHUNK)
+    dp = _round_up(d_in, D_TILE)
+
+    def pad_ld(x):  # (B, L, D)
+        return jnp.pad(x, ((0, 0), (0, lp - length), (0, dp - d_in)))
+
+    def pad_ln(x):  # (B, L, N)
+        return jnp.pad(x, ((0, 0), (0, lp - length), (0, 0)))
+
+    u_p = pad_ld(u)
+    # delta padding must be "identity steps": dt + bias then softplus must
+    # be 0 => pad delta with a large negative so softplus(dt+bias) ~ 0.
+    delta_p = jnp.pad(
+        delta,
+        ((0, 0), (0, lp - length), (0, dp - d_in)),
+        constant_values=-1e9 if delta_softplus else 0.0,
+    )
+    z_p = pad_ld(z) if z is not None else jnp.zeros_like(u_p)
+    b_p = pad_ln(B)
+    c_p = pad_ln(C)
+    a_t = jnp.pad(A.T, ((0, 0), (0, dp - d_in)))  # (N, Dp)
+    dtb = jnp.pad(
+        delta_bias if delta_bias is not None else jnp.zeros((d_in,)),
+        (0, dp - d_in),
+    )[None, :]
+    dsk = jnp.pad(
+        D if D is not None else jnp.zeros((d_in,)), (0, dp - d_in)
+    )[None, :]
+
+    grid = (bsz, dp // D_TILE, lp // L_CHUNK)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _scan_kernel,
+            n_state=n,
+            delta_softplus=delta_softplus,
+            lchunk=L_CHUNK,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, L_CHUNK, D_TILE), lambda b, d, l: (b, l, d)),
+            pl.BlockSpec((1, L_CHUNK, D_TILE), lambda b, d, l: (b, l, d)),
+            pl.BlockSpec((1, L_CHUNK, n), lambda b, d, l: (b, l, 0)),
+            pl.BlockSpec((1, L_CHUNK, n), lambda b, d, l: (b, l, 0)),
+            pl.BlockSpec((n, D_TILE), lambda b, d, l: (0, d)),
+            pl.BlockSpec((1, D_TILE), lambda b, d, l: (0, d)),
+            pl.BlockSpec((1, D_TILE), lambda b, d, l: (0, d)),
+            pl.BlockSpec((1, L_CHUNK, D_TILE), lambda b, d, l: (b, l, d)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, L_CHUNK, D_TILE), lambda b, d, l: (b, l, d)
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, lp, dp), dtype_in),
+        scratch_shapes=[pltpu.VMEM((n, D_TILE), jnp.float32)],
+        interpret=interpret,
+    )(u_p, delta_p, b_p, c_p, a_t, dtb, dsk, z_p)
+    return out[:, :length, :d_in]
+
+
+def _fwd(u, delta, A, B, C, D, z, delta_bias, delta_softplus):
+    out = _pallas_fwd_impl(u, delta, A, B, C, D, z, delta_bias,
+                           delta_softplus)
+    return out, (u, delta, A, B, C, D, z, delta_bias)
+
+
+def _bwd(delta_softplus, residuals, g):
+    """Recompute-based backward via the chunked XLA scan."""
+    u, delta, A, B, C, D, z, delta_bias = residuals
+    from mamba_asr_tpu.ops.selective_scan import selective_scan_chunked
+
+    def f(u, delta, A, B, C, D, z, delta_bias):
+        return selective_scan_chunked(
+            u, delta, A, B, C, D=D, z=z, delta_bias=delta_bias,
+            delta_softplus=delta_softplus,
+        )
+
+    _, vjp = jax.vjp(f, u, delta, A, B, C, D, z, delta_bias)
+    return vjp(g)
+
+
+_selective_scan_pallas.defvjp(_fwd, _bwd)
 
 
 def selective_scan_pallas(
@@ -48,4 +223,14 @@ def selective_scan_pallas(
     delta_bias: Optional[Array] = None,
     delta_softplus: bool = False,
 ) -> Array:
-    raise NotImplementedError("gated by supported(); use selective_scan_xla")
+    """Public fused-forward entry (custom_vjp; see module docstring)."""
+    d_in = u.shape[-1]
+    if D is None:
+        D = jnp.zeros((d_in,), jnp.float32)
+    if z is None:
+        raise ValueError("pallas kernel requires the silu gate z")
+    if delta_bias is None:
+        delta_bias = jnp.zeros((d_in,), jnp.float32)
+    return _selective_scan_pallas(
+        u, delta, A, B, C, D, z, delta_bias, delta_softplus
+    )

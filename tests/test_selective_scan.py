@@ -159,3 +159,16 @@ def test_chunked_gradients_match():
     )(u, delta, A, B, C)
     for gr, gc in zip(g_ref, g_chk):
         np.testing.assert_allclose(gr, gc, rtol=5e-4, atol=5e-5)
+
+
+def test_pallas_kernel_interpret_matches_ref():
+    """Pallas kernel logic validated on CPU via interpreter mode."""
+    from mamba_asr_tpu.ops.pallas.scan import _pallas_fwd_impl
+
+    u, delta, A, B, C, D, z, db = _make_inputs(
+        jax.random.PRNGKey(9), bsz=2, length=150, d=12, n=4
+    )
+    ref = selective_scan_ref(u, delta, A, B, C, D, z, db, True)
+    out = _pallas_fwd_impl(u, delta, A, B, C, D, z, db, True,
+                           interpret=True)
+    np.testing.assert_allclose(ref, out, rtol=2e-4, atol=2e-4)
