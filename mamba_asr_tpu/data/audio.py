@@ -92,6 +92,14 @@ def _flac_backend():
     global _FLAC_BACKEND
     if _FLAC_BACKEND is None:
         try:
+            from mamba_asr_tpu import native
+
+            if native.flac_lib() is not None:
+                _FLAC_BACKEND = "native"
+        except Exception:
+            pass
+    if _FLAC_BACKEND is None:
+        try:
             import soundfile  # noqa: F401
 
             _FLAC_BACKEND = "soundfile"
@@ -105,6 +113,34 @@ def _flac_backend():
     return _FLAC_BACKEND
 
 
+def _read_flac_native(path: str) -> Tuple[np.ndarray, int]:
+    """Decode via the in-repo C++ decoder (native/flac_decode.cpp)."""
+    import ctypes
+
+    from mamba_asr_tpu import native
+
+    lib = native.flac_lib()
+    total, sr = flac_stream_info(path)
+    if total == 0:
+        # Unknown length in STREAMINFO: ask the decoder (rare).
+        total = lib.flac_decode_file(
+            path.encode(), None, 0, ctypes.byref(ctypes.c_int32())
+        )
+        if total < 0:
+            raise ValueError(f"FLAC decode failed: {path}")
+    out = np.zeros(int(total), np.float32)
+    sr_out = ctypes.c_int32(0)
+    n = lib.flac_decode_file(
+        path.encode(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.size,
+        ctypes.byref(sr_out),
+    )
+    if n < 0:
+        raise ValueError(f"FLAC decode failed: {path}")
+    return out[:n], int(sr_out.value)
+
+
 def read_audio(path: str) -> Tuple[np.ndarray, int]:
     """Read WAV or FLAC -> (float32 mono waveform, sample_rate)."""
     ext = os.path.splitext(path)[1].lower()
@@ -112,6 +148,8 @@ def read_audio(path: str) -> Tuple[np.ndarray, int]:
         return read_wav(path)
     if ext == ".flac":
         backend = _flac_backend()
+        if backend == "native":
+            return _read_flac_native(path)
         if backend == "soundfile":
             import soundfile
 

@@ -1,0 +1,325 @@
+// Decode-only FLAC reader (native, no external deps).
+//
+// Replaces the libsndfile/torchaudio FLAC path the reference uses for
+// LibriSpeech audio IO (/root/reference/train_CTC.py:899,933) — this
+// image ships no FLAC backend at all, so the framework brings its own.
+//
+// Supported: the full FLAC subset LibriSpeech uses and more —
+//   - STREAMINFO + skipped metadata blocks,
+//   - fixed-blocksize and variable-blocksize frames,
+//   - subframe types: CONSTANT, VERBATIM, FIXED (orders 0-4), LPC (1-32),
+//   - rice residual coding (partition orders, both RICE and RICE2,
+//     escape-to-raw partitions),
+//   - wasted bits,
+//   - channel assignments: independent, left/side, right/side, mid/side
+//     (output is downmixed to mono float32, matching data/audio.py).
+// Not verified: CRCs (skipped for speed; decode correctness is covered by
+// the subframe math itself).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct BitReader {
+  const uint8_t* data;
+  size_t size;
+  size_t byte = 0;
+  int bit = 0;  // bits consumed in current byte (0..7)
+  bool error = false;
+
+  bool aligned_skip() {  // align to byte boundary
+    if (bit) {
+      bit = 0;
+      ++byte;
+    }
+    return byte <= size;
+  }
+
+  uint32_t read_bit() {
+    if (byte >= size) {
+      error = true;
+      return 0;
+    }
+    uint32_t v = (data[byte] >> (7 - bit)) & 1;
+    if (++bit == 8) {
+      bit = 0;
+      ++byte;
+    }
+    return v;
+  }
+
+  uint64_t read_bits(int n) {
+    uint64_t v = 0;
+    for (int i = 0; i < n; ++i) v = (v << 1) | read_bit();
+    return v;
+  }
+
+  int64_t read_signed(int n) {
+    if (n == 0) return 0;
+    uint64_t v = read_bits(n);
+    uint64_t sign = 1ull << (n - 1);
+    return (v & sign) ? (int64_t)(v | ~((sign << 1) - 1)) : (int64_t)v;
+  }
+
+  uint32_t read_unary() {
+    uint32_t n = 0;
+    while (!error && read_bit() == 0) ++n;
+    return n;
+  }
+};
+
+// UTF-8-style coded number (frame header sample/frame number).
+uint64_t read_utf8(BitReader& br) {
+  uint64_t b0 = br.read_bits(8);
+  if ((b0 & 0x80) == 0) return b0;
+  int n = 0;
+  for (uint64_t m = 0x40; b0 & m; m >>= 1) ++n;
+  uint64_t v = b0 & ((1ull << (6 - n)) - 1);
+  for (int i = 0; i < n; ++i) v = (v << 6) | (br.read_bits(8) & 0x3F);
+  return v;
+}
+
+const int kBlockSizes[16] = {0,    192,   576,   1152,  2304, 4608, -1, -2,
+                             256,  512,   1024,  2048,  4096, 8192, 16384,
+                             32768};
+
+bool decode_residual(BitReader& br, int order, int block_size,
+                     int64_t* out /* block_size entries, first `order`
+                                     already filled */) {
+  int method = (int)br.read_bits(2);
+  if (method > 1) return false;
+  int rice_esc = method == 0 ? 15 : 31;
+  int param_bits = method == 0 ? 4 : 5;
+  int part_order = (int)br.read_bits(4);
+  int parts = 1 << part_order;
+  int samples_per_part = block_size >> part_order;
+  if (samples_per_part << part_order != block_size) return false;
+  int idx = order;
+  for (int p = 0; p < parts; ++p) {
+    int count = samples_per_part - (p == 0 ? order : 0);
+    if (count < 0) return false;
+    int param = (int)br.read_bits(param_bits);
+    if (param == rice_esc) {
+      int raw_bits = (int)br.read_bits(5);
+      for (int i = 0; i < count; ++i) out[idx++] = br.read_signed(raw_bits);
+    } else {
+      for (int i = 0; i < count; ++i) {
+        uint32_t q = br.read_unary();
+        uint64_t r = br.read_bits(param);
+        uint64_t u = ((uint64_t)q << param) | r;
+        out[idx++] = (int64_t)(u >> 1) ^ -(int64_t)(u & 1);
+      }
+    }
+    if (br.error) return false;
+  }
+  return idx == block_size;
+}
+
+bool decode_subframe(BitReader& br, int block_size, int bps,
+                     std::vector<int64_t>& out) {
+  out.resize(block_size);
+  if (br.read_bit() != 0) return false;  // zero padding bit
+  int type = (int)br.read_bits(6);
+  int wasted = 0;
+  if (br.read_bit()) wasted = 1 + (int)br.read_unary();
+  bps -= wasted;
+
+  if (type == 0) {  // CONSTANT
+    int64_t v = br.read_signed(bps);
+    for (int i = 0; i < block_size; ++i) out[i] = v;
+  } else if (type == 1) {  // VERBATIM
+    for (int i = 0; i < block_size; ++i) out[i] = br.read_signed(bps);
+  } else if (type >= 8 && type <= 12) {  // FIXED order 0-4
+    int order = type - 8;
+    for (int i = 0; i < order; ++i) out[i] = br.read_signed(bps);
+    if (!decode_residual(br, order, block_size, out.data())) return false;
+    for (int i = order; i < block_size; ++i) {
+      switch (order) {
+        case 0:
+          break;
+        case 1:
+          out[i] += out[i - 1];
+          break;
+        case 2:
+          out[i] += 2 * out[i - 1] - out[i - 2];
+          break;
+        case 3:
+          out[i] += 3 * out[i - 1] - 3 * out[i - 2] + out[i - 3];
+          break;
+        case 4:
+          out[i] +=
+              4 * out[i - 1] - 6 * out[i - 2] + 4 * out[i - 3] - out[i - 4];
+          break;
+      }
+    }
+  } else if (type >= 32) {  // LPC order 1-32
+    int order = type - 31;
+    for (int i = 0; i < order; ++i) out[i] = br.read_signed(bps);
+    int precision = (int)br.read_bits(4) + 1;
+    if (precision == 16) return false;  // invalid code 1111
+    int shift = (int)br.read_signed(5);
+    if (shift < 0) return false;
+    std::vector<int64_t> coef(order);
+    for (int i = 0; i < order; ++i) coef[i] = br.read_signed(precision);
+    if (!decode_residual(br, order, block_size, out.data())) return false;
+    for (int i = order; i < block_size; ++i) {
+      int64_t pred = 0;
+      for (int j = 0; j < order; ++j) pred += coef[j] * out[i - 1 - j];
+      out[i] += pred >> shift;
+    }
+  } else {
+    return false;
+  }
+  if (wasted) {
+    for (int i = 0; i < block_size; ++i) out[i] <<= wasted;
+  }
+  return !br.error;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode a FLAC file into mono float32. Returns number of samples
+// written (<= max_samples), or -1 on error. sample_rate_out receives the
+// stream sample rate. Pass out == nullptr to query the total length.
+int64_t flac_decode_file(const char* path, float* out, int64_t max_samples,
+                         int32_t* sample_rate_out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  fseek(f, 0, SEEK_END);
+  long fsize = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> buf(fsize);
+  if (fread(buf.data(), 1, fsize, f) != (size_t)fsize) {
+    fclose(f);
+    return -1;
+  }
+  fclose(f);
+  if (fsize < 42 || memcmp(buf.data(), "fLaC", 4) != 0) return -1;
+
+  size_t pos = 4;
+  uint32_t sample_rate = 0;
+  int channels = 0, bps = 0;
+  uint64_t total_samples = 0;
+  bool last = false;
+  while (!last && pos + 4 <= (size_t)fsize) {
+    last = buf[pos] & 0x80;
+    int type = buf[pos] & 0x7F;
+    uint32_t len =
+        (buf[pos + 1] << 16) | (buf[pos + 2] << 8) | buf[pos + 3];
+    pos += 4;
+    if (type == 0 && len >= 34) {  // STREAMINFO
+      const uint8_t* si = buf.data() + pos;
+      sample_rate = (si[10] << 12) | (si[11] << 4) | (si[12] >> 4);
+      channels = ((si[12] >> 1) & 0x7) + 1;
+      bps = (((si[12] & 1) << 4) | (si[13] >> 4)) + 1;
+      total_samples = ((uint64_t)(si[13] & 0x0F) << 32) | (si[14] << 24) |
+                      (si[15] << 16) | (si[16] << 8) | si[17];
+    }
+    pos += len;
+  }
+  if (sample_rate == 0 || channels == 0) return -1;
+  if (sample_rate_out) *sample_rate_out = (int32_t)sample_rate;
+  if (out == nullptr) return (int64_t)total_samples;
+
+  BitReader br{buf.data(), (size_t)fsize};
+  br.byte = pos;
+
+  std::vector<std::vector<int64_t>> ch(channels);
+  int64_t written = 0;
+  float scale = 1.0f / (float)(1ll << (bps - 1));
+
+  while (written < max_samples && br.byte + 4 < br.size) {
+    // Frame sync: 11111111 111110xx.
+    if (buf[br.byte] != 0xFF || (buf[br.byte + 1] & 0xFC) != 0xF8) {
+      ++br.byte;  // resync scan
+      continue;
+    }
+    br.bit = 0;
+    br.read_bits(14);               // sync
+    br.read_bit();                  // reserved
+    br.read_bit();                  // blocking strategy
+    int bs_code = (int)br.read_bits(4);
+    int sr_code = (int)br.read_bits(4);
+    int ch_assign = (int)br.read_bits(4);
+    int ss_code = (int)br.read_bits(3);
+    br.read_bit();  // reserved
+    read_utf8(br);  // frame/sample number
+
+    int block_size;
+    if (bs_code == 0) return -1;
+    block_size = kBlockSizes[bs_code];
+    if (block_size == -1)
+      block_size = (int)br.read_bits(8) + 1;
+    else if (block_size == -2)
+      block_size = (int)br.read_bits(16) + 1;
+
+    if (sr_code == 12)
+      br.read_bits(8);
+    else if (sr_code == 13 || sr_code == 14)
+      br.read_bits(16);
+
+    int frame_bps = bps;
+    static const int kBps[8] = {0, 8, 12, 0, 16, 20, 24, 32};
+    if (ss_code != 0 && kBps[ss_code]) frame_bps = kBps[ss_code];
+
+    br.read_bits(8);  // CRC-8 (unchecked)
+    if (br.error) return written;
+
+    int nch = channels;
+    bool left_side = false, right_side = false, mid_side = false;
+    if (ch_assign >= 8 && ch_assign <= 10) {
+      nch = 2;
+      left_side = ch_assign == 8;
+      right_side = ch_assign == 9;
+      mid_side = ch_assign == 10;
+    } else {
+      nch = ch_assign + 1;
+    }
+
+    bool ok = true;
+    for (int c = 0; c < nch && ok; ++c) {
+      int sub_bps = frame_bps;
+      // The "side" channel carries one extra bit.
+      if ((left_side && c == 1) || (right_side && c == 0) ||
+          (mid_side && c == 1))
+        sub_bps += 1;
+      if ((size_t)c >= ch.size()) ch.resize(c + 1);
+      ok = decode_subframe(br, block_size, sub_bps, ch[c]);
+    }
+    if (!ok) return written;
+    br.aligned_skip();
+    br.read_bits(16);  // CRC-16 (unchecked)
+
+    // Channel reconstruction + mono downmix (mean over channels).
+    for (int i = 0; i < block_size && written < max_samples; ++i) {
+      int64_t sum;  // sum over reconstructed channels
+      if (nch == 1) {
+        sum = ch[0][i];
+      } else if (left_side) {
+        int64_t l = ch[0][i], s = ch[1][i];
+        sum = l + (l - s);  // r = l - s
+      } else if (right_side) {
+        int64_t s = ch[0][i], r = ch[1][i];
+        sum = (r + s) + r;  // l = r + s
+      } else if (mid_side) {
+        int64_t m = ch[0][i], s = ch[1][i];
+        int64_t m2 = (m << 1) | (s & 1);
+        int64_t l = (m2 + s) >> 1;
+        int64_t r = (m2 - s) >> 1;
+        sum = l + r;
+      } else {
+        sum = 0;
+        for (int c = 0; c < nch; ++c) sum += ch[c][i];
+      }
+      out[written++] = (float)sum * scale / (float)nch;
+    }
+  }
+  return written;
+}
+
+}  // extern "C"

@@ -17,7 +17,47 @@ import numpy as np
 
 
 def edit_distance_counts(ref: Sequence, hyp: Sequence) -> Tuple[int, int, int]:
-    """(substitutions, insertions, deletions) of the optimal alignment."""
+    """(substitutions, insertions, deletions) of the optimal alignment.
+
+    Dispatches to the native C++ DP (native/edit_distance.cpp) when the
+    library builds; this pure-Python version is the fallback and oracle.
+    """
+    native_counts = _native_edit_distance(ref, hyp)
+    if native_counts is not None:
+        return native_counts
+    return _edit_distance_counts_py(ref, hyp)
+
+
+def _native_edit_distance(ref, hyp) -> Optional[Tuple[int, int, int]]:
+    try:
+        import ctypes
+
+        from mamba_asr_tpu import native
+
+        lib = native.edit_distance_lib()
+        if lib is None:
+            return None
+        vocab: dict = {}
+
+        def ids(seq):
+            return np.asarray(
+                [vocab.setdefault(t, len(vocab)) for t in seq], np.int32
+            )
+
+        r, h = ids(ref), ids(hyp)
+        out = np.zeros(3, np.int64)
+        lib.edit_distance_counts(
+            r.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(r),
+            h.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(h),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        return int(out[0]), int(out[1]), int(out[2])
+    except Exception:
+        return None
+
+
+def _edit_distance_counts_py(ref: Sequence, hyp: Sequence) -> Tuple[int, int, int]:
+    """Pure-Python fallback/oracle."""
     n, m = len(ref), len(hyp)
     # dp[j] = (cost, subs, ins, dels) over hyp prefix j
     prev = [(j, 0, j, 0) for j in range(m + 1)]

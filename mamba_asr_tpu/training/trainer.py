@@ -298,11 +298,36 @@ def init_train_state(
         jnp.asarray(example_batch["tokens_bos"][:1]) if use_decoder else None,
     )
     params = variables["params"]
+    if model.cfg.xavier_parity_init:
+        params = xavier_reinit(params, jax.random.fold_in(rng, 7))
     return TrainState(
         params=params,
         opt_state=tx.init(params),
         normalizer=init_normalizer(frontend.n_mels),
         step=jnp.zeros((), jnp.int32),
+    )
+
+
+def xavier_reinit(params, rng: jax.Array):
+    """Reference-parity init quirk: xavier_normal for EVERY parameter with
+    ndim > 1 (/root/reference/modules/TransformerASR.py:1051-1054) — this
+    *overwrites* the SSM's S4D A_log and dt_kernel init, exactly like the
+    reference does. Off by default (ASRConfig.xavier_parity_init)."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(rng, len(leaves))
+
+    def reinit(leaf, key):
+        if leaf.ndim <= 1:
+            return leaf
+        fan_in = int(np.prod(leaf.shape[:-1]))
+        fan_out = int(leaf.shape[-1])
+        std = (2.0 / (fan_in + fan_out)) ** 0.5
+        return (jax.random.normal(key, leaf.shape, jnp.float32) * std).astype(
+            leaf.dtype
+        )
+
+    return jax.tree_util.tree_unflatten(
+        treedef, [reinit(l, k) for l, k in zip(leaves, keys)]
     )
 
 

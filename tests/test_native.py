@@ -1,0 +1,196 @@
+"""Native C++ components: edit distance and FLAC decode (round-trip
+against a minimal in-test FLAC encoder)."""
+
+import ctypes
+import os
+
+import numpy as np
+import pytest
+
+from mamba_asr_tpu import native
+
+
+# ---------------------------------------------------------------------------
+# Edit distance
+# ---------------------------------------------------------------------------
+
+
+def _native_counts(ref, hyp):
+    lib = native.edit_distance_lib()
+    assert lib is not None, "g++ build failed"
+    r = np.asarray(ref, np.int32)
+    h = np.asarray(hyp, np.int32)
+    out = np.zeros(3, np.int64)
+    dist = lib.edit_distance_counts(
+        r.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(r),
+        h.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(h),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return int(dist), tuple(int(x) for x in out)
+
+
+def test_edit_distance_native_matches_python():
+    from mamba_asr_tpu.training.metrics import _edit_distance_counts_py as edit_distance_counts
+
+    rng = np.random.default_rng(0)
+    for _ in range(30):
+        n, m = rng.integers(0, 15, size=2)
+        ref = list(rng.integers(0, 5, size=n))
+        hyp = list(rng.integers(0, 5, size=m))
+        s, i, d = edit_distance_counts(ref, hyp)
+        dist, (s2, i2, d2) = _native_counts(ref, hyp)
+        assert dist == s2 + i2 + d2
+        assert s + i + d == dist  # same optimal cost
+        assert (s, i, d) == (s2, i2, d2)
+
+
+def test_edit_distance_known_cases():
+    assert _native_counts([1, 2, 3], [1, 2, 3]) == (0, (0, 0, 0))
+    assert _native_counts([1, 2, 3], [1, 3]) == (1, (0, 0, 1))
+    assert _native_counts([1, 2], [1, 3, 2]) == (1, (0, 1, 0))
+    assert _native_counts([1, 2], [1, 4]) == (1, (1, 0, 0))
+
+
+# ---------------------------------------------------------------------------
+# FLAC round trip (minimal encoder below covers CONSTANT, VERBATIM and
+# FIXED+rice subframes — the structural paths of the decoder)
+# ---------------------------------------------------------------------------
+
+
+class BitWriter:
+    def __init__(self):
+        self.bits = []
+
+    def write(self, value, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((int(value) >> i) & 1)
+
+    def write_unary(self, q):
+        self.bits.extend([0] * q + [1])
+
+    def align(self):
+        while len(self.bits) % 8:
+            self.bits.append(0)
+
+    def bytes(self):
+        self.align()
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for bit in self.bits[i : i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        return bytes(out)
+
+
+def _encode_flac(samples: np.ndarray, sample_rate=16000, block=256,
+                 subframe="verbatim", rice_param=6) -> bytes:
+    """Minimal mono 16-bit FLAC encoder (test helper)."""
+    bw = BitWriter()
+    n = len(samples)
+    # STREAMINFO
+    head = BitWriter()
+    head.write(block, 16)  # min block
+    head.write(block, 16)  # max block
+    head.write(0, 24)      # min frame size
+    head.write(0, 24)      # max frame size
+    head.write(sample_rate, 20)
+    head.write(0, 3)       # channels - 1
+    head.write(15, 5)      # bps - 1
+    head.write(n, 36)
+    head.write(0, 128)     # md5
+    si = head.bytes()
+    out = b"fLaC" + bytes([0x80, 0, 0, len(si)]) + si
+
+    frames = bytearray()
+    idx = 0
+    frame_no = 0
+    while idx < n:
+        bs = min(block, n - idx)
+        chunk = samples[idx : idx + bs].astype(np.int64)
+        fw = BitWriter()
+        fw.write(0b11111111111110, 14)
+        fw.write(0, 1)   # reserved
+        fw.write(0, 1)   # fixed blocksize
+        fw.write(0b0111, 4)  # 16-bit blocksize-1 follows
+        fw.write(0, 4)   # sample rate from streaminfo
+        fw.write(0, 4)   # mono
+        fw.write(0b100, 3)  # 16 bps
+        fw.write(0, 1)
+        assert frame_no < 128
+        fw.write(frame_no, 8)  # utf8 single byte
+        fw.write(bs - 1, 16)
+        fw.write(0, 8)   # crc8 (decoder skips)
+
+        fw.write(0, 1)   # subframe pad bit
+        if subframe == "constant":
+            fw.write(0, 6)
+            fw.write(0, 1)  # no wasted bits
+            fw.write(int(chunk[0]) & 0xFFFF, 16)
+        elif subframe == "verbatim":
+            fw.write(1, 6)
+            fw.write(0, 1)  # no wasted bits
+            for s in chunk:
+                fw.write(int(s) & 0xFFFF, 16)
+        elif subframe == "fixed1":
+            fw.write(0b001001, 6)  # fixed order 1
+            fw.write(0, 1)
+            fw.write(int(chunk[0]) & 0xFFFF, 16)  # warmup
+            res = chunk[1:] - chunk[:-1]
+            fw.write(0, 2)   # rice method 0
+            fw.write(0, 4)   # partition order 0
+            fw.write(rice_param, 4)
+            for r in res:
+                u = (int(r) << 1) ^ (int(r) >> 63)
+                fw.write_unary(u >> rice_param)
+                fw.write(u & ((1 << rice_param) - 1), rice_param)
+        else:
+            raise ValueError(subframe)
+        if subframe == "constant":
+            pass
+        fw.align()
+        fw.write(0, 16)  # crc16 (decoder skips)
+        frames += fw.bytes()
+        idx += bs
+        frame_no += 1
+    return out + bytes(frames)
+
+
+@pytest.mark.parametrize("subframe", ["verbatim", "constant", "fixed1"])
+def test_flac_roundtrip(tmp_path, subframe):
+    from mamba_asr_tpu.data.audio import read_audio, audio_duration
+
+    rng = np.random.default_rng(0)
+    if subframe == "constant":
+        samples = np.full(600, -1234, np.int16)
+    elif subframe == "fixed1":
+        # Smooth ramp so order-1 residuals are small (rice-friendly).
+        t = np.arange(700)
+        samples = (1000 * np.sin(t / 30)).astype(np.int16)
+    else:
+        samples = rng.integers(-30000, 30000, size=500).astype(np.int16)
+
+    path = str(tmp_path / f"{subframe}.flac")
+    with open(path, "wb") as f:
+        f.write(_encode_flac(samples, subframe=subframe))
+
+    assert native.flac_lib() is not None, "g++ build failed"
+    wav, sr = read_audio(path)
+    assert sr == 16000
+    assert len(wav) == len(samples)
+    np.testing.assert_allclose(
+        wav, samples.astype(np.float32) / 32768.0, atol=1e-6
+    )
+    assert abs(audio_duration(path) - len(samples) / 16000) < 1e-6
+
+
+def test_constant_subframe_negative_value(tmp_path):
+    """Sign extension path of read_signed on CONSTANT frames."""
+    samples = np.full(300, -2, np.int16)
+    path = str(tmp_path / "neg.flac")
+    with open(path, "wb") as f:
+        f.write(_encode_flac(samples, subframe="constant"))
+    from mamba_asr_tpu.data.audio import read_audio
+
+    wav, _ = read_audio(path)
+    np.testing.assert_allclose(wav, -2 / 32768.0, atol=1e-7)
