@@ -74,6 +74,10 @@ def run_training(argv: Optional[List[str]] = None) -> Trainer:
             skip_prep=cfg.data.skip_prep,
         )
     train_csv = os.path.join(manifest_dir, cfg.data.train_csv)
+    if cfg.data.create_lexicon and is_main_process():
+        from mamba_asr_tpu.data.librispeech import create_lexicon
+
+        create_lexicon(manifest_dir, [cfg.data.train_csv])
     tokenizer = build_tokenizer(cfg, train_csv)
 
     trainer = Trainer(cfg, tokenizer)

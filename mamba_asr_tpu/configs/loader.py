@@ -46,6 +46,9 @@ class DataConfig:
     valid_max_batch_seconds: float = 100.0
     speed_perturb: bool = True
     sorting: str = "random"
+    # Optional grapheme lexicon CSV from the train vocabulary
+    # (librispeech_prepare.py:268-457 capability).
+    create_lexicon: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -156,6 +156,32 @@ def prepare_librispeech(
         json.dump(conf, f)
 
 
+def create_lexicon(
+    save_folder: str,
+    csv_names: Sequence[str],
+    lexicon_name: str = "lexicon.csv",
+) -> str:
+    """Grapheme lexicon from the manifest vocabulary.
+
+    The reference optionally builds lexicon CSVs mapping each word to its
+    character sequence for G2P-style training
+    (librispeech_prepare.py:268-457); same artifact here (columns
+    ID,duration,char,wrd with duration 0 as in the reference's lexicon
+    rows is overkill — we emit the functional mapping word,chars).
+    """
+    words = set()
+    for name in csv_names:
+        for utt in load_manifest(os.path.join(save_folder, name)):
+            words.update(utt.words.split())
+    out_path = os.path.join(save_folder, lexicon_name)
+    with open(out_path, "w", newline="", encoding="utf-8") as f:
+        w = csv.writer(f)
+        w.writerow(["word", "chars"])
+        for word in sorted(words):
+            w.writerow([word, " ".join(word)])
+    return out_path
+
+
 def load_manifest(csv_path: str) -> List[Utterance]:
     out = []
     with open(csv_path, encoding="utf-8") as f:

@@ -301,6 +301,15 @@ class Trainer:
             "WER": wer.summarize()["WER"],
             "CER": cer.summarize()["WER"],
         }
+        if use_averaged and is_main_process():
+            # Retain the averaged model as a single named checkpoint (the
+            # reference's post-test averaged-checkpoint retention,
+            # train_S2S.py:814-821 — without the ACC=1.1 metadata hack).
+            self.ckpt.save(
+                jax.device_get(state),
+                metrics={**summary, "averaged": True},
+                name=f"averaged_{test_name}",
+            )
         if is_main_process():
             out_path = os.path.join(
                 self.cfg.output_folder, f"wer_{test_name}.txt"

@@ -102,6 +102,11 @@ class TrainConfig:
     seed: int = 3407
     # Reference S2S steps Noam twice per update (train_S2S.py:871-874).
     scheduler_steps_per_update: int = 1
+    # Dynamic Chunk Training (TransformerASR.py:868-929 capability; none
+    # of the shipped reference configs enable it). When set, the encoder
+    # trains with chunked attention masks + Dynamic Chunk Convolution.
+    dynchunk_size: Optional[int] = None
+    dynchunk_left_context: Optional[int] = None
 
 
 class TrainState(struct.PyTreeNode):
@@ -190,6 +195,8 @@ def make_train_step(
             feats,
             flens,
             batch["tokens_bos"] if use_decoder else None,
+            chunk_size=train_cfg.dynchunk_size,
+            left_context_chunks=train_cfg.dynchunk_left_context,
             train=True,
             rngs={"dropout": jax.random.fold_in(rng, 1)},
         )
