@@ -54,6 +54,33 @@ def build_tokenizer(cfg: ExperimentConfig, train_csv: str):
     return tok
 
 
+def load_lm(cfg: ExperimentConfig, tokenizer):
+    """Load the decode-time LM from disk if configured (the reference
+    downloads one from HF at train_S2S.py:1235-1236; falls back to no-LM
+    decoding like the reference's no_lm path, train_S2S.py:1247-1253)."""
+    if not cfg.decode.lm_path:
+        return None, None
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from mamba_asr_tpu.models.lm import TransformerLM
+
+    lm = TransformerLM(
+        vocab_size=cfg.model.vocab_size,
+        d_model=cfg.decode.lm_d_model,
+        nhead=cfg.decode.lm_nhead,
+        num_layers=cfg.decode.lm_layers,
+        d_ffn=cfg.decode.lm_d_ffn,
+    )
+    target = lm.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32), train=False
+    )
+    with open(cfg.decode.lm_path, "rb") as f:
+        params = serialization.from_bytes(target, f.read())
+    return lm, params
+
+
 def run_training(argv: Optional[List[str]] = None) -> Trainer:
     argv = argv if argv is not None else sys.argv[1:]
     if not argv:
@@ -80,7 +107,8 @@ def run_training(argv: Optional[List[str]] = None) -> Trainer:
         create_lexicon(manifest_dir, [cfg.data.train_csv])
     tokenizer = build_tokenizer(cfg, train_csv)
 
-    trainer = Trainer(cfg, tokenizer)
+    lm_model, lm_params = load_lm(cfg, tokenizer)
+    trainer = Trainer(cfg, tokenizer, lm_model=lm_model, lm_params=lm_params)
     n_data = trainer.mesh.shape["data"]
 
     train_ds = ASRDataset.from_csv(train_csv, tokenizer, cfg.data.sample_rate)

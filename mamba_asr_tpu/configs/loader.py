@@ -71,6 +71,14 @@ class DecodeConfig:
     length_normalization: bool = True
     max_decode_ratio: float = 1.0
     min_decode_ratio: float = 0.0
+    # Optional pretrained LM (train_lm.py output msgpack) fused at test
+    # decode — the reference's Pretrainer-download equivalent
+    # (train_S2S.py:1235-1236), loaded from disk instead of HF.
+    lm_path: str = ""
+    lm_d_model: int = 768
+    lm_nhead: int = 12
+    lm_layers: int = 12
+    lm_d_ffn: int = 3072
 
 
 @dataclasses.dataclass(frozen=True)

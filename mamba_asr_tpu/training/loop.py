@@ -204,25 +204,35 @@ class Trainer:
     # -- validation -----------------------------------------------------------
 
     def validate(self, loader: BucketedLoader, epoch: int) -> Dict[str, float]:
+        """Greedy-CTC WER/CER (+ S2S accuracy) every epoch; for S2S, the
+        joint beam search runs every `valid_search_interval` epochs
+        (reference: train_S2S.py:382-394, interval 10 with beam 10)."""
         wer = ErrorRateStats()
         cer = ErrorRateStats(split_tokens=True)
         acc = AccuracyStats()
-        losses = []
+        beam_decoder = None
+        if (
+            self.is_s2s
+            and epoch % self.cfg.decode.valid_search_interval == 0
+        ):
+            beam_decoder = self.s2s_decoder(test=False)
         for batch in loader.epoch(0):
+            jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+                      if k not in ("ids", "bucket")}
             out = self.eval_step(
-                self.state.params,
-                self.state.normalizer,
-                {k: jnp.asarray(v) for k, v in batch.items()
-                 if k not in ("ids", "bucket")},
+                self.state.params, self.state.normalizer, jbatch
             )
             real = int(batch["weight"].sum())
-            toks, lens = ctc_greedy_decode(
-                out["ctc_log_probs"], out["enc_lengths"]
-            )
-            hyps = [
-                self.tokenizer.decode(t)
-                for t in tokens_to_lists(np.array(toks), np.array(lens))
-            ][:real]
+            if beam_decoder is not None:
+                hyp_ids = beam_decoder(
+                    self.state.params, self.state.normalizer, jbatch, out
+                )
+            else:
+                toks, lens = ctc_greedy_decode(
+                    out["ctc_log_probs"], out["enc_lengths"]
+                )
+                hyp_ids = tokens_to_lists(np.array(toks), np.array(lens))
+            hyps = [self.tokenizer.decode(t) for t in hyp_ids][:real]
             refs = [
                 self.tokenizer.decode(
                     list(batch["tokens"][i, : batch["token_lens"][i]])
