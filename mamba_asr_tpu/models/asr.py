@@ -82,6 +82,9 @@ class ASRConfig:
     # Mamba mixer config.
     mamba: MambaConfig = MambaConfig()
     bidirectional: bool = True
+    # nn.scan over encoder layers: O(1)-depth compile time, stacked
+    # parameter layout (conmamba only; streaming requires False).
+    scan_layers: bool = False
     # Compute dtype for the network ("float32" | "bfloat16").
     compute_dtype: str = "float32"
     xavier_parity_init: bool = False
@@ -141,6 +144,7 @@ class ASRModel(nn.Module):
                 causal=cfg.causal,
                 mamba_cfg=cfg.mamba,
                 bidirectional=cfg.bidirectional,
+                scan_layers=cfg.scan_layers,
                 dtype=dtype,
                 name="encoder",
             )

@@ -130,6 +130,36 @@ class ConmambaEncoderLayer(nn.Module):
         return x, {"mamba": mamba_state, "conv": conv_tail}
 
 
+class _ScannedConmambaStack(nn.Module):
+    """nn.scan wrapper: one traced layer body, `num_layers` stacked
+    parameter slices — compile time O(1) in depth (vs O(depth) for the
+    unrolled stack; deep SSM encoders compile 10x+ faster)."""
+
+    num_layers: int
+    layer_kwargs: dict
+
+    @nn.compact
+    def __call__(self, x: Array, chunk_size, train: bool) -> Array:
+        class Body(nn.Module):
+            layer_kwargs: dict
+
+            @nn.compact
+            def __call__(self, carry, _):
+                y = ConmambaEncoderLayer(**self.layer_kwargs)(
+                    carry, None, chunk_size=chunk_size, train=train
+                )
+                return y, None
+
+        scan = nn.scan(
+            Body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=self.num_layers,
+        )
+        out, _ = scan(self.layer_kwargs, name="layers")(x, None)
+        return out
+
+
 class ConmambaEncoder(nn.Module):
     num_layers: int
     d_model: int
@@ -141,24 +171,38 @@ class ConmambaEncoder(nn.Module):
     causal: bool = False
     mamba_cfg: MambaConfig = MambaConfig()
     bidirectional: bool = True
+    # Stack layers with nn.scan (stacked params, O(1)-depth compile).
+    # Checkpoint layouts differ between the two modes.
+    scan_layers: bool = False
     dtype: Any = jnp.float32
 
+    def _layer_kwargs(self) -> dict:
+        return dict(
+            d_model=self.d_model,
+            d_ffn=self.d_ffn,
+            kernel_size=self.kernel_size,
+            activation=self.activation,
+            bias=self.bias,
+            dropout=self.dropout,
+            causal=self.causal,
+            mamba_cfg=self.mamba_cfg,
+            bidirectional=self.bidirectional,
+            dtype=self.dtype,
+        )
+
     def setup(self):
-        self.layers = [
-            ConmambaEncoderLayer(
-                d_model=self.d_model,
-                d_ffn=self.d_ffn,
-                kernel_size=self.kernel_size,
-                activation=self.activation,
-                bias=self.bias,
-                dropout=self.dropout,
-                causal=self.causal,
-                mamba_cfg=self.mamba_cfg,
-                bidirectional=self.bidirectional,
-                name=f"layer_{i}",
+        if self.scan_layers:
+            self.stack = _ScannedConmambaStack(
+                num_layers=self.num_layers,
+                layer_kwargs=self._layer_kwargs(),
+                name="stack",
             )
-            for i in range(self.num_layers)
-        ]
+            self.layers = ()
+        else:
+            self.layers = [
+                ConmambaEncoderLayer(**self._layer_kwargs(), name=f"layer_{i}")
+                for i in range(self.num_layers)
+            ]
         self.norm = nn.LayerNorm(dtype=self.dtype, name="norm")
 
     def __call__(
@@ -169,12 +213,18 @@ class ConmambaEncoder(nn.Module):
         train: bool = False,
     ) -> Array:
         out = src
-        for layer in self.layers:
-            out = layer(out, src_key_padding_mask, chunk_size=chunk_size,
-                        train=train)
+        if self.scan_layers:
+            out = self.stack(out, chunk_size, train)
+        else:
+            for layer in self.layers:
+                out = layer(out, src_key_padding_mask, chunk_size=chunk_size,
+                            train=train)
         return self.norm(out)
 
     def init_stream_state(self, batch: int, dtype=jnp.float32):
+        assert not self.scan_layers, (
+            "streaming uses the unrolled stack (scan_layers=False)"
+        )
         return [l.init_stream_state(batch, dtype) for l in self.layers]
 
     def forward_chunk(self, x: Array, state) -> Tuple[Array, list]:

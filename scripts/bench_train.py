@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def bench_config(name, asr_cfg, frontend, batch, seconds, steps=20):
+    import time as _t
     import jax
     import jax.numpy as jnp
 
@@ -55,8 +56,10 @@ def bench_config(name, asr_cfg, frontend, batch, seconds, steps=20):
     step = make_train_step(model, tx, frontend, tcfg, SpecAugmentConfig())
     jb = {k: jnp.asarray(v) for k, v in batch_data.items()}
 
+    c0 = _t.perf_counter()
     state, m = step(state, jb, jax.random.PRNGKey(1), jnp.asarray(True))
     jax.block_until_ready(m["loss"])
+    print(f"{name}: compiled in {_t.perf_counter()-c0:.1f}s", flush=True)
     t0 = time.perf_counter()
     for i in range(steps):
         state, m = step(state, jb, jax.random.PRNGKey(i), jnp.asarray(True))
@@ -85,7 +88,7 @@ def main():
     small = ASRConfig(
         vocab_size=31, d_model=144, nhead=4, num_encoder_layers=12,
         num_decoder_layers=0, d_ffn=1024, encoder_module="conmamba",
-        compute_dtype="bfloat16", mamba=MambaConfig(),
+        compute_dtype="bfloat16", mamba=MambaConfig(), scan_layers=True,
     )
     conf_large = ASRConfig(
         vocab_size=31, d_model=256, nhead=4, num_encoder_layers=18,
@@ -95,7 +98,7 @@ def main():
     conm_large = ASRConfig(
         vocab_size=31, d_model=256, nhead=4, num_encoder_layers=18,
         num_decoder_layers=0, d_ffn=1024, encoder_module="conmamba",
-        compute_dtype="bfloat16", mamba=MambaConfig(),
+        compute_dtype="bfloat16", mamba=MambaConfig(), scan_layers=True,
     )
     dt_small = bench_config("conmamba_small_ctc", small, frontend,
                             args.batch, args.seconds)

@@ -155,3 +155,38 @@ def test_asr_model_forward(enc_mod, dec_layers, dec_mod):
     # log-softmax sanity
     s = np.exp(np.array(out["ctc_log_probs"])).sum(-1)
     np.testing.assert_allclose(s, 1.0, rtol=1e-4)
+
+
+def test_scan_layers_equivalent_to_unrolled():
+    """Transplanting per-layer params into the stacked layout must give
+    identical outputs (nn.scan vs unrolled loop)."""
+    from mamba_asr_tpu.models.conmamba import ConmambaEncoder
+
+    kwargs = dict(num_layers=3, d_model=8, d_ffn=16, kernel_size=7,
+                  mamba_cfg=MCFG, dropout=0.0)
+    loop_enc = ConmambaEncoder(**kwargs, scan_layers=False)
+    scan_enc = ConmambaEncoder(**kwargs, scan_layers=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 8))
+    loop_params = loop_enc.init(jax.random.PRNGKey(1), x)
+    scan_params = scan_enc.init(jax.random.PRNGKey(1), x)
+
+    # Stack the loop layers' params along a new leading axis.
+    per_layer = [loop_params["params"][f"layer_{i}"] for i in range(3)]
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs, axis=0), *per_layer
+    )
+    # Param trees must be congruent.
+    ref_shapes = jax.tree_util.tree_map(jnp.shape, stacked)
+    inner = scan_params["params"]["stack"]["layers"]
+    (inner_key,) = inner.keys()  # Body wrapper's child layer
+    scan_shapes = jax.tree_util.tree_map(jnp.shape, inner[inner_key])
+    assert ref_shapes == scan_shapes
+    transplanted = {
+        "params": {
+            "stack": {"layers": {inner_key: stacked}},
+            "norm": loop_params["params"]["norm"],
+        }
+    }
+    y_loop = loop_enc.apply(loop_params, x)
+    y_scan = scan_enc.apply(transplanted, x)
+    np.testing.assert_allclose(y_loop, y_scan, rtol=2e-5, atol=2e-5)
