@@ -64,6 +64,7 @@ class DecodeConfig:
     valid_beam_size: int = 10
     s2s_test_beam_size: int = 66
     ctc_weight_decode: float = 0.4
+    ctc_candidates: int = 96  # partial CTC scoring (0 = full vocab)
     lm_weight: float = 0.6
     temperature: float = 1.15
     temperature_lm: float = 1.15

@@ -69,17 +69,48 @@ class CTCPrefixScorer:
             last=jnp.full((self.n,), -1, jnp.int32),
         )
 
-    def score(self, state: CTCPrefixState) -> Tuple[Array, dict]:
-        """Scores for every next token: (N, V) incremental log probs.
+    def score(
+        self, state: CTCPrefixState, candidates: Optional[Array] = None
+    ) -> Tuple[Array, dict]:
+        """Incremental prefix scores for next tokens.
+
+        candidates: optional (N, C) token ids — scoring is restricted to
+        these (the partial-scorer pattern; the full (N, T, V) DP at BPE
+        vocab 5000 x beam 66 would be multi-GB per step). Returns
+        (scores, aux): scores is (N, V) with non-candidates at NEG_INF
+        when restricted, (N, V) exact otherwise.
 
         Returns (scores, aux) where aux holds the per-candidate DP rows
         needed by `select` to advance the state for chosen tokens.
         """
         n, t, v = self.n, self.t, self.v
-        lp = self.lp  # (N, T, V)
+        if candidates is not None:
+            lp = jnp.take_along_axis(
+                self.lp, candidates[:, None, :], axis=2
+            )  # (N, T, C)
+            scores_c, aux = self._score_impl(state, lp, candidates)
+            scores = jnp.full((n, v), NEG_INF)
+            scores = jax.vmap(
+                lambda s, c, sc: s.at[c].set(sc)
+            )(scores, candidates, scores_c)
+            # eos/blank handled inside _score_impl via candidate match.
+            aux["candidates"] = candidates
+            return scores, aux
+        scores, aux = self._score_impl(
+            state, self.lp,
+            jnp.tile(jnp.arange(v, dtype=jnp.int32)[None], (n, 1)),
+        )
+        return scores, aux
+
+    def _score_impl(
+        self, state: CTCPrefixState, lp: Array, cand_ids: Array
+    ) -> Tuple[Array, dict]:
+        """lp: (N, T, C) log probs of candidate tokens; cand_ids (N, C)."""
+        n, t = self.n, self.t
+        v = lp.shape[-1]  # C
         # phi(t, c): parent can emit c after ending blank always, or after
         # ending non-blank only if c != last.
-        same = jnp.arange(v)[None, :] == state.last[:, None]  # (N, V)
+        same = cand_ids == state.last[:, None]  # (N, C)
         phi = jnp.where(
             same[:, None, :],
             state.r_b[:, :, None],
@@ -151,8 +182,10 @@ class CTCPrefixScorer:
         eos_psi = jnp.where(state.last < 0, 0.0, eos_psi)
 
         scores = psi - state.psi[:, None]  # incremental
-        scores = scores.at[:, self.eos].set(eos_psi - state.psi)
-        scores = scores.at[:, self.blank].set(NEG_INF)
+        scores = jnp.where(
+            cand_ids == self.eos, (eos_psi - state.psi)[:, None], scores
+        )
+        scores = jnp.where(cand_ids == self.blank, NEG_INF, scores)
         aux = {"r_nb": r_nb_all, "r_b": r_b_all, "psi": psi}
         return scores, aux
 
@@ -168,19 +201,32 @@ class CTCPrefixScorer:
         def take(x):
             return x[reorder]
 
+        if "candidates" in aux:
+            # Map vocab token -> candidate slot; unscored tokens keep the
+            # parent state (only eos can be selected unscored).
+            cand = take(aux["candidates"])  # (N, C)
+            hit = cand == tokens[:, None]
+            slot = jnp.argmax(hit, axis=1)
+            found = hit.any(axis=1)
+            idx = slot
+        else:
+            idx = tokens
+            found = jnp.ones_like(tokens, bool)
+
         r_nb = jnp.take_along_axis(
-            take(aux["r_nb"]), tokens[:, None, None], axis=2
+            take(aux["r_nb"]), idx[:, None, None], axis=2
         )[:, :, 0]
         r_b = jnp.take_along_axis(
-            take(aux["r_b"]), tokens[:, None, None], axis=2
+            take(aux["r_b"]), idx[:, None, None], axis=2
         )[:, :, 0]
-        psi = jnp.take_along_axis(take(aux["psi"]), tokens[:, None], axis=1)[:, 0]
-        # Hypotheses that chose EOS (or padding) keep their parent state.
-        keep_old = (tokens == self.eos)[:, None]
+        psi = jnp.take_along_axis(take(aux["psi"]), idx[:, None], axis=1)[:, 0]
+        # Hypotheses that chose EOS (or an unscored token) keep their
+        # parent state.
+        keep_old = ((tokens == self.eos) | ~found)[:, None]
         old = CTCPrefixState(*[take(x) for x in state])
         return CTCPrefixState(
             r_nb=jnp.where(keep_old, old.r_nb, r_nb),
             r_b=jnp.where(keep_old, old.r_b, r_b),
             psi=jnp.where(keep_old[:, 0], old.psi, psi),
-            last=jnp.where(tokens == self.eos, old.last, tokens),
+            last=jnp.where(keep_old[:, 0], old.last, tokens),
         )

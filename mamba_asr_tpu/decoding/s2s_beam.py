@@ -59,6 +59,10 @@ class S2SBeamSearcher:
     # reference's full-prefix re-scan (SURVEY.md §3.2 note). Enabled
     # automatically for mamba decoders.
     use_cache: Optional[bool] = None
+    # CTC prefix scoring restricted to the top-C tokens by decoder(+LM)
+    # score (partial-scorer pattern; 0 = score the full vocab). The full
+    # DP materializes (beams, T, V) per step — prohibitive at vocab 5000.
+    ctc_candidates: int = 0
 
     def __call__(
         self,
@@ -195,8 +199,22 @@ class S2SBeamSearcher:
 
             aux = None
             if scorer is not None:
-                ctc_scores, aux = scorer.score(sc_state)
-                total = total + self.ctc_weight * ctc_scores
+                cand = None
+                if 0 < self.ctc_candidates < total.shape[-1]:
+                    # Top C-1 by decoder(+LM) score, plus eos (so finishing
+                    # is always scoreable).
+                    cand = jax.lax.top_k(total, self.ctc_candidates - 1)[1]
+                    cand = jnp.concatenate(
+                        [cand.astype(jnp.int32),
+                         jnp.full((cand.shape[0], 1), eos, jnp.int32)],
+                        axis=1,
+                    )
+                ctc_scores, aux = scorer.score(sc_state, candidates=cand)
+                total = jnp.where(
+                    ctc_scores <= NEG_INF * 0.5,
+                    NEG_INF,
+                    total + self.ctc_weight * ctc_scores,
+                )
 
             v = total.shape[-1]
             # Forbid eos before min_steps.

@@ -79,6 +79,7 @@ class Trainer:
             self.model,
             beam_size=d.s2s_test_beam_size if test else d.valid_beam_size,
             ctc_weight=d.ctc_weight_decode,
+            ctc_candidates=d.ctc_candidates,
             lm_weight=d.lm_weight if (test and self.lm_model) else 0.0,
             temperature=d.temperature,
             temperature_lm=d.temperature_lm,

@@ -116,3 +116,38 @@ def test_lm_shapes_and_causality():
     np.testing.assert_allclose(
         logits[:, :5], logits2[:, :5], rtol=1e-4, atol=1e-5
     )
+
+
+def test_ctc_prefix_scorer_candidate_restriction_exact_when_covering():
+    """Restricting to ALL tokens as candidates must equal full scoring."""
+    rng = np.random.default_rng(3)
+    b, t, v = 2, 10, 6
+    logits = rng.normal(size=(b, t, v)).astype(np.float32)
+    lp = jnp.asarray(np.array(jax.nn.log_softmax(jnp.asarray(logits), -1)))
+    lens = jnp.array([10, 8])
+    scorer = CTCPrefixScorer(lp, lens, beam=1)
+    state = scorer.init_state()
+    full, aux_f = scorer.score(state)
+    cand = jnp.tile(jnp.arange(v, dtype=jnp.int32)[None], (b, 1))
+    restr, aux_r = scorer.score(state, candidates=cand)
+    np.testing.assert_allclose(np.array(full), np.array(restr),
+                               rtol=1e-5, atol=1e-5)
+    # Selecting through the candidate path must match too.
+    toks = jnp.array([3, 4], jnp.int32)
+    s_f = scorer.select(state, aux_f, toks, jnp.arange(b))
+    s_r = scorer.select(state, aux_r, toks, jnp.arange(b))
+    for a, c in zip(s_f, s_r):
+        np.testing.assert_allclose(np.array(a), np.array(c), rtol=1e-5)
+
+
+def test_beam_with_candidate_restricted_ctc():
+    model, params, out = _make_s2s("mamba")
+    searcher = S2SBeamSearcher(
+        model, beam_size=3, ctc_weight=0.4, max_steps_cap=5,
+        ctc_candidates=5,
+    )
+    toks, lens, scores = searcher(
+        params, out["enc_out"], out["enc_lengths"],
+        ctc_log_probs=out["ctc_log_probs"],
+    )
+    assert np.isfinite(np.array(scores)).all()
