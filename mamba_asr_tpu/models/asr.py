@@ -160,6 +160,7 @@ class ASRModel(nn.Module):
                 dropout=cfg.dropout,
                 causal=cfg.causal,
                 attention_type=cfg.attention_type,
+                scan_layers=cfg.scan_layers,
                 dtype=dtype,
                 name="encoder",
             )

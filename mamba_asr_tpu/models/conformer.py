@@ -174,6 +174,35 @@ class ConformerEncoderLayer(nn.Module):
         }
 
 
+class _ScannedConformerStack(nn.Module):
+    """nn.scan over identical Conformer layers (O(1)-depth compile)."""
+
+    num_layers: int
+    layer_kwargs: dict
+
+    @nn.compact
+    def __call__(self, x, src_mask, kpm, pos_embs, chunk_size, train):
+        class Body(nn.Module):
+            layer_kwargs: dict
+
+            @nn.compact
+            def __call__(self, carry, _):
+                y, _attn = ConformerEncoderLayer(**self.layer_kwargs)(
+                    carry, src_mask, kpm, pos_embs,
+                    chunk_size=chunk_size, train=train,
+                )
+                return y, None
+
+        scan = nn.scan(
+            Body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=self.num_layers,
+        )
+        out, _ = scan(self.layer_kwargs, name="layers")(x, None)
+        return out
+
+
 class ConformerEncoder(nn.Module):
     num_layers: int
     d_model: int
@@ -186,25 +215,38 @@ class ConformerEncoder(nn.Module):
     causal: bool = False
     attention_type: str = "RelPosMHAXL"
     left_context_frames: int = 16
+    scan_layers: bool = False
     dtype: Any = jnp.float32
 
+    def _layer_kwargs(self) -> dict:
+        return dict(
+            d_model=self.d_model,
+            d_ffn=self.d_ffn,
+            nhead=self.nhead,
+            kernel_size=self.kernel_size,
+            activation=self.activation,
+            bias=self.bias,
+            dropout=self.dropout,
+            causal=self.causal,
+            attention_type=self.attention_type,
+            left_context_frames=self.left_context_frames,
+            dtype=self.dtype,
+        )
+
     def setup(self):
-        self.layers = [
-            ConformerEncoderLayer(
-                d_model=self.d_model,
-                d_ffn=self.d_ffn,
-                nhead=self.nhead,
-                kernel_size=self.kernel_size,
-                activation=self.activation,
-                bias=self.bias,
-                dropout=self.dropout,
-                causal=self.causal,
-                attention_type=self.attention_type,
-                left_context_frames=self.left_context_frames,
-                name=f"layer_{i}",
+        if self.scan_layers:
+            self.stack = _ScannedConformerStack(
+                num_layers=self.num_layers,
+                layer_kwargs=self._layer_kwargs(),
+                name="stack",
             )
-            for i in range(self.num_layers)
-        ]
+            self.layers = ()
+        else:
+            self.layers = [
+                ConformerEncoderLayer(**self._layer_kwargs(),
+                                      name=f"layer_{i}")
+                for i in range(self.num_layers)
+            ]
         self.norm = nn.LayerNorm(dtype=self.dtype, name="norm")
 
     def __call__(
@@ -218,12 +260,21 @@ class ConformerEncoder(nn.Module):
     ) -> Tuple[Array, Array]:
         out = src
         attn = None
-        for layer in self.layers:
-            out, attn = layer(out, src_mask, src_key_padding_mask, pos_embs,
-                              chunk_size=chunk_size, train=train)
+        if self.scan_layers:
+            out = self.stack(out, src_mask, src_key_padding_mask, pos_embs,
+                             chunk_size, train)
+        else:
+            for layer in self.layers:
+                out, attn = layer(out, src_mask, src_key_padding_mask,
+                                  pos_embs, chunk_size=chunk_size,
+                                  train=train)
         return self.norm(out), attn
 
     def init_stream_state(self, batch: int, dtype=jnp.float32):
+        assert not self.scan_layers, (
+            "streaming uses the unrolled stack (scan_layers=False); "
+            "convert params with models.params_convert"
+        )
         return [l.init_stream_state(batch, dtype) for l in self.layers]
 
     def forward_chunk(self, x: Array, state) -> Tuple[Array, list]:

@@ -190,3 +190,40 @@ def test_scan_layers_equivalent_to_unrolled():
     y_loop = loop_enc.apply(loop_params, x)
     y_scan = scan_enc.apply(transplanted, x)
     np.testing.assert_allclose(y_loop, y_scan, rtol=2e-5, atol=2e-5)
+
+
+def test_params_layout_conversion_roundtrip():
+    from mamba_asr_tpu.models.conmamba import ConmambaEncoder
+    from mamba_asr_tpu.models.params_convert import (
+        scanned_to_unrolled,
+        unrolled_to_scanned,
+    )
+
+    kwargs = dict(num_layers=3, d_model=8, d_ffn=16, kernel_size=7,
+                  mamba_cfg=MCFG, dropout=0.0)
+    loop_enc = ConmambaEncoder(**kwargs, scan_layers=False)
+    scan_enc = ConmambaEncoder(**kwargs, scan_layers=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 8))
+    scan_params = scan_enc.init(jax.random.PRNGKey(1), x)
+
+    unrolled = scanned_to_unrolled(scan_params["params"], 3)
+    y_scan = scan_enc.apply(scan_params, x)
+    y_loop = loop_enc.apply({"params": unrolled}, x)
+    np.testing.assert_allclose(y_scan, y_loop, rtol=2e-5, atol=2e-5)
+
+    back = unrolled_to_scanned(unrolled, 3)
+    flat_a = jax.tree_util.tree_leaves(back)
+    flat_b = jax.tree_util.tree_leaves(scan_params["params"])
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.array(a), np.array(b))
+
+
+def test_conformer_scan_layers_runs():
+    from mamba_asr_tpu.models.conformer import ConformerEncoder
+
+    enc = ConformerEncoder(num_layers=2, d_model=8, d_ffn=16, nhead=2,
+                           kernel_size=7, dropout=0.0, scan_layers=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 8))
+    params = enc.init(jax.random.PRNGKey(1), x)
+    y, _ = enc.apply(params, x)
+    assert y.shape == (2, 12, 8)
