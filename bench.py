@@ -36,6 +36,7 @@ def main():
         dropout=0.0, encoder_module="conmamba", kernel_size=31,
         compute_dtype="bfloat16",
         mamba=MambaConfig(d_state=16, expand=2, d_conv=4),
+        scan_layers=True,
     )
     model = ASRModel(cfg)
 

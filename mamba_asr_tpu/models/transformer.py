@@ -162,7 +162,9 @@ class TransformerEncoderLayer(nn.Module):
 
 
 class TransformerEncoder(nn.Module):
-    """Stack of encoder layers + final LN (Transformer.py:1197-1344)."""
+    """Stack of encoder layers + final LN (Transformer.py:1197-1344),
+    with optional layerdrop (training-time random layer skipping,
+    Transformer.py:1324-1342)."""
 
     num_layers: int
     d_ffn: int
@@ -171,6 +173,7 @@ class TransformerEncoder(nn.Module):
     activation: Callable[[Array], Array] = nn.relu
     normalize_before: bool = False
     attention_type: str = "regularMHA"
+    layerdrop: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -184,8 +187,13 @@ class TransformerEncoder(nn.Module):
     ) -> Tuple[Array, Array]:
         out = src
         attn = None
+        drop_keys = None
+        if train and self.layerdrop > 0.0:
+            drop_keys = jax.random.bernoulli(
+                self.make_rng("dropout"), self.layerdrop, (self.num_layers,)
+            )
         for i in range(self.num_layers):
-            out, attn = TransformerEncoderLayer(
+            new_out, attn = TransformerEncoderLayer(
                 d_ffn=self.d_ffn,
                 nhead=self.nhead,
                 dropout=self.dropout,
@@ -195,6 +203,10 @@ class TransformerEncoder(nn.Module):
                 dtype=self.dtype,
                 name=f"layer_{i}",
             )(out, src_mask, src_key_padding_mask, pos_embs, train=train)
+            if drop_keys is not None:
+                out = jnp.where(drop_keys[i], out, new_out)
+            else:
+                out = new_out
         out = nn.LayerNorm(dtype=self.dtype, name="norm")(out)
         return out, attn
 

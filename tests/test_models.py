@@ -227,3 +227,23 @@ def test_conformer_scan_layers_runs():
     params = enc.init(jax.random.PRNGKey(1), x)
     y, _ = enc.apply(params, x)
     assert y.shape == (2, 12, 8)
+
+
+def test_layerdrop():
+    enc = TransformerEncoder(num_layers=2, d_ffn=16, nhead=2,
+                             attention_type="regularMHA", layerdrop=1.0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 8))
+    p = enc.init(jax.random.PRNGKey(1), x)
+    # layerdrop=1.0 at train time: every layer skipped -> output is just
+    # the final LayerNorm of the input.
+    y, _ = enc.apply(p, x, train=True,
+                     rngs={"dropout": jax.random.PRNGKey(2)})
+    import flax.linen as fnn
+    ln = fnn.LayerNorm()
+    ln_params = {"params": p["params"]["norm"]}
+    np.testing.assert_allclose(
+        np.array(y), np.array(ln.apply(ln_params, x)), rtol=1e-5, atol=1e-5
+    )
+    # eval: all layers run.
+    y_eval, _ = enc.apply(p, x)
+    assert not np.allclose(np.array(y), np.array(y_eval), atol=1e-4)
