@@ -195,12 +195,21 @@ def _fwd(u, delta, A, B, C, D, z, delta_bias, delta_softplus):
 
 
 def _bwd(delta_softplus, residuals, g):
-    """Recompute-based backward via the chunked XLA scan."""
+    """Recompute-based backward via the XLA scans (chunked for long
+    sequences; the one-shot associative scan for short ones — matching
+    the forward dispatch heuristic, and avoiding a TPU XLA fusion-pass
+    crash observed on single-chunk padded grads)."""
     u, delta, A, B, C, D, z, delta_bias = residuals
-    from mamba_asr_tpu.ops.selective_scan import selective_scan_chunked
+    from mamba_asr_tpu.ops.selective_scan import (
+        selective_scan_chunked,
+        selective_scan_xla,
+    )
+
+    length = u.shape[1]
+    impl = selective_scan_chunked if length > 256 else selective_scan_xla
 
     def f(u, delta, A, B, C, D, z, delta_bias):
-        return selective_scan_chunked(
+        return impl(
             u, delta, A, B, C, D=D, z=z, delta_bias=delta_bias,
             delta_softplus=delta_softplus,
         )
