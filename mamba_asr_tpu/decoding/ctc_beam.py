@@ -114,9 +114,29 @@ def ctc_beam_search(
     Returns:
       (tokens (B, max_tokens) int32, lengths (B,)) of the best prefix.
     """
+    toks, lens, total = _beam_search_full(
+        log_probs, input_lengths, beam_size, blank_id,
+        beam_prune_logp, token_prune_min_logp,
+        max_tokens or log_probs.shape[1],
+    )
+    best = jnp.argmax(total, axis=1)
+    best_toks = jnp.take_along_axis(toks, best[:, None, None], axis=1)[:, 0]
+    best_lens = jnp.take_along_axis(lens, best[:, None], axis=1)[:, 0]
+    return best_toks, best_lens
+
+
+def _beam_search_full(
+    log_probs: Array,
+    input_lengths: Array,
+    beam_size: int,
+    blank_id: int,
+    beam_prune_logp: float,
+    token_prune_min_logp: float,
+    u_max: int,
+) -> Tuple[Array, Array, Array]:
+    """Core search; returns the full final beam (toks, lens, scores)."""
     bsz, t_max, vocab = log_probs.shape
     k = beam_size
-    u_max = max_tokens or t_max
 
     # Beam state (per batch row):
     #   pb, pnb   (B, K)            blank / non-blank log prob
@@ -315,7 +335,29 @@ def ctc_beam_search(
         step, (pb0, pnb0, toks0, lens0, last0, hash1_0, hash2_0), (lps, ts)
     )[0]
     total = jnp.logaddexp(pb, pnb)
-    best = jnp.argmax(total, axis=1)
-    best_toks = jnp.take_along_axis(toks, best[:, None, None], axis=1)[:, 0]
-    best_lens = jnp.take_along_axis(lens, best[:, None], axis=1)[:, 0]
-    return best_toks, best_lens
+    return toks, lens, total
+
+
+def ctc_beam_search_nbest(
+    log_probs: Array,
+    input_lengths: Array,
+    nbest: int = 10,
+    beam_size: int = 100,
+    blank_id: int = 0,
+    beam_prune_logp: float = -12.0,
+    token_prune_min_logp: float = -1.2,
+    max_tokens: Optional[int] = None,
+) -> Tuple[Array, Array, Array]:
+    """N-best variant: returns (tokens (B, n, U), lengths (B, n),
+    scores (B, n)) sorted best-first — feeds decoding/rescore.py."""
+    # Run the same search but harvest the final beam set.
+    toks, lens, total = _beam_search_full(
+        log_probs, input_lengths, beam_size, blank_id,
+        beam_prune_logp, token_prune_min_logp,
+        max_tokens or log_probs.shape[1],
+    )
+    n = min(nbest, beam_size)
+    top_val, top_idx = jax.lax.top_k(total, n)
+    nb_toks = jnp.take_along_axis(toks, top_idx[..., None], axis=1)
+    nb_lens = jnp.take_along_axis(lens, top_idx, axis=1)
+    return nb_toks, nb_lens, top_val

@@ -68,3 +68,41 @@ def test_sharp_path_decodes_exactly():
     lp = np.array(jax.nn.log_softmax(jnp.asarray(logits), -1))
     toks, lens = ctc_beam_search(jnp.asarray(lp), jnp.asarray([t]), beam_size=4)
     assert list(np.array(toks[0, : int(lens[0])])) == [1, 2, 3]
+
+
+def test_nbest_and_rescoring():
+    from mamba_asr_tpu.decoding.ctc_beam import ctc_beam_search_nbest
+    from mamba_asr_tpu.decoding.rescore import rescore_nbest
+    from mamba_asr_tpu.models.lm import TransformerLM
+
+    lp = _rand_logprobs(3, bsz=2, t=14, v=6)
+    lens = np.array([14, 11])
+    toks, tlens, scores = ctc_beam_search_nbest(
+        jnp.asarray(lp), jnp.asarray(lens), nbest=4, beam_size=8,
+        token_prune_min_logp=-8.0,
+    )
+    assert toks.shape[:2] == (2, 4)
+    # Scores sorted best-first and 1-best equals ctc_beam_search's pick.
+    s = np.array(scores)
+    assert (np.diff(s, axis=1) <= 1e-5).all()
+    best_toks, best_lens = ctc_beam_search(
+        jnp.asarray(lp), jnp.asarray(lens), beam_size=8,
+        token_prune_min_logp=-8.0,
+    )
+    for b in range(2):
+        np.testing.assert_array_equal(
+            np.array(toks[b, 0, : int(tlens[b, 0])]),
+            np.array(best_toks[b, : int(best_lens[b])]),
+        )
+
+    # LM rescoring runs and returns a hypothesis from the n-best set.
+    lm = TransformerLM(vocab_size=6, d_model=16, nhead=2, num_layers=1,
+                       d_ffn=16)
+    lm_params = lm.init(jax.random.PRNGKey(0), jnp.ones((1, 4), jnp.int32))
+    r_toks, r_lens = rescore_nbest(
+        toks, tlens, scores, lm, lm_params, lm_weight=0.5,
+    )
+    for b in range(2):
+        cand = [list(np.array(toks[b, i, : int(tlens[b, i])]))
+                for i in range(4)]
+        assert list(np.array(r_toks[b, : int(r_lens[b])])) in cand
