@@ -20,7 +20,7 @@ import json
 import os
 import shutil
 import time
-from typing import Any, Callable, List, Optional
+from typing import Any, Callable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -117,6 +117,45 @@ class CheckpointManager:
             lambda e: e["metrics"].get(max_key, -np.inf)
         )
         return max(entries, key=key)["name"]
+
+    def restore_raw(self, name: Optional[str] = None) -> Optional[dict]:
+        """Structure-free restore (nested dicts via msgpack) — lets
+        inference load params/normalizer without reconstructing the
+        optimizer state (whose structure depends on training config)."""
+        entries = self._entries()
+        if not entries:
+            return None
+        if name is None:
+            name = max(entries, key=lambda e: e.get("time", 0))["name"]
+        with open(os.path.join(self.directory, name, _STATE), "rb") as f:
+            return serialization.msgpack_restore(f.read())
+
+    def restore_averaged_raw(
+        self,
+        k: Optional[int] = None,
+        min_key: Optional[str] = None,
+        max_key: Optional[str] = None,
+        subtree: str = "params",
+    ) -> Optional[Tuple[dict, dict]]:
+        """(averaged `subtree`, full raw state of the best checkpoint)."""
+        entries = self._entries()
+        if not entries:
+            return None
+        if min_key:
+            entries.sort(key=lambda e: e["metrics"].get(min_key, np.inf))
+        elif max_key:
+            entries.sort(key=lambda e: -e["metrics"].get(max_key, -np.inf))
+        else:
+            entries.sort(key=lambda e: -e.get("time", 0))
+        chosen = entries[: (k or self.keep)]
+        raws = [self.restore_raw(e["name"]) for e in chosen]
+        avg = jax.tree_util.tree_map(
+            lambda *xs: np.mean(np.stack([np.asarray(x) for x in xs]), axis=0)
+            if np.issubdtype(np.asarray(xs[0]).dtype, np.inexact)
+            else xs[0],
+            *[r[subtree] for r in raws],
+        )
+        return avg, raws[0]
 
     # -- averaging -----------------------------------------------------------
 

@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Transcribe audio files with a trained checkpoint.
+
+    python recognize.py <hparams.yaml> --ckpt_dir results/.../save \
+        audio1.wav audio2.flac [--beam 0|N] [--streaming]
+
+Decodes with greedy CTC (--beam 0), on-device CTC beam search (--beam N),
+or chunked streaming greedy (--streaming). Prints one line per file:
+<path>\t<transcript>.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("config")
+    p.add_argument("audio", nargs="+")
+    p.add_argument("--ckpt_dir", required=True)
+    p.add_argument("--tokenizer", default="")
+    p.add_argument("--beam", type=int, default=0)
+    p.add_argument("--streaming", action="store_true")
+    p.add_argument("--chunk_frames", type=int, default=64)
+    args, extra = p.parse_known_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mamba_asr_tpu.configs.loader import load_config, parse_overrides
+    from mamba_asr_tpu.data.audio import read_audio
+    from mamba_asr_tpu.data.tokenizer import load_tokenizer
+    from mamba_asr_tpu.decoding.ctc_beam import ctc_beam_search
+    from mamba_asr_tpu.decoding.ctc_greedy import (
+        ctc_greedy_decode,
+        tokens_to_lists,
+    )
+    from mamba_asr_tpu.models.asr import ASRModel
+    from mamba_asr_tpu.training.checkpoint import CheckpointManager
+    from mamba_asr_tpu.training.trainer import (
+        compute_features,
+        frame_lengths,
+        init_train_state,
+        make_eval_step,
+        make_optimizer,
+    )
+
+    cfg = load_config(args.config, parse_overrides(extra))
+    tok_path = args.tokenizer or f"{cfg.output_folder}/tokenizer_{cfg.data.tokenizer_type}.json"
+    tokenizer = load_tokenizer(tok_path)
+    model = ASRModel(cfg.model)
+    tx = make_optimizer(cfg.train)
+
+    # Build a template state, then restore the averaged checkpoint.
+    dummy = {
+        "wav": np.zeros((1, 16000), np.float32),
+        "wav_lens": np.array([16000], np.int32),
+        "tokens_bos": np.zeros((1, 4), np.int32),
+    }
+    state = init_train_state(model, tx, cfg.frontend, jax.random.PRNGKey(0),
+                             dummy)
+    mgr = CheckpointManager(args.ckpt_dir, keep=cfg.train.keep_checkpoints)
+    restored = mgr.restore_averaged_raw(
+        k=cfg.train.avg_checkpoints, min_key="WER"
+    )
+    if restored is None:
+        raise SystemExit(f"no checkpoints in {args.ckpt_dir}")
+    from flax import serialization
+
+    avg_params, raw = restored
+    state = state.replace(
+        params=serialization.from_state_dict(state.params, avg_params),
+        normalizer=serialization.from_state_dict(
+            state.normalizer, raw["normalizer"]
+        ),
+    )
+    state = jax.device_put(state)
+
+    if args.streaming:
+        from mamba_asr_tpu.models.streaming import StreamingASRSession
+
+        for path in args.audio:
+            wav, sr = read_audio(path)
+            sess = StreamingASRSession(
+                model, {"params": state.params}, cfg.frontend,
+                normalizer=state.normalizer,
+                chunk_frames=args.chunk_frames,
+            )
+            ids = []
+            step = args.chunk_frames * cfg.frontend.hop
+            for off in range(0, len(wav), step):
+                ids += sess.feed(wav[None, off : off + step])[0]
+            print(f"{path}\t{tokenizer.decode(ids)}")
+        return
+
+    eval_step = make_eval_step(model, cfg.frontend)
+    for path in args.audio:
+        wav, sr = read_audio(path)
+        batch = {
+            "wav": jnp.asarray(wav)[None],
+            "wav_lens": jnp.array([len(wav)], jnp.int32),
+            "tokens_bos": jnp.zeros((1, 4), jnp.int32),
+        }
+        out = eval_step(state.params, state.normalizer, batch)
+        if args.beam > 0:
+            toks, lens = ctc_beam_search(
+                out["ctc_log_probs"], out["enc_lengths"],
+                beam_size=args.beam,
+                beam_prune_logp=cfg.decode.beam_prune_logp,
+                token_prune_min_logp=cfg.decode.token_prune_min_logp,
+            )
+        else:
+            toks, lens = ctc_greedy_decode(
+                out["ctc_log_probs"], out["enc_lengths"]
+            )
+        ids = tokens_to_lists(np.array(toks), np.array(lens))[0]
+        print(f"{path}\t{tokenizer.decode(ids)}")
+
+
+if __name__ == "__main__":
+    main()
