@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Any, Dict, List, Optional, Sequence, Tuple, get_args, get_origin
+from typing import Any, Dict, Optional, Sequence, Tuple, get_args, get_origin
 
 import yaml
 

@@ -14,9 +14,8 @@ STREAMINFO header directly, no decoder needed).
 from __future__ import annotations
 
 import os
-import struct
 import wave
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

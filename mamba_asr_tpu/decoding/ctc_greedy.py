@@ -10,7 +10,7 @@ inside a jitted eval step (host conversion only at the very end).
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

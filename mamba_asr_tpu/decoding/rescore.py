@@ -12,7 +12,7 @@ with the TransformerLM scoring every hypothesis in ONE batched forward
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ Convolution; reproduced here as explicit state pytrees
 
 from __future__ import annotations
 
-from typing import Any, Callable, List, Optional, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

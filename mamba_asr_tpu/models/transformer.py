@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mamba_asr_tpu.models.attention import MultiheadAttention, RelPosMHAXL
-from mamba_asr_tpu.models.layers import PositionalwiseFeedForward, swish
+from mamba_asr_tpu.models.layers import PositionalwiseFeedForward
 
 Array = jax.Array
 

@@ -23,7 +23,6 @@ import time
 from typing import Any, Callable, List, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Dict, Iterable, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -40,7 +40,6 @@ from mamba_asr_tpu.training.trainer import (
     make_eval_step,
     make_optimizer,
     make_train_step,
-    num_params,
 )
 
 

@@ -13,7 +13,7 @@ train step (masked Welford accumulation over valid frames).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -23,27 +23,18 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from functools import partial
-from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 from mamba_asr_tpu.data.augment import spec_augment
 from mamba_asr_tpu.models.asr import ASRConfig, ASRModel
 from mamba_asr_tpu.ops.ctc import ctc_loss
 from mamba_asr_tpu.ops.fbank import log_mel_spectrogram
-from mamba_asr_tpu.parallel.mesh import (
-    batch_sharding,
-    is_main_process,
-    make_mesh,
-    replicate,
-    shard_batch,
-)
 from mamba_asr_tpu.training.losses import joint_ctc_attention_loss, kldiv_loss
 from mamba_asr_tpu.training.normalizer import (
     NormalizerState,
