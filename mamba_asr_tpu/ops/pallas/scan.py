@@ -85,33 +85,56 @@ def _scan_kernel(
     da = jnp.exp(dt[:, None, :] * a_t[None, :, :])
     dbu = (dt * u)[:, None, :] * bmat[:, :, None]
 
-    # Hillis-Steele inclusive scan over axis 0 (length).
-    row = jax.lax.broadcasted_iota(jnp.int32, (lchunk, 1, 1), 0)
-    a, b = da, dbu
-    offset = 1
-    while offset < lchunk:
-        a_sh = pltpu_roll(a, offset)
-        b_sh = pltpu_roll(b, offset)
-        valid = row >= offset
-        b = jnp.where(valid, a * b_sh + b, b)
-        a = jnp.where(valid, a * a_sh, a)
-        offset *= 2
+    # Work-efficient two-level scan over the chunk: reshape L into
+    # (ROWS, COLS), run a *sequential* inclusive scan within each row
+    # (COLS-1 cheap passes over 1/COLS of the data), then a log-depth
+    # Hillis scan over the ROWS row-aggregates, and finally combine.
+    # Total elementwise work ~2-3x below a full-chunk Hillis scan.
+    rows, cols = lchunk // 8, 8
+    a_in = da.reshape(rows, cols, n_state, da.shape[-1])
+    b_in = dbu.reshape(rows, cols, n_state, dbu.shape[-1])
+    # (no in-kernel scatter: build scanned columns with slices + concat)
+    pa, pb = a_in[:, 0:1], b_in[:, 0:1]
+    cols_a, cols_b = [pa], [pb]
+    for c in range(1, cols):
+        cur_a = a_in[:, c : c + 1]
+        cur_b = b_in[:, c : c + 1]
+        pb = cur_a * pb + cur_b
+        pa = cur_a * pa
+        cols_a.append(pa)
+        cols_b.append(pb)
+    a = jnp.concatenate(cols_a, axis=1)
+    b = jnp.concatenate(cols_b, axis=1)
 
-    # Fold in the carried state: h[i] = aprod[i] * h_carry + b[i].
+    ra, rb = pa[:, 0], pb[:, 0]  # (ROWS, N, D) row aggregates
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0)
+    off = 1
+    while off < rows:
+        sa = jnp.roll(ra, off, axis=0)
+        sb = jnp.roll(rb, off, axis=0)
+        valid = row_idx >= off
+        rb = jnp.where(valid, ra * sb + rb, rb)
+        ra = jnp.where(valid, ra * sa, ra)
+        off *= 2
+
+    # Exclusive row prefixes, with the carried state folded in:
+    # prefix_h[r] = (prod of aggregates < r) * h_carry + (their scan).
     h_carry = h_ref[...].astype(jnp.float32)  # (N, D)
-    hs = a * h_carry[None, :, :] + b          # (L, N, D)
-    h_ref[...] = hs[lchunk - 1]
+    ex_a = jnp.roll(ra, 1, axis=0)
+    ex_b = jnp.roll(rb, 1, axis=0)
+    first = row_idx == 0
+    ex_a = jnp.where(first, 1.0, ex_a)
+    ex_b = jnp.where(first, 0.0, ex_b)
+    pref_h = ex_a * h_carry[None] + ex_b  # (ROWS, N, D)
+
+    hs = a * pref_h[:, None] + b  # (ROWS, COLS, N, D)
+    h_ref[...] = hs[rows - 1, cols - 1]
+    hs = hs.reshape(lchunk, n_state, hs.shape[-1])
 
     y = jnp.sum(hs * cmat[:, :, None], axis=1)  # (L, D)
     y = y + u * d_skip
     y = y * jax.nn.silu(z)
     out_ref[0] = y.astype(out_ref.dtype)
-
-
-def pltpu_roll(x: Array, shift: int) -> Array:
-    """Shift +shift along axis 0 (rows move to higher indices)."""
-    # jnp.roll lowers fine in Mosaic for static shifts.
-    return jnp.roll(x, shift, axis=0)
 
 
 @functools.partial(
