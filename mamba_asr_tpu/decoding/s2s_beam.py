@@ -64,6 +64,9 @@ class S2SBeamSearcher:
     # DP materializes (beams, T, V) per step — prohibitive at vocab 5000.
     ctc_candidates: int = 0
 
+    def __post_init__(self):
+        self._jit_cache = {}
+
     def __call__(
         self,
         params,
@@ -72,87 +75,121 @@ class S2SBeamSearcher:
         ctc_log_probs: Optional[Array] = None,
         lm_params=None,
     ) -> Tuple[Array, Array, Array]:
-        """Returns (tokens (B, S) without bos/eos, lengths (B,), scores)."""
-        b, t_enc, _ = enc_out.shape
+        """Returns (tokens (B, S) without bos/eos, lengths (B,), scores).
+
+        The ENTIRE search — cache priming, all beam steps
+        (lax.while_loop with early exit), final selection — runs as one
+        jitted device program: a single dispatch per call, compiled once
+        per input shape. A host-stepped loop pays one dispatch round-trip
+        per token; fully on-device is the TPU-native shape of the search
+        (north star: "decoding runs fully on-device")."""
+        has_ctc = self.ctc_weight > 0.0 and ctc_log_probs is not None
+        key = (
+            enc_out.shape, enc_lens.shape,
+            None if not has_ctc else ctc_log_probs.shape,
+            lm_params is not None,
+        )
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = jax.jit(
+                self._make_search(enc_out.shape[0], enc_out.shape[1],
+                                  has_ctc, lm_params is not None)
+            )
+            self._jit_cache[key] = fn
+        return fn(params, lm_params, enc_out, enc_lens,
+                  ctc_log_probs if has_ctc else None)
+
+    # ------------------------------------------------------------------
+
+    def _make_search(self, b: int, t_enc: int, has_ctc: bool, has_lm: bool):
+        model = self.model
+        lm_model = self.lm_model
+        eos = self.eos_id
         k = self.beam_size
         n = b * k
         s_max = min(self.max_steps_cap, int(self.max_decode_ratio * t_enc) + 1)
         min_steps = int(self.min_decode_ratio * t_enc)
-
-        enc_rep = jnp.repeat(enc_out, k, axis=0)
-        enc_lens_rep = jnp.repeat(enc_lens, k, axis=0)
-
-        scorer = None
-        scorer_state = None
-        if self.ctc_weight > 0.0 and ctc_log_probs is not None:
-            scorer = CTCPrefixScorer(
-                ctc_log_probs, enc_lens, k, self.blank_id, self.eos_id
-            )
-            scorer_state = scorer.init_state()
-
         use_cache = self.use_cache
         if use_cache is None:
-            use_cache = getattr(self.model.cfg, "decoder_module", "") == "mamba"
-        dec_cache = None
-        if use_cache:
-            from mamba_asr_tpu.models.asr import ASRModel
+            use_cache = getattr(model.cfg, "decoder_module", "") == "mamba"
 
-            dec_cache = self.model.apply(
-                params, n, method=ASRModel.init_decoder_cache
+        def search(params, lm_params, enc_out, enc_lens, ctc_log_probs):
+            enc_rep = jnp.repeat(enc_out, k, axis=0)
+            enc_lens_rep = jnp.repeat(enc_lens, k, axis=0)
+
+            scorer = None
+            scorer_state = None
+            if has_ctc:
+                scorer = CTCPrefixScorer(
+                    ctc_log_probs, enc_lens, k, self.blank_id, self.eos_id
+                )
+                scorer_state = scorer.init_state()
+
+            dec_cache = None
+            if use_cache:
+                from mamba_asr_tpu.models.asr import ASRModel
+
+                dec_cache = model.apply(
+                    params, n, method=ASRModel.init_decoder_cache
+                )
+                dec_cache = model.apply(
+                    params, enc_rep, dec_cache,
+                    method=ASRModel.prime_decoder_cache,
+                )
+
+            tokens0 = jnp.full((n, s_max + 1), 0, jnp.int32).at[:, 0].set(
+                self.bos_id
             )
-            dec_cache = self.model.apply(
-                params, enc_rep, dec_cache,
-                method=ASRModel.prime_decoder_cache,
+            scores0 = jnp.tile(
+                jnp.concatenate(
+                    [jnp.zeros((1,)), jnp.full((k - 1,), NEG_INF)]
+                )[None],
+                (b, 1),
+            ).reshape(n)
+            carry0 = (
+                jnp.zeros((), jnp.int32),  # step counter
+                tokens0,
+                scores0,
+                jnp.zeros((n,), bool),
+                jnp.zeros((n,), jnp.int32),
+                scorer_state,
+                dec_cache,
             )
 
-        tokens0 = jnp.full((n, s_max + 1), 0, jnp.int32).at[:, 0].set(self.bos_id)
-        scores0 = jnp.tile(
-            jnp.concatenate([jnp.zeros((1,)), jnp.full((k - 1,), NEG_INF)])[None],
-            (b, 1),
-        ).reshape(n)
-        finished0 = jnp.zeros((n,), bool)
-        lengths0 = jnp.zeros((n,), jnp.int32)
+            def cond(carry):
+                s, _, _, finished = carry[0], carry[1], carry[2], carry[3]
+                return (s < s_max) & ~finished.all()
 
-        step_fn = self._build_step(b, k, n, s_max, min_steps, scorer,
-                                   enc_rep, enc_lens_rep, use_cache)
-        carry = (tokens0, scores0, finished0, lengths0, scorer_state,
-                 dec_cache)
-        for s in range(s_max):
-            carry = step_fn(params, lm_params, carry, jnp.asarray(s))
-            # Early exit when every hypothesis has finished.
-            if bool(jax.device_get(carry[2].all())):
-                break
-        tokens, scores, finished, lengths, _, _ = carry
+            def body(carry):
+                s = carry[0]
+                new = step_body(params, lm_params, carry[1:], s, scorer,
+                                enc_rep, enc_lens_rep)
+                return (s + 1,) + new
 
-        # Unfinished hypotheses: count full length.
-        lengths = jnp.where(finished, lengths, s_max)
-        final = jnp.where(
-            self.length_normalization,
-            scores / jnp.maximum(lengths.astype(jnp.float32), 1.0),
-            scores,
-        )
-        final = final.reshape(b, k)
-        best = jnp.argmax(final, axis=1)
-        tokens = tokens.reshape(b, k, s_max + 1)
-        best_toks = jnp.take_along_axis(
-            tokens, best[:, None, None], axis=1
-        )[:, 0, 1:]  # strip bos
-        best_lens = jnp.take_along_axis(
-            lengths.reshape(b, k), best[:, None], axis=1
-        )[:, 0]
-        best_scores = jnp.take_along_axis(final, best[:, None], axis=1)[:, 0]
-        return best_toks, best_lens, best_scores
+            carry = jax.lax.while_loop(cond, body, carry0)
+            _, tokens, scores, finished, lengths, _, _ = carry
 
-    # ------------------------------------------------------------------
+            # Unfinished hypotheses: count full length.
+            lengths = jnp.where(finished, lengths, s_max)
+            final = jnp.where(
+                self.length_normalization,
+                scores / jnp.maximum(lengths.astype(jnp.float32), 1.0),
+                scores,
+            )
+            final = final.reshape(b, k)
+            best = jnp.argmax(final, axis=1)
+            tokens = tokens.reshape(b, k, s_max + 1)
+            best_toks = jnp.take_along_axis(
+                tokens, best[:, None, None], axis=1
+            )[:, 0, 1:]  # strip bos
+            best_lens = jnp.take_along_axis(
+                lengths.reshape(b, k), best[:, None], axis=1
+            )[:, 0]
+            best_scores = jnp.take_along_axis(final, best[:, None], axis=1)[:, 0]
+            return best_toks, best_lens, best_scores
 
-    def _build_step(self, b, k, n, s_max, min_steps, scorer, enc_rep,
-                    enc_lens_rep, use_cache=False):
-        model = self.model
-        lm_model = self.lm_model
-        eos = self.eos_id
-
-        @partial(jax.jit, static_argnums=())
-        def step(params, lm_params, carry, s):
+        def step_body(params, lm_params, carry, s, scorer, enc_rep,
+                      enc_lens_rep):
             tokens, scores, finished, lengths, sc_state, dec_cache = carry
 
             if use_cache:
@@ -261,7 +298,7 @@ class S2SBeamSearcher:
             return (new_tokens, new_scores, new_finished, new_lengths,
                     new_state, new_cache)
 
-        return step
+        return search
 
 
 def strip_special(tokens: np.ndarray, lengths: np.ndarray, eos_id: int = 2
