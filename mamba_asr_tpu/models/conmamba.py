@@ -335,6 +335,7 @@ class MambaDecoder(nn.Module):
                 dropout=self.dropout,
                 normalize_before=self.normalize_before,
                 mamba_cfg=self.mamba_cfg,
+                dtype=self.dtype,
                 name=f"layer_{i}",
             )
             for i in range(self.num_layers)

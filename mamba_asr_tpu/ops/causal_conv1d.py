@@ -95,7 +95,9 @@ def causal_conv1d_step(
     Returns:
       (y_t, new_conv_state).
     """
-    new_state = jnp.concatenate([conv_state[:, 1:], x_t[:, None]], axis=1)
+    new_state = jnp.concatenate(
+        [conv_state[:, 1:], x_t[:, None].astype(conv_state.dtype)], axis=1
+    )
     y = jnp.einsum(
         "bkd,kd->bd",
         new_state.astype(jnp.float32),
