@@ -28,6 +28,33 @@ from mamba_asr_tpu.data.librispeech import Utterance, load_manifest
 from mamba_asr_tpu.data.tokenizer import BOS_ID, EOS_ID, PAD_ID
 
 
+def prefetch_iterator(it: Iterator, size: int = 2) -> Iterator:
+    """Run `it` in a background thread, keeping `size` items ready —
+    overlaps host-side audio IO/collation with device compute (the
+    reference gets this from torch DataLoader workers,
+    train_CTC.py:930-937)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        yield item
+
+
 @dataclasses.dataclass
 class ASRDataset:
     utterances: List[Utterance]

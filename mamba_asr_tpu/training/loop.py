@@ -67,14 +67,21 @@ class Trainer:
         self.start_epoch = 1
         self.lm_model = lm_model
         self.lm_params = lm_params
+        self._searchers = {}
 
     def make_s2s_searcher(self, test: bool = True):
         """Beam searcher per the decode config (valid: beam 10 CTC-only;
-        test: beam 66 + CTC 0.4 + LM 0.6, hparams/S2S/*:331-373)."""
+        test: beam 66 + CTC 0.4 + LM 0.6, hparams/S2S/*:331-373).
+        One instance per mode is cached so its per-shape jitted searches
+        are reused across epochs/batches."""
         from mamba_asr_tpu.decoding.s2s_beam import S2SBeamSearcher
 
+        cached = self._searchers.get(test)
+        if cached is not None:
+            return cached
+
         d = self.cfg.decode
-        return S2SBeamSearcher(
+        searcher = S2SBeamSearcher(
             self.model,
             beam_size=d.s2s_test_beam_size if test else d.valid_beam_size,
             ctc_weight=d.ctc_weight_decode,
@@ -87,6 +94,8 @@ class Trainer:
             min_decode_ratio=d.min_decode_ratio,
             lm_model=self.lm_model if test else None,
         )
+        self._searchers[test] = searcher
+        return searcher
 
     def ctc_decoder(self):
         """Decoder hook for evaluate(): on-device CTC prefix beam search
@@ -156,11 +165,16 @@ class Trainer:
         epochs = epochs or cfg.train.number_of_epochs
         base_rng = jax.random.PRNGKey(cfg.seed + 1)
 
+        from mamba_asr_tpu.data.dataset import prefetch_iterator
+
         for epoch in range(self.start_epoch, epochs + 1):
             t0 = time.time()
             update_norm = epoch <= cfg.train.normalizer_update_epochs
-            losses = []
-            for i, batch in enumerate(train_loader.epoch(epoch)):
+            losses = []  # device arrays; converted once at epoch end so
+            # steps dispatch asynchronously (a per-step float() would
+            # force a sync every step).
+            batches = prefetch_iterator(train_loader.epoch(epoch), size=2)
+            for i, batch in enumerate(batches):
                 if self.state is None:
                     self.init_state(batch)
                 rng = jax.random.fold_in(base_rng, epoch * 100003 + i)
@@ -171,13 +185,14 @@ class Trainer:
                 self.state, metrics = self.train_step(
                     self.state, sharded, rng, jnp.asarray(update_norm)
                 )
-                losses.append(float(metrics["loss"]))
+                losses.append(metrics["loss"])
                 if i % 50 == 0:
                     self.steps_logger.log(
                         epoch=epoch, step=int(self.state.step),
                         loss=float(metrics["loss"]),
                         grad_norm=float(metrics["grad_norm"]),
                     )
+            losses = [float(x) for x in jax.device_get(losses)]
             train_stats = {"loss": float(np.mean(losses)) if losses else 0.0}
 
             valid_stats = {}

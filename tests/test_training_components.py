@@ -162,3 +162,20 @@ def test_ctc_greedy_collapse():
     assert list(n) == [3, 1]
     assert list(np.array(toks[0, :3])) == [3, 4, 5]
     assert list(np.array(toks[1, :1])) == [2]
+
+
+def test_unigram_tokenizer_roundtrip():
+    from mamba_asr_tpu.data.tokenizer import SubwordTokenizer
+
+    corpus = ["THE CAT SAT ON THE MAT"] * 50 + ["A DOG RAN FAST"] * 50
+    tok = SubwordTokenizer.train(corpus, vocab_size=100,
+                                 model_type="unigram")
+    ids = tok.encode("THE DOG SAT")
+    assert tok.decode(ids) == "THE DOG SAT"
+
+
+def test_prefetch_iterator_order_and_completeness():
+    from mamba_asr_tpu.data.dataset import prefetch_iterator
+
+    items = list(prefetch_iterator(iter(range(57)), size=3))
+    assert items == list(range(57))
