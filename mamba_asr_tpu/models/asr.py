@@ -335,6 +335,12 @@ class ASRModel(nn.Module):
         SURVEY.md §3.2)."""
         return self.decoder.prime_cache(enc_out, cache)
 
+    def extend_decoder_cache(self, enc_chunk: Array, cache):
+        """Advance every cross-mamba state with a further chunk of
+        encoder memory — pure-SSM long-form streaming: new audio only
+        ever *extends* state, nothing is recomputed (BASELINE config 5)."""
+        return self.decoder.extend_cache(enc_chunk, cache)
+
     def decode_step(self, token_t: Array, pos: Array, cache):
         """One decode step. token_t (B,) int32, pos scalar position.
 

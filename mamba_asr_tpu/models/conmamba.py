@@ -295,6 +295,16 @@ class MambaDecoderLayer(nn.Module):
         return {"self": cache["self"],
                 "cross": self.cross_mamba.prime(memory)}
 
+    def extend_cache(self, memory_chunk: Array, cache) -> dict:
+        """Advance the cross-mamba state with further encoder memory
+        (incremental priming for long-form streaming)."""
+        return {
+            "self": cache["self"],
+            "cross": self.cross_mamba.extend_prime(
+                memory_chunk, cache["cross"]
+            ),
+        }
+
     def step(self, tgt_t: Array, cache) -> Tuple[Array, dict]:
         """Single-token decode step. tgt_t: (B, d_model)."""
         x = self.norm1(tgt_t) if self.normalize_before else tgt_t
@@ -361,6 +371,12 @@ class MambaDecoder(nn.Module):
         all layers from the same memory tensor.
         """
         return [l.prime_cache(memory, c) for l, c in zip(self.layers, cache)]
+
+    def extend_cache(self, memory_chunk: Array, cache) -> list:
+        return [
+            l.extend_cache(memory_chunk, c)
+            for l, c in zip(self.layers, cache)
+        ]
 
     def step(self, tgt_t: Array, cache) -> Tuple[Array, list]:
         new = []

@@ -266,6 +266,36 @@ class MambaBlock(nn.Module):
             jnp.zeros((batch, self.d_inner, self.cfg.d_state), jnp.float32),
         )
 
+    def extend_prime(
+        self, x_seq: Array, cache: Tuple[Array, Array]
+    ) -> Tuple[Array, Array]:
+        """Advance a step-format cache by scanning a further context
+        chunk — lets the decoder's cross-mamba ingest encoder memory
+        incrementally (long-form streaming S2S: each new audio chunk
+        extends every layer's cross state in one scan)."""
+        conv_state, h = cache
+        k = self.cfg.d_conv
+        head = self.head
+        tail = conv_state[:, 1:]  # last K-1 raw inputs
+        xz = self.in_proj(x_seq)
+        x_in, z = jnp.split(xz, 2, axis=-1)
+        buf = jnp.concatenate([tail.astype(x_in.dtype), x_in], axis=1)
+        x_c = causal_conv1d(buf, head.conv_w, head.conv_b, activation="silu")
+        x_c = x_c[:, k - 1:]
+        delta, b_mat, c_mat = head._dt_bc(x_c)
+        _, h_new = selective_scan(
+            x_c, delta, -jnp.exp(head.a_log), b_mat, c_mat,
+            D=head.d_skip, z=z, delta_bias=head.dt_bias, delta_softplus=True,
+            h0=h, return_last_state=True,
+            implementation="chunked"
+            if self.cfg.scan_impl == "auto" else self.cfg.scan_impl,
+        )
+        new_tail = buf[:, -(k - 1):]
+        new_conv_state = jnp.concatenate(
+            [jnp.zeros_like(new_tail[:, :1]), new_tail], axis=1
+        )
+        return (new_conv_state, h_new)
+
     def prime(self, x_seq: Array) -> Tuple[Array, Array]:
         """Scan a context sequence and return the step-cache positioned
         after it — used to prime the decoder's cross-mamba with the

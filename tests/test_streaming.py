@@ -150,3 +150,42 @@ def test_streaming_session_runs():
     # Emits some tokens or none — must simply run without recompile blowups
     # and keep state shapes consistent.
     assert isinstance(emitted, list)
+
+
+def test_incremental_cross_prime_matches_full():
+    """Extending the decoder cache chunk-by-chunk must equal priming on
+    the full memory (pure-SSM long-form streaming)."""
+    from mamba_asr_tpu.models.conmamba import MambaDecoder
+
+    dec = MambaDecoder(num_layers=2, d_model=8, d_ffn=16, mamba_cfg=MCFG,
+                       dropout=0.0)
+    mem = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 8))
+    tgt = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 8))
+    params = dec.init(jax.random.PRNGKey(2), tgt, mem)
+
+    full = dec.apply(params, 2, method=MambaDecoder.init_cache)
+    full = dec.apply(params, mem, full, method=MambaDecoder.prime_cache)
+
+    inc = dec.apply(params, 2, method=MambaDecoder.init_cache)
+    inc = dec.apply(params, mem[:, :5], inc, method=MambaDecoder.prime_cache)
+    inc = dec.apply(params, mem[:, 5:9], inc,
+                    method=MambaDecoder.extend_cache)
+    inc = dec.apply(params, mem[:, 9:], inc, method=MambaDecoder.extend_cache)
+
+    for a, b in zip(jax.tree_util.tree_leaves(full),
+                    jax.tree_util.tree_leaves(inc)):
+        np.testing.assert_allclose(np.array(a), np.array(b),
+                                   rtol=2e-4, atol=2e-5)
+
+    # And decode steps from the incrementally-built cache match the full
+    # decoder applied to the whole memory.
+    full_out = dec.apply(params, tgt, mem)
+    cache = inc
+    outs = []
+    for t in range(tgt.shape[1]):
+        y, cache = dec.apply(params, tgt[:, t], cache,
+                             method=MambaDecoder.step)
+        outs.append(y)
+    np.testing.assert_allclose(
+        full_out, jnp.stack(outs, axis=1), rtol=2e-4, atol=2e-5
+    )
