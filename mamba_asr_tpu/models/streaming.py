@@ -34,6 +34,124 @@ from mamba_asr_tpu.training.trainer import FrontendConfig
 Array = jax.Array
 
 
+class StreamingS2SSession:
+    """Long-form streaming for the pure-SSM ConMambaMamba model.
+
+    Combines the two stateful primitives (both exact-match tested):
+    - causal ConMamba encoder chunk streaming (SSM state + conv tails),
+    - decoder caches whose cross-mamba state is *extended* by each new
+      chunk of encoder memory (ASRModel.extend_decoder_cache) — audio
+      only ever advances state; nothing is recomputed (BASELINE
+      config 5: "streaming inference with stateful encoder/decoder
+      Mamba caches on long-form audio").
+
+    Protocol: `feed(audio_chunk)` advances encoder + decoder-memory
+    state; `decode_greedy(max_new)` emits tokens from the current state
+    (committing the decoder's self-mamba state, transducer-style).
+    """
+
+    def __init__(
+        self,
+        model: ASRModel,
+        params,
+        frontend: FrontendConfig,
+        normalizer: Optional[NormalizerState] = None,
+        chunk_frames: int = 64,
+        batch: int = 1,
+        bos_id: int = 1,
+        eos_id: int = 2,
+    ):
+        assert model.cfg.decoder_module == "mamba"
+        self.inner = StreamingASRSession(
+            model, params, frontend, normalizer, chunk_frames, batch
+        )
+        self.model = model
+        self.params = params
+        self.batch = batch
+        self.bos_id = bos_id
+        self.eos_id = eos_id
+        self.dec_cache = model.apply(
+            params, batch, method=ASRModel.init_decoder_cache
+        )
+        self.last_token = np.full((batch,), bos_id, np.int32)
+        self.pos = 0
+
+        @jax.jit
+        def extend_fn(params, enc_chunk, cache):
+            return model.apply(
+                params, enc_chunk, cache,
+                method=ASRModel.extend_decoder_cache,
+            )
+
+        @jax.jit
+        def step_fn(params, tok, pos, cache):
+            logits, cache = model.apply(
+                params, tok, pos, cache, method=ASRModel.decode_step
+            )
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+
+        self._extend = extend_fn
+        self._step = step_fn
+
+    def feed(self, audio_chunk: np.ndarray) -> None:
+        """Advance encoder + decoder-memory state with new audio."""
+        if audio_chunk.ndim == 1:
+            audio_chunk = audio_chunk[None]
+        window, n_frames = self.inner._frame_window(audio_chunk)
+        if n_frames <= 0:
+            return
+        enc, self.inner.enc_state = self._enc_chunk(window)
+        self.dec_cache = self._extend(self.params, enc, self.dec_cache)
+
+    def _enc_chunk(self, window: np.ndarray):
+        if not hasattr(self, "_enc_fn"):
+            model, frontend = self.model, self.inner.frontend
+            normalizer = self.inner.normalizer
+
+            @jax.jit
+            def enc_fn(params, wav_window, enc_state):
+                feats = log_mel_spectrogram(
+                    wav_window,
+                    sample_rate=frontend.sample_rate,
+                    n_fft=frontend.n_fft,
+                    n_mels=frontend.n_mels,
+                    win_length_ms=frontend.win_length_ms,
+                    hop_length_ms=frontend.hop_length_ms,
+                    center=False,
+                )
+                if normalizer is not None:
+                    feats = apply_normalizer(normalizer, feats)
+                return model.apply(
+                    params, feats, enc_state, method=ASRModel.encode_chunk
+                )
+
+            self._enc_fn = enc_fn
+        return self._enc_fn(self.params, jnp.asarray(window),
+                            self.inner.enc_state)
+
+    def decode_greedy(self, max_new: int = 32) -> List[List[int]]:
+        """Greedily emit up to max_new tokens from the current state."""
+        out: List[List[int]] = [[] for _ in range(self.batch)]
+        tok = jnp.asarray(self.last_token)
+        done = np.zeros(self.batch, bool)
+        for _ in range(max_new):
+            tok, self.dec_cache = self._step(
+                self.params, tok, jnp.asarray(self.pos), self.dec_cache
+            )
+            self.pos += 1
+            tok_np = np.array(tok)
+            for b in range(self.batch):
+                if not done[b]:
+                    if tok_np[b] == self.eos_id:
+                        done[b] = True
+                    else:
+                        out[b].append(int(tok_np[b]))
+            if done.all():
+                break
+        self.last_token = np.array(tok)
+        return out
+
+
 class StreamingASRSession:
     """Greedy streaming CTC recognition over chunked audio."""
 

@@ -189,3 +189,37 @@ def test_incremental_cross_prime_matches_full():
     np.testing.assert_allclose(
         full_out, jnp.stack(outs, axis=1), rtol=2e-4, atol=2e-5
     )
+
+
+def test_streaming_s2s_session():
+    """Long-form streaming S2S: feed audio chunks, emit tokens."""
+    from mamba_asr_tpu.models.streaming import StreamingS2SSession
+
+    cfg = ASRConfig(
+        vocab_size=12, n_mels=20, d_model=16, nhead=2,
+        num_encoder_layers=1, num_decoder_layers=1, d_ffn=16,
+        dropout=0.0, encoder_module="conmamba", decoder_module="mamba",
+        kernel_size=7, causal=True, bidirectional=False, mamba=MCFG,
+    )
+    model = ASRModel(cfg)
+    frontend = FrontendConfig(n_fft=256, n_mels=20, win_length_ms=16.0)
+    wav0 = jax.random.normal(jax.random.PRNGKey(0), (1, 2560))
+    import mamba_asr_tpu.ops.fbank as fb
+
+    feats = fb.log_mel_spectrogram(wav0, n_fft=256, n_mels=20,
+                                   win_length_ms=16.0)
+    toks = jnp.array([[1, 3, 4]])
+    params = model.init(jax.random.PRNGKey(1), feats,
+                        jnp.array([feats.shape[1]]), toks)
+
+    sess = StreamingS2SSession(model, params, frontend, chunk_frames=16,
+                               batch=1)
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        sess.feed(rng.normal(0, 0.3, size=(1, 16 * 160)).astype(np.float32))
+    hyp1 = sess.decode_greedy(max_new=4)
+    assert len(hyp1) == 1 and len(hyp1[0]) <= 4
+    # Feed more audio; state advances without error and can decode again.
+    sess.feed(rng.normal(0, 0.3, size=(1, 16 * 160)).astype(np.float32))
+    hyp2 = sess.decode_greedy(max_new=4)
+    assert len(hyp2) == 1
