@@ -82,9 +82,17 @@ def load_lm(cfg: ExperimentConfig, tokenizer):
 
 
 def run_training(argv: Optional[List[str]] = None) -> Trainer:
-    argv = argv if argv is not None else sys.argv[1:]
+    argv = list(argv) if argv is not None else sys.argv[1:]
     if not argv:
         raise SystemExit("usage: train_*.py <hparams.yaml> [--key value ...]")
+    if "--distributed" in argv:
+        # Multi-host: one process per host; jax.distributed wires the
+        # mesh over ICI/DCN (the reference's torchrun/ddp_init_group
+        # equivalent, SURVEY.md §5.8).
+        argv.remove("--distributed")
+        import jax
+
+        jax.distributed.initialize()
     cfg = load_config(argv[0], parse_overrides(argv[1:]))
     os.makedirs(cfg.output_folder, exist_ok=True)
 
