@@ -117,3 +117,41 @@ def test_cli_end_to_end(tmp_path):
     assert os.path.isfile(os.path.join(exp_dir, "wer_test-clean.txt"))
     assert glob.glob(os.path.join(exp_dir, "save", "*", "state.msgpack"))
     assert int(trainer.state.step) > 0
+
+
+def test_evaluate_entry(tmp_path):
+    """evaluate.py: eval-only harness on the checkpoints a training run
+    left behind."""
+    import subprocess
+    import sys
+
+    from mamba_asr_tpu.cli import run_training
+
+    corpus = str(tmp_path / "LibriSpeech")
+    _make_corpus(corpus)
+    out = str(tmp_path / "results")
+    common = [
+        os.path.join(REPO, "hparams", "CTC", "conmamba_small.yaml"),
+        "--data.data_folder", corpus,
+        "--data.output_folder", out,
+        "--data.train_splits", "[train-clean-100]",
+        "--data.test_splits", "[test-clean]",
+        "--data.speed_perturb", "false",
+        "--model.d_model", "16",
+        "--model.num_encoder_layers", "1",
+        "--model.d_ffn", "16",
+        "--model.compute_dtype", "float32",
+        "--model.mamba.d_state", "4",
+        "--frontend.n_mels", "20",
+        "--model.n_mels", "20",
+        "--train.grad_accumulation_factor", "1",
+        "--data.num_buckets", "2",
+        "--data.max_batch_seconds", "4.0",
+    ]
+    run_training(common + ["--train.number_of_epochs", "1"])
+
+    import evaluate as eval_mod
+
+    eval_mod.main(common)
+    exp = os.path.join(out, "CTC/conmamba_small", "3407")
+    assert os.path.isfile(os.path.join(exp, "wer_test-clean.txt"))
