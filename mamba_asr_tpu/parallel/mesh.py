@@ -62,3 +62,44 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 
 def is_main_process() -> bool:
     return jax.process_index() == 0
+
+
+def infer_param_shardings(
+    params,
+    mesh: Mesh,
+    min_elements: int = 1 << 14,
+):
+    """Tensor-parallel placement over the reserved "model" axis.
+
+    Shards the output-feature (last) axis of every large >=2-D kernel
+    whose last dim divides the model-axis size; everything else is
+    replicated. Under jit, GSPMD propagates these placements through the
+    computation and inserts the collectives — megatron-style TP without
+    touching the model code (SURVEY.md §2.3: "leave mesh axes in place so
+    vocab and d_ffn matmuls *can* be sharded later").
+
+    Returns a pytree of NamedShardings congruent with `params`.
+    """
+    model_size = mesh.shape["model"]
+
+    def rule(leaf):
+        if (
+            model_size > 1
+            and getattr(leaf, "ndim", 0) >= 2
+            and leaf.size >= min_elements
+            and leaf.shape[-1] % model_size == 0
+        ):
+            spec = P(*([None] * (leaf.ndim - 1) + ["model"]))
+            return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(rule, params)
+
+
+def shard_params(params, mesh: Mesh, min_elements: int = 1 << 14):
+    """Place params per infer_param_shardings."""
+    return jax.tree_util.tree_map(
+        lambda p, s: jax.device_put(p, s),
+        params,
+        infer_param_shardings(params, mesh, min_elements),
+    )
