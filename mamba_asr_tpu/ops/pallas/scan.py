@@ -218,27 +218,14 @@ def _fwd(u, delta, A, B, C, D, z, delta_bias, delta_softplus):
 
 
 def _bwd(delta_softplus, residuals, g):
-    """Recompute-based backward via the XLA scans (chunked for long
-    sequences; the one-shot associative scan for short ones — matching
-    the forward dispatch heuristic, and avoiding a TPU XLA fusion-pass
-    crash observed on single-chunk padded grads)."""
-    u, delta, A, B, C, D, z, delta_bias = residuals
-    from mamba_asr_tpu.ops.selective_scan import (
-        selective_scan_chunked,
-        selective_scan_xla,
-    )
+    """Analytic chunk-checkpointed adjoint (two associative scans: h
+    recompute + reverse g recurrence), mirroring the reference CUDA
+    kernel's backward (selective_scan_interface.py bwd). Replaces
+    autodiff-of-associative-scan, whose per-combine-level intermediates
+    made the backward ~25x slower than the forward at d_inner 1024."""
+    from mamba_asr_tpu.ops.selective_scan import selective_scan_vjp
 
-    length = u.shape[1]
-    impl = selective_scan_chunked if length > 256 else selective_scan_xla
-
-    def f(u, delta, A, B, C, D, z, delta_bias):
-        return impl(
-            u, delta, A, B, C, D=D, z=z, delta_bias=delta_bias,
-            delta_softplus=delta_softplus,
-        )
-
-    _, vjp = jax.vjp(f, u, delta, A, B, C, D, z, delta_bias)
-    return vjp(g)
+    return selective_scan_vjp(residuals, g, delta_softplus=delta_softplus)
 
 
 _selective_scan_pallas.defvjp(_fwd, _bwd)
