@@ -58,6 +58,99 @@ def supported(u: Array, A: Array, h0, return_last_state: bool) -> bool:
     return n <= 32 and length >= 1 and d >= 1
 
 
+def _forward_chunk_scan(da, dbu, h_carry, lchunk, n_state):
+    """Inclusive scan h_i = da_i h_{i-1} + dbu_i, h_{-1} = h_carry.
+
+    Work-efficient two-level scheme: reshape L into (ROWS, COLS), run a
+    *sequential* inclusive scan within each row (COLS-1 cheap passes over
+    1/COLS of the data; slices + concat, no in-kernel scatter), a
+    log-depth Hillis scan over the ROWS row-aggregates, then combine.
+    Returns hs (L, N, D).
+    """
+    rows, cols = lchunk // 8, 8
+    a_in = da.reshape(rows, cols, n_state, da.shape[-1])
+    b_in = dbu.reshape(rows, cols, n_state, dbu.shape[-1])
+    pa, pb = a_in[:, 0:1], b_in[:, 0:1]
+    cols_a, cols_b = [pa], [pb]
+    for c in range(1, cols):
+        cur_a = a_in[:, c : c + 1]
+        cur_b = b_in[:, c : c + 1]
+        pb = cur_a * pb + cur_b
+        pa = cur_a * pa
+        cols_a.append(pa)
+        cols_b.append(pb)
+    a = jnp.concatenate(cols_a, axis=1)
+    b = jnp.concatenate(cols_b, axis=1)
+
+    ra, rb = pa[:, 0], pb[:, 0]  # (ROWS, N, D) row aggregates
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0)
+    off = 1
+    while off < rows:
+        sa = jnp.roll(ra, off, axis=0)
+        sb = jnp.roll(rb, off, axis=0)
+        valid = row_idx >= off
+        rb = jnp.where(valid, ra * sb + rb, rb)
+        ra = jnp.where(valid, ra * sa, ra)
+        off *= 2
+
+    # Exclusive row prefixes with the carried state folded in.
+    ex_a = jnp.roll(ra, 1, axis=0)
+    ex_b = jnp.roll(rb, 1, axis=0)
+    first = row_idx == 0
+    ex_a = jnp.where(first, 1.0, ex_a)
+    ex_b = jnp.where(first, 0.0, ex_b)
+    pref_h = ex_a * h_carry[None] + ex_b  # (ROWS, N, D)
+
+    hs = a * pref_h[:, None] + b  # (ROWS, COLS, N, D)
+    return hs.reshape(lchunk, n_state, hs.shape[-1])
+
+
+def _reverse_chunk_scan(ash, d, lchunk, n_state):
+    """Reverse recurrence g_i = d_i + ash_i * g_{i+1}, g_L = 0.
+
+    Mirror of _forward_chunk_scan running right-to-left (no lax.rev in
+    Mosaic): backward within-row passes, a reverse row-aggregate scan,
+    and a combine with row-boundary values. Returns g (L, N, D).
+    """
+    rows, cols = lchunk // 8, 8
+    a_in = ash.reshape(rows, cols, n_state, ash.shape[-1])
+    d_in = d.reshape(rows, cols, n_state, d.shape[-1])
+
+    # Backward within-row scan G (row-local, assuming g after row = 0)
+    # and suffix transmissions S[:, c] = prod_{j=c..cols-1} ash[:, j].
+    pg = d_in[:, cols - 1 : cols]
+    ps = a_in[:, cols - 1 : cols]
+    cols_g, cols_s = [pg], [ps]
+    for c in range(cols - 2, -1, -1):
+        cur_a = a_in[:, c : c + 1]
+        pg = d_in[:, c : c + 1] + cur_a * pg
+        ps = cur_a * ps
+        cols_g.append(pg)
+        cols_s.append(ps)
+    g_local = jnp.concatenate(cols_g[::-1], axis=1)  # (R, C, N, D)
+    s_suffix = jnp.concatenate(cols_s[::-1], axis=1)
+
+    # Row boundaries B_r = g at (r, 0) = G[r,0] + S[r,0] * B_{r+1}:
+    # reverse first-order scan over rows (log-depth, rolls upward).
+    rg = g_local[:, 0]  # (ROWS, N, D)
+    rs = s_suffix[:, 0]
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0)
+    off = 1
+    while off < rows:
+        sg = jnp.roll(rg, -off, axis=0)
+        ss = jnp.roll(rs, -off, axis=0)
+        valid = row_idx <= rows - 1 - off
+        rg = jnp.where(valid, rg + rs * sg, rg)
+        rs = jnp.where(valid, rs * ss, rs)
+        off *= 2
+    # rg[r] = B_r. Next-row boundary, 0 past the last row.
+    b_next = jnp.roll(rg, -1, axis=0)
+    b_next = jnp.where(row_idx == rows - 1, 0.0, b_next)
+
+    g = g_local + s_suffix * b_next[:, None]  # (R, C, N, D)
+    return g.reshape(lchunk, n_state, g.shape[-1])
+
+
 def _scan_kernel(
     u_ref, dt_ref, bmat_ref, cmat_ref, at_ref, dtb_ref, dskip_ref, z_ref,
     out_ref, h_ref, *, n_state: int, delta_softplus: bool, lchunk: int,
@@ -85,56 +178,94 @@ def _scan_kernel(
     da = jnp.exp(dt[:, None, :] * a_t[None, :, :])
     dbu = (dt * u)[:, None, :] * bmat[:, :, None]
 
-    # Work-efficient two-level scan over the chunk: reshape L into
-    # (ROWS, COLS), run a *sequential* inclusive scan within each row
-    # (COLS-1 cheap passes over 1/COLS of the data), then a log-depth
-    # Hillis scan over the ROWS row-aggregates, and finally combine.
-    # Total elementwise work ~2-3x below a full-chunk Hillis scan.
-    rows, cols = lchunk // 8, 8
-    a_in = da.reshape(rows, cols, n_state, da.shape[-1])
-    b_in = dbu.reshape(rows, cols, n_state, dbu.shape[-1])
-    # (no in-kernel scatter: build scanned columns with slices + concat)
-    pa, pb = a_in[:, 0:1], b_in[:, 0:1]
-    cols_a, cols_b = [pa], [pb]
-    for c in range(1, cols):
-        cur_a = a_in[:, c : c + 1]
-        cur_b = b_in[:, c : c + 1]
-        pb = cur_a * pb + cur_b
-        pa = cur_a * pa
-        cols_a.append(pa)
-        cols_b.append(pb)
-    a = jnp.concatenate(cols_a, axis=1)
-    b = jnp.concatenate(cols_b, axis=1)
-
-    ra, rb = pa[:, 0], pb[:, 0]  # (ROWS, N, D) row aggregates
-    row_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0)
-    off = 1
-    while off < rows:
-        sa = jnp.roll(ra, off, axis=0)
-        sb = jnp.roll(rb, off, axis=0)
-        valid = row_idx >= off
-        rb = jnp.where(valid, ra * sb + rb, rb)
-        ra = jnp.where(valid, ra * sa, ra)
-        off *= 2
-
-    # Exclusive row prefixes, with the carried state folded in:
-    # prefix_h[r] = (prod of aggregates < r) * h_carry + (their scan).
     h_carry = h_ref[...].astype(jnp.float32)  # (N, D)
-    ex_a = jnp.roll(ra, 1, axis=0)
-    ex_b = jnp.roll(rb, 1, axis=0)
-    first = row_idx == 0
-    ex_a = jnp.where(first, 1.0, ex_a)
-    ex_b = jnp.where(first, 0.0, ex_b)
-    pref_h = ex_a * h_carry[None] + ex_b  # (ROWS, N, D)
-
-    hs = a * pref_h[:, None] + b  # (ROWS, COLS, N, D)
-    h_ref[...] = hs[rows - 1, cols - 1]
-    hs = hs.reshape(lchunk, n_state, hs.shape[-1])
+    hs = _forward_chunk_scan(da, dbu, h_carry, lchunk, n_state)
+    h_ref[...] = hs[lchunk - 1]
 
     y = jnp.sum(hs * cmat[:, :, None], axis=1)  # (L, D)
     y = y + u * d_skip
     y = y * jax.nn.silu(z)
     out_ref[0] = y.astype(out_ref.dtype)
+
+
+def _scan_bwd_kernel(
+    u_ref, dt_ref, bmat_ref, cmat_ref, at_ref, dtb_ref, dskip_ref, z_ref,
+    dout_ref, hstart_ref,
+    du_ref, ddt_ref, dbm_ref, dcm_ref, dz_ref, dapart_ref,
+    g_ref, *, n_state: int, delta_softplus: bool, lchunk: int,
+):
+    """Adjoint of one (batch, d-tile, time-chunk) cell.
+
+    The time-chunk grid axis iterates REVERSED (index maps feed chunks
+    last-to-first); the VMEM scratch g_ref carries
+    a_first * g_first of the chunk to its predecessor. dA partials
+    accumulate into a per-(batch, d-tile) output block (constant across
+    the innermost l axis, so the block stays VMEM-resident).
+    """
+    l_idx = pl.program_id(2)
+
+    @pl.when(l_idx == 0)
+    def _():
+        g_ref[...] = jnp.zeros_like(g_ref)
+        dapart_ref[...] = jnp.zeros_like(dapart_ref)
+
+    u = u_ref[0].astype(jnp.float32)
+    dt_raw = dt_ref[0].astype(jnp.float32)
+    bmat = bmat_ref[0].astype(jnp.float32)
+    cmat = cmat_ref[0].astype(jnp.float32)
+    a_t = at_ref[...].astype(jnp.float32)
+    dt_bias = dtb_ref[...].astype(jnp.float32)
+    d_skip = dskip_ref[...].astype(jnp.float32)
+    z = z_ref[0].astype(jnp.float32)
+    dout = dout_ref[0].astype(jnp.float32)
+    h_start = hstart_ref[0, 0].astype(jnp.float32)  # (N, D)
+
+    dt_b = dt_raw + dt_bias
+    if delta_softplus:
+        dt = jax.nn.softplus(dt_b)
+        dsp = jax.nn.sigmoid(dt_b)
+    else:
+        dt = dt_b
+        dsp = jnp.ones_like(dt_b)
+
+    da = jnp.exp(dt[:, None, :] * a_t[None, :, :])  # (L, N, D)
+    dbu = (dt * u)[:, None, :] * bmat[:, :, None]
+
+    hs = _forward_chunk_scan(da, dbu, h_start, lchunk, n_state)
+    h_prev = jnp.concatenate([h_start[None], hs[:-1]], axis=0)
+
+    sig = jax.nn.sigmoid(z)
+    silu = z * sig
+    dy = dout * silu  # (L, D)
+
+    dh = dy[:, None, :] * cmat[:, :, None]  # (L, N, D)
+    # Fold the carry from the (temporally) next chunk into the last
+    # position: carry already includes its a coefficient.
+    g_carry = g_ref[...].astype(jnp.float32)
+    dh = jnp.concatenate([dh[:-1], dh[-1:] + g_carry[None]], axis=0)
+    # ash_i = a_{i+1} within the chunk; the cross-chunk term lives in the
+    # folded carry, so ash at the last position is 0.
+    ash = jnp.concatenate([da[1:], jnp.zeros_like(da[:1])], axis=0)
+    g = _reverse_chunk_scan(ash, dh, lchunk, n_state)
+    g_ref[...] = da[0] * g[0]
+
+    gh = g * h_prev * da  # (L, N, D) — shared by dA and the a-path of ddt
+    t1 = jnp.sum(g * bmat[:, :, None], axis=1)  # (L, D)
+    ddt = t1 * u + jnp.sum(gh * a_t[None], axis=1)
+    du = t1 * dt + dy * d_skip
+    dbm = jnp.sum(g * (dt * u)[:, None, :], axis=2)  # (L, N)
+    dcm = jnp.sum(hs * dy[:, None, :], axis=2)       # (L, N)
+    y_pre = jnp.sum(hs * cmat[:, :, None], axis=1) + u * d_skip
+    dz = dout * y_pre * (sig * (1.0 + z * (1.0 - sig)))
+
+    du_ref[0] = du.astype(du_ref.dtype)
+    ddt_ref[0] = (ddt * dsp).astype(ddt_ref.dtype)
+    dbm_ref[0] = dbm.astype(dbm_ref.dtype)
+    dcm_ref[0] = dcm.astype(dcm_ref.dtype)
+    dz_ref[0] = dz.astype(dz_ref.dtype)
+    dapart_ref[...] += jnp.sum(gh * dt[:, None, :], axis=0).astype(
+        dapart_ref.dtype
+    )[None]
 
 
 @functools.partial(
@@ -211,6 +342,130 @@ def _pallas_fwd_impl(u, delta, A, B, C, D, z, delta_bias, delta_softplus,
     return out[:, :length, :d_in]
 
 
+def selective_scan_bwd_pallas(
+    residuals, dout, delta_softplus: bool, interpret: bool = False
+):
+    """Pallas adjoint: per-cell VMEM-resident backward (see
+    _scan_bwd_kernel). Returns grads for
+    (u, delta, A, B, C, D, z, delta_bias)."""
+    u, delta, A, B, C, D, z, delta_bias = residuals
+    bsz, length, d_in = u.shape
+    n = A.shape[1]
+
+    lp = _round_up(length, L_CHUNK)
+    dp = _round_up(d_in, D_TILE)
+    nl = lp // L_CHUNK
+
+    def pad_ld(x):
+        return jnp.pad(x, ((0, 0), (0, lp - length), (0, dp - d_in)))
+
+    def pad_ln(x):
+        return jnp.pad(x, ((0, 0), (0, lp - length), (0, 0)))
+
+    u_p = pad_ld(u)
+    delta_p = jnp.pad(
+        delta,
+        ((0, 0), (0, lp - length), (0, dp - d_in)),
+        constant_values=-1e9 if delta_softplus else 0.0,
+    )
+    z_p = pad_ld(z)
+    b_p = pad_ln(B)
+    c_p = pad_ln(C)
+    dout_p = pad_ld(dout)
+    a_t = jnp.pad(A.T, ((0, 0), (0, dp - d_in)))
+    dtb = jnp.pad(delta_bias, (0, dp - d_in))[None, :]
+    dsk = jnp.pad(D, (0, dp - d_in))[None, :]
+
+    # Chunk-boundary states (cheap XLA forward over chunk aggregates).
+    dtf = delta_p.astype(jnp.float32) + dtb.astype(jnp.float32)
+    if delta_softplus:
+        dtf = jax.nn.softplus(dtf)
+    uf = u_p.astype(jnp.float32)
+    atf = a_t.astype(jnp.float32)
+
+    def chunked(x):
+        return jnp.moveaxis(
+            x.reshape(bsz, nl, L_CHUNK, x.shape[-1]), 1, 0
+        )
+
+    u_c, dt_c, b_c = chunked(uf), chunked(dtf), chunked(b_p.astype(jnp.float32))
+
+    def boundary_body(h, xs):
+        uu, dd, bb = xs  # (B, L, D) / (B, L, N)
+        da = jnp.exp(dd[:, :, None, :] * atf[None, None])  # (B, L, N, D)
+        dbu = (dd * uu)[:, :, None, :] * bb[:, :, :, None]
+        dbu = dbu.at[:, 0].add(da[:, 0] * h)
+
+        def comb(x, y):
+            return (y[0] * x[0], y[0] * x[1] + y[1])
+
+        pa, pb = jax.lax.associative_scan(comb, (da, dbu), axis=1)
+        return pb[:, -1], h
+
+    h0 = jnp.zeros((bsz, n, dp), jnp.float32)
+    _, h_starts = jax.lax.scan(boundary_body, h0, (u_c, dt_c, b_c))
+    h_starts = jnp.moveaxis(h_starts, 0, 1)  # (B, nc, N, Dp)
+
+    grid = (bsz, dp // D_TILE, nl)
+    rev = lambda b, d, l: (b, nl - 1 - l, d)
+    rev_n = lambda b, d, l: (b, nl - 1 - l, 0)
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _scan_bwd_kernel,
+            n_state=n,
+            delta_softplus=delta_softplus,
+            lchunk=L_CHUNK,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, L_CHUNK, D_TILE), rev),
+            pl.BlockSpec((1, L_CHUNK, D_TILE), rev),
+            pl.BlockSpec((1, L_CHUNK, n), rev_n),
+            pl.BlockSpec((1, L_CHUNK, n), rev_n),
+            pl.BlockSpec((n, D_TILE), lambda b, d, l: (0, d)),
+            pl.BlockSpec((1, D_TILE), lambda b, d, l: (0, d)),
+            pl.BlockSpec((1, D_TILE), lambda b, d, l: (0, d)),
+            pl.BlockSpec((1, L_CHUNK, D_TILE), rev),
+            pl.BlockSpec((1, L_CHUNK, D_TILE), rev),
+            pl.BlockSpec((1, 1, n, D_TILE), lambda b, d, l: (b, nl - 1 - l, 0, d)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, L_CHUNK, D_TILE), rev),
+            pl.BlockSpec((1, L_CHUNK, D_TILE), rev),
+            pl.BlockSpec((1, L_CHUNK, n), rev_n),
+            pl.BlockSpec((1, L_CHUNK, n), rev_n),
+            pl.BlockSpec((1, L_CHUNK, D_TILE), rev),
+            pl.BlockSpec((1, n, D_TILE), lambda b, d, l: (b, 0, d)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, lp, dp), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, lp, dp), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, lp, n), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, lp, n), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, lp, dp), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, n, dp), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((n, D_TILE), jnp.float32)],
+        interpret=interpret,
+    )(u_p, delta_p, b_p, c_p, a_t, dtb, dsk, z_p, dout_p, h_starts)
+
+    du_p, ddt_p, dbm_p, dcm_p, dz_p, dapart = outs
+    du = du_p[:, :length, :d_in].astype(u.dtype)
+    ddt = ddt_p[:, :length, :d_in]
+    dB = dbm_p[:, :length].astype(B.dtype)
+    dC = dcm_p[:, :length].astype(C.dtype)
+    dz = dz_p[:, :length, :d_in].astype(z.dtype)
+    dA = dapart[:, :, :d_in].sum(axis=0).T.astype(A.dtype)  # (D, N)
+
+    # Host-side cheap reductions.
+    zf = z.astype(jnp.float32)
+    dy = dout.astype(jnp.float32) * (zf * jax.nn.sigmoid(zf))
+    dD = jnp.einsum("bld,bld->d", dy, u.astype(jnp.float32)).astype(D.dtype)
+    ddb = ddt.sum(axis=(0, 1)).astype(delta_bias.dtype)
+    return (du, ddt.astype(delta.dtype), dA, dB, dC, dD, dz, ddb)
+
+
 def _fwd(u, delta, A, B, C, D, z, delta_bias, delta_softplus):
     out = _pallas_fwd_impl(u, delta, A, B, C, D, z, delta_bias,
                            delta_softplus)
@@ -218,11 +473,12 @@ def _fwd(u, delta, A, B, C, D, z, delta_bias, delta_softplus):
 
 
 def _bwd(delta_softplus, residuals, g):
-    """Analytic chunk-checkpointed adjoint (two associative scans: h
-    recompute + reverse g recurrence), mirroring the reference CUDA
-    kernel's backward (selective_scan_interface.py bwd). Replaces
-    autodiff-of-associative-scan, whose per-combine-level intermediates
-    made the backward ~25x slower than the forward at d_inner 1024."""
+    """Analytic adjoint, VMEM-resident Pallas kernel on TPU (two in-cell
+    chunk scans: h recompute + reverse g recurrence — the reference CUDA
+    kernel's recompute strategy, selective_scan_interface.py bwd), with
+    the chunk-checkpointed XLA adjoint as the fallback."""
+    if jax.default_backend() == "tpu":
+        return selective_scan_bwd_pallas(residuals, g, delta_softplus)
     from mamba_asr_tpu.ops.selective_scan import selective_scan_vjp
 
     return selective_scan_vjp(residuals, g, delta_softplus=delta_softplus)

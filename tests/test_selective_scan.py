@@ -202,3 +202,32 @@ def test_analytic_vjp_matches_autodiff():
         np.testing.assert_allclose(
             r, a, rtol=2e-4, atol=2e-5, err_msg=name
         )
+
+
+def test_pallas_bwd_kernel_interpret_matches_oracle():
+    """Pallas adjoint kernel (interpret mode) vs jax.grad of the ref."""
+    from mamba_asr_tpu.ops.pallas.scan import selective_scan_bwd_pallas
+
+    u, delta, A, B, C, D, z, db = _make_inputs(
+        jax.random.PRNGKey(13), bsz=2, length=150, d=10, n=4
+    )
+    cot = jax.random.normal(jax.random.PRNGKey(14), u.shape)
+
+    def loss(u, delta, A, B, C, D, z, db):
+        out = selective_scan_ref(
+            u, delta, A, B, C, D=D, z=z, delta_bias=db, delta_softplus=True
+        )
+        return jnp.sum(out * cot)
+
+    ref_grads = jax.grad(loss, argnums=tuple(range(8)))(
+        u, delta, A, B, C, D, z, db
+    )
+    ana_grads = selective_scan_bwd_pallas(
+        (u, delta, A, B, C, D, z, db), cot, delta_softplus=True,
+        interpret=True,
+    )
+    names = ["u", "delta", "A", "B", "C", "D", "z", "delta_bias"]
+    for name, r, a in zip(names, ref_grads, ana_grads):
+        np.testing.assert_allclose(
+            np.asarray(r), np.asarray(a), rtol=3e-4, atol=3e-5, err_msg=name
+        )
