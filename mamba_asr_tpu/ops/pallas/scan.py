@@ -18,11 +18,15 @@ Layout (TPU tiling: last dim = 128 lanes, 2nd-to-last = sublanes):
   state h is carried across length-chunks in a VMEM scratch accumulator
   (grid iterates the L axis innermost).
 
-Backward: jax.custom_vjp whose bwd re-runs the chunked XLA scan
-(ops.selective_scan.selective_scan_chunked) under jax.vjp — the same
-"recompute in backward" strategy as the reference kernel's
-checkpoint_lvl=1 (selective_scan_interface.py:223-226). The Pallas fwd
-therefore accelerates both inference and the training forward pass.
+Backward: jax.custom_vjp whose bwd on TPU is the ANALYTIC Pallas adjoint
+(_scan_bwd_kernel via selective_scan_bwd_pallas): chunk-boundary states
+are recomputed with a cheap XLA aggregate pass, then each
+(batch, d-tile, time-chunk) cell re-runs the forward chunk scan and a
+reverse g-recurrence entirely in VMEM — the same recompute-in-backward
+strategy as the reference kernel's checkpoint_lvl=1
+(selective_scan_interface.py:223-226). On non-TPU backends the bwd falls
+back to the chunk-checkpointed XLA adjoint
+(ops.selective_scan.selective_scan_vjp).
 """
 
 from __future__ import annotations

@@ -38,7 +38,13 @@ class CheckpointManager:
 
     # -- listing -----------------------------------------------------------
 
-    def _entries(self) -> List[dict]:
+    def _entries(self, include_averaged: bool = False) -> List[dict]:
+        """Training checkpoints, oldest-name-first. Averaged checkpoints
+        (metrics={'averaged': True}, written after evaluation — the
+        reference protects these with an ACC=1.1 metadata hack,
+        /root/reference/train_S2S.py:814-821) are excluded by default so
+        they never participate in pruning, best-k selection, averaging,
+        or auto-resume."""
         out = []
         for name in sorted(os.listdir(self.directory)):
             meta_path = os.path.join(self.directory, name, _META)
@@ -46,6 +52,10 @@ class CheckpointManager:
                 with open(meta_path, encoding="utf-8") as f:
                     meta = json.load(f)
                 meta["name"] = name
+                if not include_averaged and meta.get("metrics", {}).get(
+                    "averaged"
+                ):
+                    continue
                 out.append(meta)
         return out
 

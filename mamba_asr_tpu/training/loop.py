@@ -144,12 +144,18 @@ class Trainer:
             self.model, self.tx, self.cfg.frontend, rng, example_batch
         )
         # Auto-resume (reference Brain recovers latest at fit start).
-        restored = self.ckpt.restore(jax.device_get(self.state))
-        if restored is not None:
-            meta = max(
-                self.ckpt._entries(), key=lambda e: e.get("time", 0)
+        # Resume from the max-epoch TRAINING checkpoint — averaged
+        # checkpoints (written by evaluate()) carry no epoch and must
+        # never be a resume candidate (they'd restart training at epoch 1
+        # from parameter-averaged weights).
+        entries = self.ckpt._entries()  # averaged entries already excluded
+        candidates = [e for e in entries if "epoch" in e.get("metrics", {})]
+        if candidates:
+            meta = max(candidates, key=lambda e: e["metrics"]["epoch"])
+            restored = self.ckpt.restore(
+                jax.device_get(self.state), name=meta["name"]
             )
-            self.start_epoch = int(meta["metrics"].get("epoch", 0)) + 1
+            self.start_epoch = int(meta["metrics"]["epoch"]) + 1
             self.state = jax.device_put(restored)
             print(f"resumed from checkpoint at epoch {self.start_epoch - 1}")
 
@@ -166,6 +172,15 @@ class Trainer:
         base_rng = jax.random.PRNGKey(cfg.seed + 1)
 
         from mamba_asr_tpu.data.dataset import prefetch_iterator
+
+        # Initialize (and auto-resume) BEFORE computing the epoch range:
+        # init_state sets start_epoch from the restored checkpoint, so a
+        # lazy first-batch init would silently restart at epoch 1 (and
+        # re-run the normalizer-update epochs) after a resume.
+        if self.state is None:
+            first = next(iter(train_loader.epoch(self.start_epoch)), None)
+            if first is not None:
+                self.init_state(first)
 
         for epoch in range(self.start_epoch, epochs + 1):
             t0 = time.time()

@@ -217,9 +217,14 @@ def make_train_step(
         else:
             loss = loss_ctc
         metrics["loss"] = loss
-        # The reference divides the loss by the accumulation factor
-        # (sb.Brain fit_batch).
-        return loss / train_cfg.grad_accumulation_factor, metrics
+        # NOTE: no division by grad_accumulation_factor here. The reference
+        # divides the loss by k and then SUMS micro-grads via backward
+        # accumulation (sb.Brain fit_batch) — which equals the MEAN of
+        # unscaled micro-grads. optax.MultiSteps (use_grad_mean=True)
+        # already takes that mean, so dividing here would shrink effective
+        # gradients k× and make clip_by_global_norm fire at 5·k in
+        # reference units.
+        return loss, metrics
 
     def train_step(state: TrainState, batch, rng, update_norm):
         feats_for_norm = compute_features(frontend, batch["wav"])

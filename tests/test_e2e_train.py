@@ -131,3 +131,55 @@ def test_s2s_training_step_runs():
     assert np.isfinite(float(metrics["loss"]))
     assert "loss_att" in metrics and "loss_ctc" in metrics
     assert int(state.step) == 4
+
+
+def test_grad_accumulation_matches_single_step():
+    """Accumulation semantics: with identical micro-batches, k micro-steps
+    under grad_accumulation_factor=k must produce exactly the parameters of
+    ONE step at k=1 (the reference divides the loss by k then SUMS
+    micro-grads — i.e. the mean of unscaled micro-grads, which is what
+    optax.MultiSteps computes; a double division would shrink grads k× and
+    let clip_by_global_norm fire at 5k in reference units)."""
+    cfg = ASRConfig(
+        vocab_size=8,
+        n_mels=20,
+        d_model=32,
+        num_encoder_layers=1,
+        num_decoder_layers=0,
+        d_ffn=32,
+        dropout=0.0,
+        encoder_module="conmamba",
+        kernel_size=7,
+        mamba=MambaConfig(d_state=4, scan_impl="xla"),
+    )
+    model = ASRModel(cfg)
+    frontend = FrontendConfig(n_mels=20, n_fft=256, win_length_ms=16.0)
+    batch = _synthetic_batch(np.random.default_rng(0))
+    specaug = SpecAugmentConfig(enabled=False)
+    k = 4
+
+    results = {}
+    grad_norms = {}
+    for accum in (1, k):
+        tcfg = TrainConfig(
+            lr=2e-3, warmup_steps=20, grad_accumulation_factor=accum,
+            normalizer_update_epochs=0,
+        )
+        tx = make_optimizer(tcfg)
+        state = init_train_state(
+            model, tx, frontend, jax.random.PRNGKey(0), batch
+        )
+        step = make_train_step(model, tx, frontend, tcfg, specaug)
+        for _ in range(1 if accum == 1 else k):
+            state, metrics = step(
+                state, batch, jax.random.PRNGKey(0), jnp.asarray(False)
+            )
+        results[accum] = jax.device_get(state.params)
+        grad_norms[accum] = float(metrics["grad_norm"])
+
+    # Micro-grad norms are unscaled (no loss/k division).
+    assert np.isclose(grad_norms[1], grad_norms[k], rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves(results[1])
+    flatk = jax.tree_util.tree_leaves(results[k])
+    for a, b in zip(flat1, flatk):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
