@@ -54,10 +54,12 @@ class S2SBeamSearcher:
     length_normalization: bool = True
     lm_model: Optional[object] = None   # TransformerLM
     max_steps_cap: int = 256
-    # Pure-SSM fast path: step the Mamba decoder through its primed
-    # (conv_state, ssm_state) cache — O(1) per token instead of the
-    # reference's full-prefix re-scan (SURVEY.md §3.2 note). Enabled
-    # automatically for mamba decoders.
+    # O(1)-per-token decode: mamba decoders step through their primed
+    # (conv_state, ssm_state) cache; transformer decoders through
+    # self-attention KV buffers + once-projected cross K/V. The
+    # reference re-scans the full prefix every step (SURVEY.md §3.2).
+    # Default on for both decoder types; set False to force the
+    # full-prefix re-score path.
     use_cache: Optional[bool] = None
     # CTC prefix scoring restricted to the top-C tokens by decoder(+LM)
     # score (partial-scorer pattern; 0 = score the full vocab). The full
@@ -111,7 +113,9 @@ class S2SBeamSearcher:
         min_steps = int(self.min_decode_ratio * t_enc)
         use_cache = self.use_cache
         if use_cache is None:
-            use_cache = getattr(model.cfg, "decoder_module", "") == "mamba"
+            use_cache = getattr(model.cfg, "decoder_module", "") in (
+                "mamba", "transformer"
+            )
 
         def search(params, lm_params, enc_out, enc_lens, ctc_log_probs):
             enc_rep = jnp.repeat(enc_out, k, axis=0)
@@ -130,12 +134,17 @@ class S2SBeamSearcher:
                 from mamba_asr_tpu.models.asr import ASRModel
 
                 dec_cache = model.apply(
-                    params, n, method=ASRModel.init_decoder_cache
+                    params, n, s_max + 1,
+                    method=ASRModel.init_decoder_cache,
                 )
                 dec_cache = model.apply(
-                    params, enc_rep, dec_cache,
+                    params, enc_rep, dec_cache, enc_lens_rep,
                     method=ASRModel.prime_decoder_cache,
                 )
+
+            lm_cache = None
+            if has_lm and lm_model is not None:
+                lm_cache = lm_model.init_cache(n, s_max + 1)
 
             tokens0 = jnp.full((n, s_max + 1), 0, jnp.int32).at[:, 0].set(
                 self.bos_id
@@ -154,6 +163,7 @@ class S2SBeamSearcher:
                 jnp.zeros((n,), jnp.int32),
                 scorer_state,
                 dec_cache,
+                lm_cache,
             )
 
             def cond(carry):
@@ -167,7 +177,7 @@ class S2SBeamSearcher:
                 return (s + 1,) + new
 
             carry = jax.lax.while_loop(cond, body, carry0)
-            _, tokens, scores, finished, lengths, _, _ = carry
+            _, tokens, scores, finished, lengths, _, _, _ = carry
 
             # Unfinished hypotheses: count full length.
             lengths = jnp.where(finished, lengths, s_max)
@@ -190,14 +200,15 @@ class S2SBeamSearcher:
 
         def step_body(params, lm_params, carry, s, scorer, enc_rep,
                       enc_lens_rep):
-            tokens, scores, finished, lengths, sc_state, dec_cache = carry
+            (tokens, scores, finished, lengths, sc_state, dec_cache,
+             lm_cache) = carry
 
+            prev_tok = jnp.take_along_axis(
+                tokens, s[None, None].astype(jnp.int32), axis=1
+            )[:, 0]
             if use_cache:
                 from mamba_asr_tpu.models.asr import ASRModel
 
-                prev_tok = jnp.take_along_axis(
-                    tokens, s[None, None].astype(jnp.int32), axis=1
-                )[:, 0]
                 step_logits, dec_cache = model.apply(
                     params, prev_tok, s, dec_cache,
                     method=ASRModel.decode_step,
@@ -225,10 +236,12 @@ class S2SBeamSearcher:
             total = lp
 
             if lm_model is not None and lm_params is not None:
-                lm_logits = lm_model.apply(lm_params, tokens[:, :-1])
-                lm_step = jnp.take_along_axis(
-                    lm_logits, s[None, None, None].astype(jnp.int32), axis=1
-                )[:, 0]
+                # Incremental LM step through per-layer KV buffers: O(1)
+                # per step (full-prefix re-scoring of the 12-layer d768 LM
+                # per step is what makes beam 66 x vocab 5000 infeasible).
+                lm_step, lm_cache = lm_model.apply(
+                    lm_params, prev_tok, cache=lm_cache, cache_index=s
+                )
                 lm_lp = jax.nn.log_softmax(
                     lm_step / self.temperature_lm, axis=-1
                 )
@@ -292,11 +305,36 @@ class S2SBeamSearcher:
                 new_state = scorer.select(sc_state, aux, tok, reorder)
             new_cache = dec_cache
             if use_cache:
-                new_cache = jax.tree_util.tree_map(
-                    lambda x: x[reorder], dec_cache
+                if isinstance(dec_cache, dict) and "layers" in dec_cache:
+                    # Transformer decoder: only the self-attention KV
+                    # buffers are per-hypothesis; the cross K/V and memory
+                    # mask are identical across beams of a batch row and
+                    # reorder preserves row groups — skip gathering those
+                    # (they are (N, T_enc, H, dh): hundreds of MB at
+                    # reference scale).
+                    new_cache = {
+                        "layers": [
+                            {
+                                "self": jax.tree_util.tree_map(
+                                    lambda x: x[reorder], c["self"]
+                                ),
+                                "cross": c["cross"],
+                            }
+                            for c in dec_cache["layers"]
+                        ],
+                        "mem_mask": dec_cache["mem_mask"],
+                    }
+                else:
+                    new_cache = jax.tree_util.tree_map(
+                        lambda x: x[reorder], dec_cache
+                    )
+            new_lm_cache = lm_cache
+            if lm_cache is not None:
+                new_lm_cache = jax.tree_util.tree_map(
+                    lambda x: x[reorder], lm_cache
                 )
             return (new_tokens, new_scores, new_finished, new_lengths,
-                    new_state, new_cache)
+                    new_state, new_cache, new_lm_cache)
 
         return search
 

@@ -323,17 +323,36 @@ class ASRModel(nn.Module):
         x = self.src_proj(x.reshape(b, t, f * c))
         return self.encoder.forward_chunk(x, state)
 
-    # -- stateful decoder cache (pure-SSM decode) ----------------------------
+    # -- stateful decoder cache (O(1)-per-token decode) ----------------------
 
-    def init_decoder_cache(self, batch: int):
-        assert self.cfg.decoder_module == "mamba"
-        return self.decoder.init_cache(batch, self.cfg.dtype)
+    def init_decoder_cache(self, batch: int, s_max: Optional[int] = None):
+        """Mamba decoder: per-layer (conv_state, ssm_state). Transformer
+        decoder: per-layer self-attention KV buffers of length `s_max`
+        (+ cross K/V filled by priming)."""
+        if self.cfg.decoder_module == "mamba":
+            return self.decoder.init_cache(batch, self.cfg.dtype)
+        assert s_max is not None, "transformer decoder cache needs s_max"
+        return self.decoder.init_cache(
+            batch, s_max, self.cfg.d_model, self.cfg.dtype
+        )
 
-    def prime_decoder_cache(self, enc_out: Array, cache):
-        """Scan the encoder memory into every layer's cross-mamba state
+    def prime_decoder_cache(self, enc_out: Array, cache,
+                            enc_lengths: Optional[Array] = None):
+        """Mamba: scan the encoder memory into every layer's cross-mamba
+        state. Transformer: project the memory into per-layer cross K/V.
+        Either way the per-step decode never re-touches the memory
         (replaces the reference's full-prefix re-scan per decode step,
         SURVEY.md §3.2)."""
-        return self.decoder.prime_cache(enc_out, cache)
+        if self.cfg.decoder_module == "mamba":
+            return self.decoder.prime_cache(enc_out, cache)
+        mem_kpm = (
+            lengths_to_padding_mask(enc_lengths, enc_out.shape[1])
+            if enc_lengths is not None
+            else None
+        )
+        return self.decoder.prime_cache(
+            enc_out, cache, memory_key_padding_mask=mem_kpm
+        )
 
     def extend_decoder_cache(self, enc_chunk: Array, cache):
         """Advance every cross-mamba state with a further chunk of
@@ -350,7 +369,10 @@ class ASRModel(nn.Module):
             self.cfg.max_length, self.cfg.d_model, tgt.dtype
         )
         tgt = tgt + pe[pos]
-        dec, cache = self.decoder.step(tgt, cache)
+        if self.cfg.decoder_module == "mamba":
+            dec, cache = self.decoder.step(tgt, cache)
+        else:
+            dec, cache = self.decoder.step(tgt, pos, cache)
         logits = self.seq_head(dec.astype(jnp.float32))
         return logits, cache
 

@@ -69,7 +69,20 @@ def _apply_masks(
 
 
 class MultiheadAttention(nn.Module):
-    """Standard multi-head attention (SpeechBrain regularMHA equivalent)."""
+    """Standard multi-head attention (SpeechBrain regularMHA equivalent).
+
+    Incremental-decoding support (used by the S2S/LM beam search so each
+    step is O(1) new work instead of the reference's full-prefix re-scan,
+    SURVEY.md §3.2):
+      - `cache=(k_buf, v_buf)` (B, S_max, H, dh) + `cache_index=s`:
+        query/key/value are a single position (B, 1, D); the new K/V are
+        written at position s, attention runs over positions <= s, and
+        the return is (out, (new_k_buf, new_v_buf)).
+      - `static_kv=(k, v)`: use precomputed projected K/V (cross-attention
+        over a fixed encoder memory) — no K/V projection matmuls per step.
+      - `precompute_kv=True`: returns the projected (k, v) of key/value
+        (for building a static_kv once).
+    """
 
     num_heads: int
     dropout: float = 0.0
@@ -85,6 +98,10 @@ class MultiheadAttention(nn.Module):
         key_padding_mask: Optional[Array] = None,
         pos_embs: Optional[Array] = None,
         train: bool = False,
+        cache: Optional[Tuple[Array, Array]] = None,
+        cache_index: Optional[Array] = None,
+        static_kv: Optional[Tuple[Array, Array]] = None,
+        precompute_kv: bool = False,
     ) -> Tuple[Array, Array]:
         del pos_embs  # absolute-PE path adds encodings to inputs instead
         d_model = query.shape[-1]
@@ -96,19 +113,45 @@ class MultiheadAttention(nn.Module):
             y = nn.Dense(d_model, dtype=self.dtype, name=name)(x)
             return y.reshape(*y.shape[:-1], h, dh)
 
+        if precompute_kv:
+            return proj(key, "k"), proj(value, "v")
+
         q = proj(query, "q")  # (B, Lq, H, dh)
-        k = proj(key, "k")
-        v = proj(value, "v")
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(dh)
+        new_cache = None
+        if static_kv is not None:
+            k, v = static_kv
+        elif cache is not None:
+            k_buf, v_buf = cache
+            k_new = proj(key, "k").astype(k_buf.dtype)  # (B, 1, H, dh)
+            v_new = proj(value, "v").astype(v_buf.dtype)
+            k_buf = jax.lax.dynamic_update_slice_in_dim(
+                k_buf, k_new, cache_index, axis=1
+            )
+            v_buf = jax.lax.dynamic_update_slice_in_dim(
+                v_buf, v_new, cache_index, axis=1
+            )
+            k, v = k_buf, v_buf
+            new_cache = (k_buf, v_buf)
+            # Only positions <= cache_index are valid.
+            future = jnp.arange(k.shape[1])[None, :] > cache_index
+            key_padding_mask = (
+                future
+                if key_padding_mask is None
+                else (key_padding_mask | future)
+            )
+        else:
+            k = proj(key, "k")
+            v = proj(value, "v")
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k.astype(q.dtype)) / math.sqrt(dh)
         scores = _apply_masks(scores, attn_mask, key_padding_mask)
         attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(
             scores.dtype
         )
         attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v.astype(attn.dtype))
         out = out.reshape(*out.shape[:-2], d_model)
         out = nn.Dense(d_model, dtype=self.dtype, name="out")(out)
-        return out, attn
+        return out, (new_cache if cache is not None else attn)
 
 
 class RelPosMHAXL(nn.Module):

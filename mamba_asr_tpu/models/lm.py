@@ -14,7 +14,7 @@ environments have no HF access).
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -42,16 +42,41 @@ class TransformerLM(nn.Module):
 
     @nn.compact
     def __call__(
-        self, tokens: Array, pad_idx: int = 0, train: bool = False
+        self,
+        tokens: Array,
+        pad_idx: int = 0,
+        train: bool = False,
+        cache: Optional[list] = None,
+        cache_index: Optional[Array] = None,
     ) -> Array:
-        """tokens (B, S) -> logits (B, S, vocab)."""
-        s = tokens.shape[1]
-        x = NormalizedEmbedding(
-            self.vocab_size, self.d_model, dtype=self.dtype, name="embed"
-        )(tokens)
-        x = x + sinusoidal_position_encoding(s, self.d_model, x.dtype)
-        kpm = get_key_padding_mask(tokens, pad_idx) if train else None
-        out, _ = TransformerEncoder(
+        """tokens (B, S) -> logits (B, S, vocab).
+
+        Incremental mode (`cache` = per-layer KV buffers from
+        `init_cache`, `cache_index` = position): tokens is (B,) — the
+        single token at that position — and the return is
+        (logits (B, vocab), new_cache). O(1) work per step instead of
+        re-scoring the full prefix; this is what makes beam-66 shallow
+        fusion with the 12-layer LM affordable on TPU.
+        """
+        stepping = cache is not None
+        if stepping:
+            s_ctx = cache[0][0].shape[1]
+            x = NormalizedEmbedding(
+                self.vocab_size, self.d_model, dtype=self.dtype, name="embed"
+            )(tokens[:, None])
+            pe = sinusoidal_position_encoding(s_ctx, self.d_model, x.dtype)
+            x = x + jax.lax.dynamic_slice_in_dim(pe, cache_index, 1, axis=0)
+            src_mask = None
+            kpm = None
+        else:
+            s = tokens.shape[1]
+            x = NormalizedEmbedding(
+                self.vocab_size, self.d_model, dtype=self.dtype, name="embed"
+            )(tokens)
+            x = x + sinusoidal_position_encoding(s, self.d_model, x.dtype)
+            src_mask = get_lookahead_mask(s)
+            kpm = get_key_padding_mask(tokens, pad_idx) if train else None
+        out, new_cache = TransformerEncoder(
             num_layers=self.num_layers,
             d_ffn=self.d_ffn,
             nhead=self.nhead,
@@ -61,8 +86,18 @@ class TransformerLM(nn.Module):
             attention_type="regularMHA",
             dtype=self.dtype,
             name="encoder",
-        )(x, src_mask=get_lookahead_mask(s), src_key_padding_mask=kpm,
-          train=train)
-        return nn.Dense(self.vocab_size, dtype=jnp.float32, name="out")(
+        )(x, src_mask=src_mask, src_key_padding_mask=kpm, train=train,
+          cache=cache, cache_index=cache_index)
+        logits = nn.Dense(self.vocab_size, dtype=jnp.float32, name="out")(
             out.astype(jnp.float32)
         )
+        if stepping:
+            return logits[:, 0], new_cache
+        return logits
+
+    def init_cache(self, batch: int, s_max: int):
+        """Per-layer (k, v) buffers (B, s_max, H, dh). Pure shapes — no
+        params touched, callable on the bare module."""
+        dh = self.d_model // self.nhead
+        z = lambda: jnp.zeros((batch, s_max, self.nhead, dh), self.dtype)
+        return [(z(), z()) for _ in range(self.num_layers)]

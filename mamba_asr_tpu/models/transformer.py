@@ -127,7 +127,12 @@ class TransformerEncoderLayer(nn.Module):
         src_key_padding_mask: Optional[Array] = None,
         pos_embs: Optional[Array] = None,
         train: bool = False,
+        cache: Optional[Tuple[Array, Array]] = None,
+        cache_index: Optional[Array] = None,
     ) -> Tuple[Array, Array]:
+        """With `cache`/`cache_index` (regularMHA only), src is one
+        position (B, 1, D) and the second return is the updated KV cache
+        instead of attention weights (incremental decoding)."""
         if self.attention_type == "RelPosMHAXL":
             mha = RelPosMHAXL(self.nhead, self.dropout, dtype=self.dtype,
                               name="self_att")
@@ -145,6 +150,8 @@ class TransformerEncoderLayer(nn.Module):
             key_padding_mask=src_key_padding_mask,
             pos_embs=pos_embs,
             train=train,
+            cache=cache,
+            cache_index=cache_index,
         )
         src = src + drop(att_out)
         if not self.normalize_before:
@@ -184,7 +191,13 @@ class TransformerEncoder(nn.Module):
         src_key_padding_mask: Optional[Array] = None,
         pos_embs: Optional[Array] = None,
         train: bool = False,
+        cache: Optional[list] = None,
+        cache_index: Optional[Array] = None,
     ) -> Tuple[Array, Array]:
+        """With `cache` (list of per-layer (k_buf, v_buf)) and
+        `cache_index`, src is a single position (B, 1, D) and the second
+        return is the updated cache list (incremental decoding — used by
+        the TransformerLM inside the beam search)."""
         out = src
         attn = None
         drop_keys = None
@@ -192,6 +205,7 @@ class TransformerEncoder(nn.Module):
             drop_keys = jax.random.bernoulli(
                 self.make_rng("dropout"), self.layerdrop, (self.num_layers,)
             )
+        new_caches = []
         for i in range(self.num_layers):
             new_out, attn = TransformerEncoderLayer(
                 d_ffn=self.d_ffn,
@@ -202,13 +216,17 @@ class TransformerEncoder(nn.Module):
                 attention_type=self.attention_type,
                 dtype=self.dtype,
                 name=f"layer_{i}",
-            )(out, src_mask, src_key_padding_mask, pos_embs, train=train)
+            )(out, src_mask, src_key_padding_mask, pos_embs, train=train,
+              cache=None if cache is None else cache[i],
+              cache_index=cache_index)
+            if cache is not None:
+                new_caches.append(attn)  # attn slot carries the new cache
             if drop_keys is not None:
                 out = jnp.where(drop_keys[i], out, new_out)
             else:
                 out = new_out
         out = nn.LayerNorm(dtype=self.dtype, name="norm")(out)
-        return out, attn
+        return out, (new_caches if cache is not None else attn)
 
 
 class TransformerDecoderLayer(nn.Module):
@@ -225,23 +243,43 @@ class TransformerDecoderLayer(nn.Module):
     def __call__(
         self,
         tgt: Array,
-        memory: Array,
+        memory: Optional[Array],
         tgt_mask: Optional[Array] = None,
         memory_mask: Optional[Array] = None,
         tgt_key_padding_mask: Optional[Array] = None,
         memory_key_padding_mask: Optional[Array] = None,
         train: bool = False,
+        cache: Optional[dict] = None,
+        cache_index: Optional[Array] = None,
+        compute_cross_kv: bool = False,
     ) -> Tuple[Array, Array, Array]:
+        """Incremental decoding:
+        - `compute_cross_kv=True`: returns the cross-attention's projected
+          (k, v) of `memory` (computed once when priming a decode cache).
+        - `cache={'self': (k_buf, v_buf), 'cross': (k, v)}` + `cache_index`:
+          tgt is one position (B, 1, D); self-attention appends at
+          cache_index, cross-attention uses the precomputed memory K/V;
+          returns (tgt, new_cache, None).
+        """
+        if compute_cross_kv:
+            kv = MultiheadAttention(
+                self.nhead, self.dropout, dtype=self.dtype, name="cross_attn"
+            )(memory, memory, memory, precompute_kv=True)
+            return kv, None, None
+
         drop = nn.Dropout(self.dropout, deterministic=not train)
         norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
         norm2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
         norm3 = nn.LayerNorm(dtype=self.dtype, name="norm3")
+        stepping = cache is not None
 
         x = norm1(tgt) if self.normalize_before else tgt
         sa_out, sa = MultiheadAttention(
             self.nhead, self.dropout, dtype=self.dtype, name="self_attn"
         )(x, x, x, attn_mask=tgt_mask,
-          key_padding_mask=tgt_key_padding_mask, train=train)
+          key_padding_mask=tgt_key_padding_mask, train=train,
+          cache=cache["self"] if stepping else None,
+          cache_index=cache_index)
         tgt = tgt + drop(sa_out)
         if not self.normalize_before:
             tgt = norm1(tgt)
@@ -250,7 +288,8 @@ class TransformerDecoderLayer(nn.Module):
         ca_out, ca = MultiheadAttention(
             self.nhead, self.dropout, dtype=self.dtype, name="cross_attn"
         )(x, memory, memory, attn_mask=memory_mask,
-          key_padding_mask=memory_key_padding_mask, train=train)
+          key_padding_mask=memory_key_padding_mask, train=train,
+          static_kv=cache["cross"] if stepping else None)
         tgt = tgt + drop(ca_out)
         if not self.normalize_before:
             tgt = norm2(tgt)
@@ -263,11 +302,20 @@ class TransformerDecoderLayer(nn.Module):
         tgt = tgt + drop(ffn_out)
         if not self.normalize_before:
             tgt = norm3(tgt)
+        if stepping:
+            return tgt, {"self": sa, "cross": cache["cross"]}, None
         return tgt, sa, ca
 
 
 class TransformerDecoder(nn.Module):
-    """Stack of decoder layers + final LN (Transformer.py:1527-1647)."""
+    """Stack of decoder layers + final LN (Transformer.py:1527-1647).
+
+    Carries an O(1)-per-token decode cache (init_cache / prime_cache /
+    step) so beam search never re-scores the full prefix — the TPU
+    answer to the reference's full-prefix re-run per step (SURVEY.md
+    §3.2): self-attention K/V buffers append in place, cross-attention
+    K/V are projected from the encoder memory exactly once.
+    """
 
     num_layers: int
     d_ffn: int
@@ -277,7 +325,21 @@ class TransformerDecoder(nn.Module):
     normalize_before: bool = False
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.layers = [
+            TransformerDecoderLayer(
+                d_ffn=self.d_ffn,
+                nhead=self.nhead,
+                dropout=self.dropout,
+                activation=self.activation,
+                normalize_before=self.normalize_before,
+                dtype=self.dtype,
+                name=f"layer_{i}",
+            )
+            for i in range(self.num_layers)
+        ]
+        self.norm = nn.LayerNorm(dtype=self.dtype, name="norm")
+
     def __call__(
         self,
         tgt: Array,
@@ -290,18 +352,46 @@ class TransformerDecoder(nn.Module):
     ) -> Tuple[Array, Array, Array]:
         out = tgt
         sa = ca = None
-        for i in range(self.num_layers):
-            out, sa, ca = TransformerDecoderLayer(
-                d_ffn=self.d_ffn,
-                nhead=self.nhead,
-                dropout=self.dropout,
-                activation=self.activation,
-                normalize_before=self.normalize_before,
-                dtype=self.dtype,
-                name=f"layer_{i}",
-            )(
+        for layer in self.layers:
+            out, sa, ca = layer(
                 out, memory, tgt_mask, memory_mask,
                 tgt_key_padding_mask, memory_key_padding_mask, train=train,
             )
-        out = nn.LayerNorm(dtype=self.dtype, name="norm")(out)
+        out = self.norm(out)
         return out, sa, ca
+
+    # -- O(1) decode cache ----------------------------------------------
+
+    def init_cache(self, batch: int, s_max: int, d_model: int,
+                   dtype=jnp.float32):
+        dh = d_model // self.nhead
+        z = lambda: jnp.zeros((batch, s_max, self.nhead, dh), dtype)
+        return {
+            "layers": [
+                {"self": (z(), z()), "cross": None}
+                for _ in range(self.num_layers)
+            ],
+            "mem_mask": None,
+        }
+
+    def prime_cache(self, memory: Array, cache,
+                    memory_key_padding_mask: Optional[Array] = None):
+        """Project the encoder memory into every layer's cross K/V once."""
+        layers = []
+        for layer, c in zip(self.layers, cache["layers"]):
+            kv, _, _ = layer(memory, memory, compute_cross_kv=True)
+            layers.append({"self": c["self"], "cross": kv})
+        return {"layers": layers, "mem_mask": memory_key_padding_mask}
+
+    def step(self, tgt_t: Array, pos: Array, cache) -> Tuple[Array, dict]:
+        """One decode step. tgt_t (B, d_model), pos scalar int."""
+        x = tgt_t[:, None]
+        new_layers = []
+        for layer, c in zip(self.layers, cache["layers"]):
+            x, new_c, _ = layer(
+                x, None, cache=c, cache_index=pos,
+                memory_key_padding_mask=cache["mem_mask"],
+            )
+            new_layers.append(new_c)
+        out = self.norm(x)[:, 0]
+        return out, {"layers": new_layers, "mem_mask": cache["mem_mask"]}
