@@ -205,8 +205,7 @@ class _ScanHead(nn.Module):
             x_c, delta, -jnp.exp(self.a_log), b_mat, c_mat,
             D=self.d_skip, z=z, delta_bias=self.dt_bias, delta_softplus=True,
             h0=h, return_last_state=True,
-            implementation="chunked" if self.cfg.scan_impl == "auto"
-            else self.cfg.scan_impl,
+            implementation=self.cfg.scan_impl,
         )
         return y, (new_tail, h_new)
 
@@ -287,8 +286,7 @@ class MambaBlock(nn.Module):
             x_c, delta, -jnp.exp(head.a_log), b_mat, c_mat,
             D=head.d_skip, z=z, delta_bias=head.dt_bias, delta_softplus=True,
             h0=h, return_last_state=True,
-            implementation="chunked"
-            if self.cfg.scan_impl == "auto" else self.cfg.scan_impl,
+            implementation=self.cfg.scan_impl,
         )
         new_tail = buf[:, -(k - 1):]
         new_conv_state = jnp.concatenate(
@@ -310,8 +308,7 @@ class MambaBlock(nn.Module):
             x_c, delta, -jnp.exp(head.a_log), b_mat, c_mat,
             D=head.d_skip, z=z, delta_bias=head.dt_bias, delta_softplus=True,
             return_last_state=True,
-            implementation="chunked"
-            if self.cfg.scan_impl == "auto" else self.cfg.scan_impl,
+            implementation=self.cfg.scan_impl,
         )
         # Step conv_state holds the last K raw inputs (most recent last);
         # the oldest slot is rolled off on the first step.

@@ -50,9 +50,14 @@ def _round_up(x: int, m: int) -> int:
 
 
 def supported(u: Array, A: Array, h0, return_last_state: bool) -> bool:
-    """Whether the Pallas kernel covers this config on this backend."""
-    if h0 is not None or return_last_state:
-        return False
+    """Whether the Pallas kernel covers this config on this backend.
+
+    h0 / return_last_state ARE supported (carried-state streaming and
+    decoder-cache priming run fused), matching the reference kernel's
+    x= / return_last_state options
+    (/root/reference/modules/mamba/selective_scan_interface.py:30-79).
+    """
+    del h0, return_last_state
     if jax.default_backend() != "tpu":
         return False
     b, length, d = u.shape
@@ -157,13 +162,14 @@ def _reverse_chunk_scan(ash, d, lchunk, n_state):
 
 def _scan_kernel(
     u_ref, dt_ref, bmat_ref, cmat_ref, at_ref, dtb_ref, dskip_ref, z_ref,
-    out_ref, h_ref, *, n_state: int, delta_softplus: bool, lchunk: int,
+    h0_ref, out_ref, hlast_ref, h_ref,
+    *, n_state: int, delta_softplus: bool, lchunk: int,
 ):
     l_idx = pl.program_id(2)
 
     @pl.when(l_idx == 0)
     def _():
-        h_ref[...] = jnp.zeros_like(h_ref)
+        h_ref[...] = h0_ref[0].astype(h_ref.dtype)
 
     u = u_ref[0].astype(jnp.float32)          # (L, D)
     dt = dt_ref[0].astype(jnp.float32)        # (L, D)
@@ -185,6 +191,10 @@ def _scan_kernel(
     h_carry = h_ref[...].astype(jnp.float32)  # (N, D)
     hs = _forward_chunk_scan(da, dbu, h_carry, lchunk, n_state)
     h_ref[...] = hs[lchunk - 1]
+    # hlast block is constant across the l axis: stays VMEM-resident and
+    # flushes once with the final chunk's state (padding steps are
+    # identity, so this equals h at the true length).
+    hlast_ref[0] = hs[lchunk - 1].astype(hlast_ref.dtype)
 
     y = jnp.sum(hs * cmat[:, :, None], axis=1)  # (L, D)
     y = y + u * d_skip
@@ -194,8 +204,8 @@ def _scan_kernel(
 
 def _scan_bwd_kernel(
     u_ref, dt_ref, bmat_ref, cmat_ref, at_ref, dtb_ref, dskip_ref, z_ref,
-    dout_ref, hstart_ref,
-    du_ref, ddt_ref, dbm_ref, dcm_ref, dz_ref, dapart_ref,
+    dout_ref, hstart_ref, dhl_ref,
+    du_ref, ddt_ref, dbm_ref, dcm_ref, dz_ref, dapart_ref, dh0_ref,
     g_ref, *, n_state: int, delta_softplus: bool, lchunk: int,
 ):
     """Adjoint of one (batch, d-tile, time-chunk) cell.
@@ -205,12 +215,20 @@ def _scan_bwd_kernel(
     a_first * g_first of the chunk to its predecessor. dA partials
     accumulate into a per-(batch, d-tile) output block (constant across
     the innermost l axis, so the block stays VMEM-resident).
+
+    The last-state cotangent dhl seeds g_ref (it adds to dL/dh at the
+    final position with coefficient 1 — padded steps are identity, so it
+    propagates to the true last step unchanged); the final g_ref value,
+    da_first * g_first of the temporally-first chunk, is exactly dL/dh0
+    and is emitted through dh0_ref. Unlike the reference kernel, which
+    drops the last-state gradient (selective_scan_interface.py:84-86),
+    this adjoint is complete.
     """
     l_idx = pl.program_id(2)
 
     @pl.when(l_idx == 0)
     def _():
-        g_ref[...] = jnp.zeros_like(g_ref)
+        g_ref[...] = dhl_ref[0].astype(g_ref.dtype)
         dapart_ref[...] = jnp.zeros_like(dapart_ref)
 
     u = u_ref[0].astype(jnp.float32)
@@ -251,7 +269,10 @@ def _scan_bwd_kernel(
     # folded carry, so ash at the last position is 0.
     ash = jnp.concatenate([da[1:], jnp.zeros_like(da[:1])], axis=0)
     g = _reverse_chunk_scan(ash, dh, lchunk, n_state)
-    g_ref[...] = da[0] * g[0]
+    carry = da[0] * g[0]
+    g_ref[...] = carry
+    # dh0 block is constant across l: final (temporally-first) write wins.
+    dh0_ref[0] = carry.astype(dh0_ref.dtype)
 
     gh = g * h_prev * da  # (L, N, D) — shared by dA and the a-path of ddt
     t1 = jnp.sum(g * bmat[:, :, None], axis=1)  # (L, D)
@@ -264,8 +285,11 @@ def _scan_bwd_kernel(
 
     du_ref[0] = du.astype(du_ref.dtype)
     ddt_ref[0] = (ddt * dsp).astype(ddt_ref.dtype)
-    dbm_ref[0] = dbm.astype(dbm_ref.dtype)
-    dcm_ref[0] = dcm.astype(dcm_ref.dtype)
+    # dB/dC are reductions over ALL of D: each d-tile writes its partial
+    # into a tile-indexed slot (summed outside) — a block indexed only by
+    # (b, l) would be overwritten, not accumulated, across d-tiles.
+    dbm_ref[0, 0] = dbm.astype(dbm_ref.dtype)
+    dcm_ref[0, 0] = dcm.astype(dcm_ref.dtype)
     dz_ref[0] = dz.astype(dz_ref.dtype)
     dapart_ref[...] += jnp.sum(gh * dt[:, None, :], axis=0).astype(
         dapart_ref.dtype
@@ -273,16 +297,32 @@ def _scan_bwd_kernel(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(8,)
+    jax.custom_vjp, nondiff_argnums=(9,)
 )
-def _selective_scan_pallas(u, delta, A, B, C, D, z, delta_bias,
+def _selective_scan_pallas(u, delta, A, B, C, D, z, delta_bias, h0,
                            delta_softplus):
     return _pallas_fwd_impl(u, delta, A, B, C, D, z, delta_bias,
-                            delta_softplus)
+                            delta_softplus, h0=h0)
+
+
+def _pad_delta_identity(delta, dtb, length, lp, dp, delta_softplus):
+    """Pad delta so padded time steps are identity (da=1, dbu=0): after
+    adding dt_bias and (optionally) softplus, dt on padding must be 0."""
+    d_in = delta.shape[-1]
+    delta_p = jnp.pad(
+        delta,
+        ((0, 0), (0, lp - length), (0, dp - d_in)),
+        constant_values=-1e9 if delta_softplus else 0.0,
+    )
+    if not delta_softplus and lp > length:
+        t_idx = jnp.arange(lp)[None, :, None]
+        delta_p = jnp.where(t_idx < length, delta_p, -dtb[None])
+    return delta_p
 
 
 def _pallas_fwd_impl(u, delta, A, B, C, D, z, delta_bias, delta_softplus,
-                     interpret: bool = False):
+                     h0=None, interpret: bool = False):
+    """Returns (out (B, L, D) in u.dtype, h_last (B, D, N) float32)."""
     bsz, length, d_in = u.shape
     n = A.shape[1]
     dtype_in = u.dtype
@@ -297,28 +337,30 @@ def _pallas_fwd_impl(u, delta, A, B, C, D, z, delta_bias, delta_softplus,
         return jnp.pad(x, ((0, 0), (0, lp - length), (0, 0)))
 
     u_p = pad_ld(u)
-    # delta padding must be "identity steps": dt + bias then softplus must
-    # be 0 => pad delta with a large negative so softplus(dt+bias) ~ 0.
-    delta_p = jnp.pad(
-        delta,
-        ((0, 0), (0, lp - length), (0, dp - d_in)),
-        constant_values=-1e9 if delta_softplus else 0.0,
-    )
-    z_p = pad_ld(z) if z is not None else jnp.zeros_like(u_p)
-    b_p = pad_ln(B)
-    c_p = pad_ln(C)
-    a_t = jnp.pad(A.T, ((0, 0), (0, dp - d_in)))  # (N, Dp)
     dtb = jnp.pad(
         delta_bias if delta_bias is not None else jnp.zeros((d_in,)),
         (0, dp - d_in),
     )[None, :]
+    delta_p = _pad_delta_identity(delta, dtb, length, lp, dp, delta_softplus)
+    z_p = pad_ld(z) if z is not None else jnp.zeros_like(u_p)
+    b_p = pad_ln(B)
+    c_p = pad_ln(C)
+    a_t = jnp.pad(A.T, ((0, 0), (0, dp - d_in)))  # (N, Dp)
     dsk = jnp.pad(
         D if D is not None else jnp.zeros((d_in,)), (0, dp - d_in)
     )[None, :]
+    # h0 in kernel layout (B, N, Dp), float32.
+    if h0 is None:
+        h0_t = jnp.zeros((bsz, n, dp), jnp.float32)
+    else:
+        h0_t = jnp.pad(
+            jnp.swapaxes(h0.astype(jnp.float32), 1, 2),
+            ((0, 0), (0, 0), (0, dp - d_in)),
+        )
 
     grid = (bsz, dp // D_TILE, lp // L_CHUNK)
 
-    out = pl.pallas_call(
+    out, hlast = pl.pallas_call(
         functools.partial(
             _scan_kernel,
             n_state=n,
@@ -335,24 +377,42 @@ def _pallas_fwd_impl(u, delta, A, B, C, D, z, delta_bias, delta_softplus,
             pl.BlockSpec((1, D_TILE), lambda b, d, l: (0, d)),
             pl.BlockSpec((1, D_TILE), lambda b, d, l: (0, d)),
             pl.BlockSpec((1, L_CHUNK, D_TILE), lambda b, d, l: (b, l, d)),
+            pl.BlockSpec((1, n, D_TILE), lambda b, d, l: (b, 0, d)),
         ],
-        out_specs=pl.BlockSpec(
-            (1, L_CHUNK, D_TILE), lambda b, d, l: (b, l, d)
+        out_specs=(
+            pl.BlockSpec((1, L_CHUNK, D_TILE), lambda b, d, l: (b, l, d)),
+            pl.BlockSpec((1, n, D_TILE), lambda b, d, l: (b, 0, d)),
         ),
-        out_shape=jax.ShapeDtypeStruct((bsz, lp, dp), dtype_in),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, lp, dp), dtype_in),
+            jax.ShapeDtypeStruct((bsz, n, dp), jnp.float32),
+        ),
         scratch_shapes=[pltpu.VMEM((n, D_TILE), jnp.float32)],
         interpret=interpret,
-    )(u_p, delta_p, b_p, c_p, a_t, dtb, dsk, z_p)
-    return out[:, :length, :d_in]
+    )(u_p, delta_p, b_p, c_p, a_t, dtb, dsk, z_p, h0_t)
+    h_last = jnp.swapaxes(hlast[:, :, :d_in], 1, 2)  # (B, D, N)
+    return out[:, :length, :d_in], h_last
 
 
 def selective_scan_bwd_pallas(
     residuals, dout, delta_softplus: bool, interpret: bool = False
 ):
     """Pallas adjoint: per-cell VMEM-resident backward (see
-    _scan_bwd_kernel). Returns grads for
-    (u, delta, A, B, C, D, z, delta_bias)."""
-    u, delta, A, B, C, D, z, delta_bias = residuals
+    _scan_bwd_kernel).
+
+    residuals: (u, delta, A, B, C, D, z, delta_bias) or the same + h0.
+    dout: out cotangent, or a (dout, dhlast) tuple when the forward also
+    returned the last state.
+    Returns grads matching the residuals' arity.
+    """
+    if len(residuals) == 9:
+        u, delta, A, B, C, D, z, delta_bias, h0 = residuals
+    else:
+        (u, delta, A, B, C, D, z, delta_bias), h0 = residuals, None
+    if isinstance(dout, (tuple, list)):
+        dout, dhlast = dout
+    else:
+        dhlast = None
     bsz, length, d_in = u.shape
     n = A.shape[1]
 
@@ -366,19 +426,25 @@ def selective_scan_bwd_pallas(
     def pad_ln(x):
         return jnp.pad(x, ((0, 0), (0, lp - length), (0, 0)))
 
+    def pad_nd(x):  # (B, D, N) state/cotangent -> kernel (B, N, Dp) f32
+        if x is None:
+            return jnp.zeros((bsz, n, dp), jnp.float32)
+        return jnp.pad(
+            jnp.swapaxes(x.astype(jnp.float32), 1, 2),
+            ((0, 0), (0, 0), (0, dp - d_in)),
+        )
+
     u_p = pad_ld(u)
-    delta_p = jnp.pad(
-        delta,
-        ((0, 0), (0, lp - length), (0, dp - d_in)),
-        constant_values=-1e9 if delta_softplus else 0.0,
-    )
+    dtb = jnp.pad(delta_bias, (0, dp - d_in))[None, :]
+    delta_p = _pad_delta_identity(delta, dtb, length, lp, dp, delta_softplus)
     z_p = pad_ld(z)
     b_p = pad_ln(B)
     c_p = pad_ln(C)
     dout_p = pad_ld(dout)
     a_t = jnp.pad(A.T, ((0, 0), (0, dp - d_in)))
-    dtb = jnp.pad(delta_bias, (0, dp - d_in))[None, :]
     dsk = jnp.pad(D, (0, dp - d_in))[None, :]
+    h0_t = pad_nd(h0)
+    dhl_t = pad_nd(dhlast)
 
     # Chunk-boundary states (cheap XLA forward over chunk aggregates).
     dtf = delta_p.astype(jnp.float32) + dtb.astype(jnp.float32)
@@ -406,8 +472,7 @@ def selective_scan_bwd_pallas(
         pa, pb = jax.lax.associative_scan(comb, (da, dbu), axis=1)
         return pb[:, -1], h
 
-    h0 = jnp.zeros((bsz, n, dp), jnp.float32)
-    _, h_starts = jax.lax.scan(boundary_body, h0, (u_c, dt_c, b_c))
+    _, h_starts = jax.lax.scan(boundary_body, h0_t, (u_c, dt_c, b_c))
     h_starts = jnp.moveaxis(h_starts, 0, 1)  # (B, nc, N, Dp)
 
     grid = (bsz, dp // D_TILE, nl)
@@ -433,32 +498,35 @@ def selective_scan_bwd_pallas(
             pl.BlockSpec((1, L_CHUNK, D_TILE), rev),
             pl.BlockSpec((1, L_CHUNK, D_TILE), rev),
             pl.BlockSpec((1, 1, n, D_TILE), lambda b, d, l: (b, nl - 1 - l, 0, d)),
+            pl.BlockSpec((1, n, D_TILE), lambda b, d, l: (b, 0, d)),
         ],
         out_specs=(
             pl.BlockSpec((1, L_CHUNK, D_TILE), rev),
             pl.BlockSpec((1, L_CHUNK, D_TILE), rev),
-            pl.BlockSpec((1, L_CHUNK, n), rev_n),
-            pl.BlockSpec((1, L_CHUNK, n), rev_n),
+            pl.BlockSpec((1, 1, L_CHUNK, n), lambda b, d, l: (d, b, nl - 1 - l, 0)),
+            pl.BlockSpec((1, 1, L_CHUNK, n), lambda b, d, l: (d, b, nl - 1 - l, 0)),
             pl.BlockSpec((1, L_CHUNK, D_TILE), rev),
+            pl.BlockSpec((1, n, D_TILE), lambda b, d, l: (b, 0, d)),
             pl.BlockSpec((1, n, D_TILE), lambda b, d, l: (b, 0, d)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bsz, lp, dp), jnp.float32),
             jax.ShapeDtypeStruct((bsz, lp, dp), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, lp, n), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, lp, n), jnp.float32),
+            jax.ShapeDtypeStruct((dp // D_TILE, bsz, lp, n), jnp.float32),
+            jax.ShapeDtypeStruct((dp // D_TILE, bsz, lp, n), jnp.float32),
             jax.ShapeDtypeStruct((bsz, lp, dp), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, n, dp), jnp.float32),
             jax.ShapeDtypeStruct((bsz, n, dp), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((n, D_TILE), jnp.float32)],
         interpret=interpret,
-    )(u_p, delta_p, b_p, c_p, a_t, dtb, dsk, z_p, dout_p, h_starts)
+    )(u_p, delta_p, b_p, c_p, a_t, dtb, dsk, z_p, dout_p, h_starts, dhl_t)
 
-    du_p, ddt_p, dbm_p, dcm_p, dz_p, dapart = outs
+    du_p, ddt_p, dbm_p, dcm_p, dz_p, dapart, dh0_p = outs
     du = du_p[:, :length, :d_in].astype(u.dtype)
     ddt = ddt_p[:, :length, :d_in]
-    dB = dbm_p[:, :length].astype(B.dtype)
-    dC = dcm_p[:, :length].astype(C.dtype)
+    dB = dbm_p.sum(axis=0)[:, :length].astype(B.dtype)
+    dC = dcm_p.sum(axis=0)[:, :length].astype(C.dtype)
     dz = dz_p[:, :length, :d_in].astype(z.dtype)
     dA = dapart[:, :, :d_in].sum(axis=0).T.astype(A.dtype)  # (D, N)
 
@@ -467,25 +535,35 @@ def selective_scan_bwd_pallas(
     dy = dout.astype(jnp.float32) * (zf * jax.nn.sigmoid(zf))
     dD = jnp.einsum("bld,bld->d", dy, u.astype(jnp.float32)).astype(D.dtype)
     ddb = ddt.sum(axis=(0, 1)).astype(delta_bias.dtype)
-    return (du, ddt.astype(delta.dtype), dA, dB, dC, dD, dz, ddb)
+    grads = (du, ddt.astype(delta.dtype), dA, dB, dC, dD, dz, ddb)
+    if h0 is None:
+        return grads
+    dh0 = jnp.swapaxes(dh0_p[:, :, :d_in], 1, 2).astype(h0.dtype)
+    return grads + (dh0,)
 
 
-def _fwd(u, delta, A, B, C, D, z, delta_bias, delta_softplus):
+def _fwd(u, delta, A, B, C, D, z, delta_bias, h0, delta_softplus):
     out = _pallas_fwd_impl(u, delta, A, B, C, D, z, delta_bias,
-                           delta_softplus)
-    return out, (u, delta, A, B, C, D, z, delta_bias)
+                           delta_softplus, h0=h0)
+    return out, (u, delta, A, B, C, D, z, delta_bias, h0)
 
 
 def _bwd(delta_softplus, residuals, g):
     """Analytic adjoint, VMEM-resident Pallas kernel on TPU (two in-cell
     chunk scans: h recompute + reverse g recurrence — the reference CUDA
     kernel's recompute strategy, selective_scan_interface.py bwd), with
-    the chunk-checkpointed XLA adjoint as the fallback."""
+    autodiff of the chunked XLA scan as the non-TPU fallback."""
     if jax.default_backend() == "tpu":
         return selective_scan_bwd_pallas(residuals, g, delta_softplus)
-    from mamba_asr_tpu.ops.selective_scan import selective_scan_vjp
+    from mamba_asr_tpu.ops.selective_scan import selective_scan_chunked
 
-    return selective_scan_vjp(residuals, g, delta_softplus=delta_softplus)
+    def f(u, delta, A, B, C, D, z, delta_bias, h0):
+        return selective_scan_chunked(
+            u, delta, A, B, C, D, z, delta_bias, delta_softplus, h0, True
+        )
+
+    _, vjp_fn = jax.vjp(f, *residuals)
+    return vjp_fn(g)
 
 
 _selective_scan_pallas.defvjp(_fwd, _bwd)
@@ -501,15 +579,29 @@ def selective_scan_pallas(
     z: Optional[Array] = None,
     delta_bias: Optional[Array] = None,
     delta_softplus: bool = False,
-) -> Array:
-    """Public fused-forward entry (custom_vjp; see module docstring)."""
-    d_in = u.shape[-1]
+    h0: Optional[Array] = None,
+    return_last_state: bool = False,
+):
+    """Public fused entry (custom_vjp; see module docstring).
+
+    Returns out (B, L, D), or (out, h_last (B, D, N) float32) when
+    return_last_state — matching the reference kernel's carried-state
+    contract (selective_scan_interface.py:80-86), but with a complete
+    adjoint (dh0 and d(h_last) both flow).
+    """
+    bsz, _, d_in = u.shape
+    n = A.shape[1]
     if D is None:
         D = jnp.zeros((d_in,), jnp.float32)
     if z is None:
         raise ValueError("pallas kernel requires the silu gate z")
     if delta_bias is None:
         delta_bias = jnp.zeros((d_in,), jnp.float32)
-    return _selective_scan_pallas(
-        u, delta, A, B, C, D, z, delta_bias, delta_softplus
+    if h0 is None:
+        h0 = jnp.zeros((bsz, d_in, n), jnp.float32)
+    out, h_last = _selective_scan_pallas(
+        u, delta, A, B, C, D, z, delta_bias, h0, delta_softplus
     )
+    if return_last_state:
+        return out, h_last
+    return out

@@ -168,10 +168,38 @@ def test_pallas_kernel_interpret_matches_ref():
     u, delta, A, B, C, D, z, db = _make_inputs(
         jax.random.PRNGKey(9), bsz=2, length=150, d=12, n=4
     )
-    ref = selective_scan_ref(u, delta, A, B, C, D, z, db, True)
-    out = _pallas_fwd_impl(u, delta, A, B, C, D, z, db, True,
-                           interpret=True)
+    ref, h_ref = selective_scan_ref(
+        u, delta, A, B, C, D, z, db, True, return_last_state=True
+    )
+    out, h_last = _pallas_fwd_impl(u, delta, A, B, C, D, z, db, True,
+                                   interpret=True)
     np.testing.assert_allclose(ref, out, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(h_ref, h_last, rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_kernel_interpret_h0_carried_state():
+    """Chunked streaming through the kernel: h0 in / last state out must
+    chain exactly — two half-length kernel calls == one full call."""
+    from mamba_asr_tpu.ops.pallas.scan import _pallas_fwd_impl
+
+    u, delta, A, B, C, D, z, db = _make_inputs(
+        jax.random.PRNGKey(21), bsz=2, length=160, d=12, n=4
+    )
+    full, h_full = _pallas_fwd_impl(u, delta, A, B, C, D, z, db, True,
+                                    interpret=True)
+    half = 70  # deliberately not a multiple of L_CHUNK
+    o1, h1 = _pallas_fwd_impl(
+        u[:, :half], delta[:, :half], A, B[:, :half], C[:, :half], D,
+        z[:, :half], db, True, interpret=True,
+    )
+    o2, h2 = _pallas_fwd_impl(
+        u[:, half:], delta[:, half:], A, B[:, half:], C[:, half:], D,
+        z[:, half:], db, True, h0=h1, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.concatenate([o1, o2], axis=1), full, rtol=3e-4, atol=3e-4
+    )
+    np.testing.assert_allclose(h2, h_full, rtol=3e-4, atol=3e-4)
 
 
 def test_analytic_vjp_matches_autodiff():
@@ -227,6 +255,70 @@ def test_pallas_bwd_kernel_interpret_matches_oracle():
         interpret=True,
     )
     names = ["u", "delta", "A", "B", "C", "D", "z", "delta_bias"]
+    for name, r, a in zip(names, ref_grads, ana_grads):
+        np.testing.assert_allclose(
+            np.asarray(r), np.asarray(a), rtol=3e-4, atol=3e-5, err_msg=name
+        )
+
+
+def test_pallas_bwd_kernel_interpret_multi_d_tile():
+    """d > D_TILE: dB/dC are reductions over ALL d-tiles — regression
+    test for the d-tile overwrite bug (partials must accumulate, not
+    overwrite, across the d grid axis)."""
+    from mamba_asr_tpu.ops.pallas.scan import selective_scan_bwd_pallas
+
+    u, delta, A, B, C, D, z, db = _make_inputs(
+        jax.random.PRNGKey(27), bsz=1, length=140, d=260, n=4
+    )
+    cot = jax.random.normal(jax.random.PRNGKey(28), u.shape)
+
+    def loss(B, C):
+        out = selective_scan_ref(
+            u, delta, A, B, C, D=D, z=z, delta_bias=db, delta_softplus=True
+        )
+        return jnp.sum(out * cot)
+
+    ref_gB, ref_gC = jax.grad(loss, argnums=(0, 1))(B, C)
+    ana = selective_scan_bwd_pallas(
+        (u, delta, A, B, C, D, z, db), cot, delta_softplus=True,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(ref_gB), np.asarray(ana[3]),
+                               rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(ref_gC), np.asarray(ana[4]),
+                               rtol=3e-4, atol=3e-5)
+
+
+def test_pallas_bwd_kernel_interpret_h0_and_last_state_grads():
+    """Full adjoint incl. dh0 and d(h_last) — a superset of the reference
+    kernel, which drops the last-state gradient
+    (selective_scan_interface.py:84-86)."""
+    from mamba_asr_tpu.ops.pallas.scan import selective_scan_bwd_pallas
+
+    u, delta, A, B, C, D, z, db = _make_inputs(
+        jax.random.PRNGKey(23), bsz=2, length=150, d=10, n=4
+    )
+    h0 = jax.random.normal(
+        jax.random.PRNGKey(24), (u.shape[0], u.shape[2], A.shape[1])
+    )
+    cot = jax.random.normal(jax.random.PRNGKey(25), u.shape)
+    cot_h = jax.random.normal(jax.random.PRNGKey(26), h0.shape)
+
+    def loss(u, delta, A, B, C, D, z, db, h0):
+        out, h_last = selective_scan_ref(
+            u, delta, A, B, C, D=D, z=z, delta_bias=db, delta_softplus=True,
+            h0=h0, return_last_state=True,
+        )
+        return jnp.sum(out * cot) + jnp.sum(h_last * cot_h)
+
+    ref_grads = jax.grad(loss, argnums=tuple(range(9)))(
+        u, delta, A, B, C, D, z, db, h0
+    )
+    ana_grads = selective_scan_bwd_pallas(
+        (u, delta, A, B, C, D, z, db, h0), (cot, cot_h),
+        delta_softplus=True, interpret=True,
+    )
+    names = ["u", "delta", "A", "B", "C", "D", "z", "delta_bias", "h0"]
     for name, r, a in zip(names, ref_grads, ana_grads):
         np.testing.assert_allclose(
             np.asarray(r), np.asarray(a), rtol=3e-4, atol=3e-5, err_msg=name
