@@ -61,15 +61,20 @@ def main():
         toks, lens = ctc_greedy_decode(out["ctc_log_probs"], out["enc_lengths"])
         return toks, lens
 
-    # Warmup / compile.
+    # Warmup / compile (force a real round-trip: over the axon tunnel
+    # jax.block_until_ready returns before execution completes, so only a
+    # device->host value transfer is a true sync).
     toks, lens = infer(wav, wav_lens)
-    jax.block_until_ready((toks, lens))
+    _ = np.asarray(lens)
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         toks, lens = infer(wav, wav_lens)
-    jax.block_until_ready((toks, lens))
+        # Chain iterations: next input depends on this output, so no
+        # dispatch reordering/elision is possible.
+        wav = wav + (lens[0] * 0).astype(wav.dtype)
+    _ = (np.asarray(toks), np.asarray(lens))
     dt = time.perf_counter() - t0
 
     audio_seconds = batch * seconds * iters

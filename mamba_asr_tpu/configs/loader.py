@@ -83,6 +83,21 @@ class DecodeConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """Mesh layout: data axis = n_devices / tensor_parallel.
+
+    tensor_parallel > 1 shards large kernels (and their optimizer-state
+    mirrors) over the "model" mesh axis via
+    parallel.mesh.infer_param_shardings; GSPMD inserts the collectives.
+    The reference has no equivalent (DDP only, SURVEY.md §2.3)."""
+
+    tensor_parallel: int = 1
+    # Leaves smaller than this stay replicated (sharding tiny kernels
+    # costs more in collectives than it saves in memory/compute).
+    min_shard_elements: int = 16384
+
+
+@dataclasses.dataclass(frozen=True)
 class ExperimentConfig:
     name: str = "experiment"
     seed: int = 3407
@@ -92,6 +107,7 @@ class ExperimentConfig:
     specaug: SpecAugmentConfig = SpecAugmentConfig()
     data: DataConfig = DataConfig()
     decode: DecodeConfig = DecodeConfig()
+    parallel: ParallelConfig = ParallelConfig()
 
     @property
     def output_folder(self) -> str:
@@ -106,6 +122,7 @@ _NESTED = {
     "data": DataConfig,
     "decode": DecodeConfig,
     "mamba": MambaConfig,
+    "parallel": ParallelConfig,
 }
 
 

@@ -233,6 +233,9 @@ class ASRModel(nn.Module):
         x = x.reshape(b, t, f * c)
         x = self.src_proj(x)
         x = self.src_drop(x, deterministic=not train)
+        from mamba_asr_tpu.parallel.mesh import constrain_batch
+
+        x = constrain_batch(x)
 
         if feat_lengths is not None:
             enc_lengths = -(-feat_lengths // cfg.downsample)  # ceil div

@@ -118,7 +118,11 @@ class ConformerEncoderLayer(nn.Module):
 
         x = x + self.conv(x, conv_mask, chunk_size=chunk_size, train=train)
         x = self.norm2(x + MACARON_FFN_SCALE * self._ffn(2, x, train))
-        return x, attn
+        # Layer-boundary activation sharding (batch over "data"; no-op
+        # without an active multi-device mesh).
+        from mamba_asr_tpu.parallel.mesh import constrain_batch
+
+        return constrain_batch(x), attn
 
     # -- streaming ----------------------------------------------------------
 

@@ -112,7 +112,11 @@ class ConmambaEncoderLayer(nn.Module):
         x = self.mamba(self.norm1(x)) + x
         x = x + self.conv(x, None, chunk_size=chunk_size, train=train)
         x = self.norm2(x + FFN_RESIDUAL_SCALE * self._ffn(2, x, train))
-        return x
+        # Layer-boundary activation sharding (batch over "data"; no-op
+        # without an active multi-device mesh).
+        from mamba_asr_tpu.parallel.mesh import constrain_batch
+
+        return constrain_batch(x)
 
     def init_stream_state(self, batch: int, dtype=jnp.float32):
         return {

@@ -103,3 +103,64 @@ def shard_params(params, mesh: Mesh, min_elements: int = 1 << 14):
         params,
         infer_param_shardings(params, mesh, min_elements),
     )
+
+
+def place_state(state, mesh: Mesh, min_elements: int = 1 << 14):
+    """Place a full TrainState onto the mesh.
+
+    The tensor-parallel placement rule depends only on leaf shape, so it
+    applies uniformly to params AND optimizer state (Adam's mu/nu and
+    MultiSteps' grad accumulators mirror the param shapes — they must
+    shard identically or every update step would reshuffle them).
+    Scalars / 1-D leaves (counters, normalizer stats, LN params)
+    replicate. With model axis size 1 this is plain replication.
+    """
+    model_size = mesh.shape.get("model", 1)
+
+    def rule(leaf):
+        if (
+            model_size > 1
+            and getattr(leaf, "ndim", 0) >= 2
+            and leaf.size >= min_elements
+            and leaf.shape[-1] % model_size == 0
+        ):
+            spec = P(*([None] * (leaf.ndim - 1) + ["model"]))
+        else:
+            spec = P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(rule, state)
+
+
+# --- activation sharding constraints ---------------------------------------
+# Layer-boundary activations are constrained to batch-sharding over the
+# "data" axis (features replicated over "model" between layers —
+# megatron-style: the model axis is contracted away inside each sharded
+# matmul pair). Model code calls `constrain_batch` unconditionally; it is
+# a no-op unless a mesh has been activated for the current trace.
+
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+def set_activation_mesh(mesh: Optional[Mesh]) -> None:
+    """Activate (or clear, with None) the mesh used by constrain_batch.
+    Set before tracing the train step; traced constraints bake into the
+    executable, so this is a trace-time switch, not a runtime one."""
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = (
+        mesh if mesh is not None and mesh.shape.get("data", 1) > 1 else None
+    )
+
+
+def constrain_batch(x):
+    """with_sharding_constraint(x, P("data", None, ...)) under the active
+    mesh; identity when no multi-device mesh is active or the (static)
+    batch dim does not divide the data axis (e.g. model.init's 1-example
+    trace)."""
+    mesh = _ACTIVE_MESH
+    if mesh is None or getattr(x, "ndim", 0) < 1:
+        return x
+    if x.shape[0] % mesh.shape["data"] != 0:
+        return x
+    spec = P(*(["data"] + [None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))

@@ -30,7 +30,13 @@ from mamba_asr_tpu.configs.loader import ExperimentConfig
 from mamba_asr_tpu.data.dataset import BucketedLoader
 from mamba_asr_tpu.decoding.ctc_greedy import ctc_greedy_decode, tokens_to_lists
 from mamba_asr_tpu.models.asr import ASRModel
-from mamba_asr_tpu.parallel.mesh import is_main_process, make_mesh, shard_batch
+from mamba_asr_tpu.parallel.mesh import (
+    is_main_process,
+    make_mesh,
+    place_state,
+    set_activation_mesh,
+    shard_batch,
+)
 from mamba_asr_tpu.training.checkpoint import CheckpointManager
 from mamba_asr_tpu.training.logger import FileTrainLogger, JsonlLogger
 from mamba_asr_tpu.training.metrics import AccuracyStats, ErrorRateStats
@@ -48,7 +54,13 @@ class Trainer:
                  lm_model=None, lm_params=None):
         self.cfg = cfg
         self.tokenizer = tokenizer
-        self.mesh = mesh or make_mesh()
+        tp = getattr(cfg, "parallel", None)
+        self.tp = tp.tensor_parallel if tp else 1
+        self.min_shard_elements = tp.min_shard_elements if tp else 1 << 14
+        self.mesh = mesh or make_mesh(model=self.tp)
+        # Activate layer-boundary activation sharding constraints for
+        # everything traced by this trainer (no-op on 1-device meshes).
+        set_activation_mesh(self.mesh)
         self.model = ASRModel(cfg.model)
         self.tx = make_optimizer(cfg.train)
         self.train_step = make_train_step(
@@ -156,8 +168,14 @@ class Trainer:
                 jax.device_get(self.state), name=meta["name"]
             )
             self.start_epoch = int(meta["metrics"]["epoch"]) + 1
-            self.state = jax.device_put(restored)
+            self.state = restored
             print(f"resumed from checkpoint at epoch {self.start_epoch - 1}")
+        # Explicit mesh placement: tensor-parallel kernels (and their
+        # optimizer-state mirrors) shard over "model"; everything else
+        # replicates. Plain replication when tensor_parallel == 1.
+        self.state = place_state(
+            self.state, self.mesh, self.min_shard_elements
+        )
 
     # -- training -------------------------------------------------------------
 
@@ -311,7 +329,10 @@ class Trainer:
             )
             if restored is not None:
                 full, avg_params = restored
-                state = jax.device_put(full.replace(params=avg_params))
+                state = place_state(
+                    full.replace(params=avg_params),
+                    self.mesh, self.min_shard_elements,
+                )
 
         wer = ErrorRateStats()
         cer = ErrorRateStats(split_tokens=True)

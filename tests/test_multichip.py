@@ -17,6 +17,60 @@ def test_dryrun_dp_and_tp():
     g.dryrun_multichip(8)
 
 
+def test_tp_through_run_training(tmp_path):
+    """Tensor parallelism wired into the real trainer: run_training with
+    --parallel.tensor_parallel 2 on the 8-device CPU mesh (dp=4 x tp=2),
+    sharded params + optimizer state, training/validation/eval all pass."""
+    from mamba_asr_tpu.cli import run_training
+    from tests.test_configs_and_cli import _make_corpus
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    corpus = str(tmp_path / "LibriSpeech")
+    _make_corpus(corpus)
+    out = str(tmp_path / "results")
+    argv = [
+        os.path.join(REPO, "hparams", "CTC", "conmamba_small.yaml"),
+        "--data.data_folder", corpus,
+        "--data.output_folder", out,
+        "--data.train_splits", "[train-clean-100]",
+        "--data.test_splits", "[test-clean]",
+        "--data.speed_perturb", "false",
+        "--model.d_model", "16",
+        "--model.num_encoder_layers", "1",
+        "--model.d_ffn", "16",
+        "--model.compute_dtype", "float32",
+        "--model.mamba.d_state", "4",
+        "--frontend.n_mels", "20",
+        "--model.n_mels", "20",
+        "--train.number_of_epochs", "1",
+        "--train.grad_accumulation_factor", "1",
+        "--data.num_buckets", "2",
+        "--data.max_batch_seconds", "4.0",
+        "--parallel.tensor_parallel", "2",
+        "--parallel.min_shard_elements", "64",
+    ]
+    trainer = run_training(argv)
+    assert trainer.mesh.shape == {"data": 4, "model": 2}
+    assert int(trainer.state.step) > 0
+    # At least one param leaf must actually be sharded over "model".
+    from jax.sharding import PartitionSpec as P
+
+    specs = [
+        x.sharding.spec for x in jax.tree_util.tree_leaves(trainer.state.params)
+    ]
+    assert any("model" in str(s) for s in specs), specs
+    # Optimizer state shards consistently with params (same rule).
+    opt_specs = [
+        x.sharding.spec
+        for x in jax.tree_util.tree_leaves(trainer.state.opt_state)
+        if hasattr(x, "sharding")
+    ]
+    assert any("model" in str(s) for s in opt_specs), opt_specs
+    assert os.path.isfile(
+        os.path.join(trainer.cfg.output_folder, "wer_test-clean.txt")
+    )
+
+
 def test_infer_param_shardings_rules():
     import jax.numpy as jnp
 
