@@ -73,6 +73,13 @@ class Trainer:
         )
         self.logger = FileTrainLogger(os.path.join(out_dir, "train_log.txt"))
         self.steps_logger = JsonlLogger(os.path.join(out_dir, "steps.jsonl"))
+        self.wandb_logger = None
+        if cfg.train.use_wandb and is_main_process():
+            from mamba_asr_tpu.training.logger import WandbLogger
+
+            self.wandb_logger = WandbLogger(
+                project=cfg.train.wandb_project, name=cfg.name,
+            )
         self.state: Optional[TrainState] = None
         self.is_s2s = cfg.model.num_decoder_layers > 0
         self.metric_key = "ACC" if self.is_s2s else "WER"
@@ -239,6 +246,11 @@ class Trainer:
                 train_stats=train_stats,
                 valid_stats=valid_stats,
             )
+            if self.wandb_logger is not None:
+                self.wandb_logger.log_stats(
+                    {"epoch": epoch}, train_stats=train_stats,
+                    valid_stats=valid_stats,
+                )
             if is_main_process() and valid_stats:
                 min_keys = () if self.is_s2s else ("WER",)
                 max_keys = ("ACC",) if self.is_s2s else ()
@@ -381,4 +393,8 @@ class Trainer:
             self.logger.log_stats(
                 {"test_set": test_name}, test_stats=summary
             )
+            if self.wandb_logger is not None:
+                self.wandb_logger.log_stats(
+                    {"test_set": test_name}, test_stats=summary
+                )
         return summary

@@ -86,6 +86,52 @@ def _edit_distance_counts_py(ref: Sequence, hyp: Sequence) -> Tuple[int, int, in
     return s, ins, d
 
 
+def align_tokens(
+    ref: Sequence, hyp: Sequence
+) -> List[Tuple[str, Optional[object], Optional[object]]]:
+    """Optimal-alignment backtrace: list of (op, ref_tok, hyp_tok) with op
+    in {"=", "S", "I", "D"} (I -> ref_tok None; D -> hyp_tok None).
+
+    Powers the token-level wer-file markup (SpeechBrain
+    ErrorRateStats.write_stats behavior, dumped at
+    /root/reference/train_CTC.py:664-666)."""
+    n, m = len(ref), len(hyp)
+    # dp[i][j] = cost; ptr[i][j] = op taken to reach (i, j).
+    dp = np.zeros((n + 1, m + 1), np.int32)
+    ptr = np.zeros((n + 1, m + 1), np.int8)  # 0:=, 1:S, 2:I, 3:D
+    dp[:, 0] = np.arange(n + 1)
+    dp[0, :] = np.arange(m + 1)
+    ptr[1:, 0] = 3
+    ptr[0, 1:] = 2
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            eq = ref[i - 1] == hyp[j - 1]
+            diag = dp[i - 1, j - 1] + (0 if eq else 1)
+            ins = dp[i, j - 1] + 1
+            dele = dp[i - 1, j] + 1
+            best = min(diag, ins, dele)
+            dp[i, j] = best
+            if best == diag:
+                ptr[i, j] = 0 if eq else 1
+            elif best == ins:
+                ptr[i, j] = 2
+            else:
+                ptr[i, j] = 3
+    ops = []
+    i, j = n, m
+    while i > 0 or j > 0:
+        p = ptr[i, j]
+        if p == 0 and i > 0 and j > 0:
+            ops.append(("=", ref[i - 1], hyp[j - 1])); i -= 1; j -= 1
+        elif p == 1:
+            ops.append(("S", ref[i - 1], hyp[j - 1])); i -= 1; j -= 1
+        elif p == 2:
+            ops.append(("I", None, hyp[j - 1])); j -= 1
+        else:
+            ops.append(("D", ref[i - 1], None)); i -= 1
+    return ops[::-1]
+
+
 @dataclasses.dataclass
 class ErrorRateStats:
     """Accumulates WER (or CER with split_tokens=True) across utterances."""
@@ -131,6 +177,9 @@ class ErrorRateStats:
         }
 
     def write_stats(self, f: TextIO) -> None:
+        """Summary + per-utterance token-level alignment markup (the
+        SpeechBrain wer-file format: aligned ref/op/hyp rows with <eps>
+        fillers for insertions/deletions)."""
         summary = self.summarize()
         f.write(
             "%WER {WER:.2f} [ {substitutions} sub, {insertions} ins, "
@@ -139,11 +188,29 @@ class ErrorRateStats:
         )
         f.write("=" * 70 + "\n")
         for s in sorted(self.scores, key=lambda x: -x["err"]):
+            if self.split_tokens:
+                r = list(s["ref"].replace(" ", ""))
+                h = list(s["hyp"].replace(" ", ""))
+            else:
+                r, h = s["ref"].split(), s["hyp"].split()
+            ops = align_tokens(r, h)
+            ref_row, op_row, hyp_row = [], [], []
+            for op, rt, ht in ops:
+                rt = "<eps>" if rt is None else str(rt)
+                ht = "<eps>" if ht is None else str(ht)
+                w = max(len(rt), len(ht), len(op))
+                ref_row.append(rt.center(w))
+                op_row.append(op.center(w))
+                hyp_row.append(ht.center(w))
             f.write(
-                f"{s['id']} (#err {s['err']}: {s['sub']} sub {s['ins']} ins "
-                f"{s['del']} del / {s['num_ref']} ref)\n"
-                f"  REF: {s['ref']}\n  HYP: {s['hyp']}\n"
+                f"{s['id']}, %WER "
+                f"{100.0 * s['err'] / max(s['num_ref'], 1):.2f} "
+                f"[ {s['err']} / {s['num_ref']}, {s['ins']} ins, "
+                f"{s['del']} del, {s['sub']} sub ]\n"
             )
+            f.write(" ; ".join(ref_row) + "\n")
+            f.write(" ; ".join(op_row) + "\n")
+            f.write(" ; ".join(hyp_row) + "\n")
 
 
 @dataclasses.dataclass

@@ -98,6 +98,11 @@ class TrainConfig:
     # trains with chunked attention masks + Dynamic Chunk Convolution.
     dynchunk_size: Optional[int] = None
     dynchunk_left_context: Optional[int] = None
+    # WandB mirror of the file logger (reference swaps its train_logger
+    # for a WandBLogger at train_CTC.py:1130-1131); no-op if the wandb
+    # package is absent.
+    use_wandb: bool = False
+    wandb_project: str = "mamba-asr-tpu"
 
 
 class TrainState(struct.PyTreeNode):
