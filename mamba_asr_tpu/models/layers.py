@@ -222,20 +222,55 @@ class ConvolutionFrontEnd(nn.Module):
     dropout: float = 0.1
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, feats: Array, train: bool = False) -> Array:
-        x = feats[..., None]  # (B, T, F, 1)
+    def setup(self):
+        # Explicit names keep the param tree identical to the previous
+        # nn.compact layout (conv0/norm0/...).
         for i, (c, k, s) in enumerate(
             zip(self.out_channels, self.kernel_sizes, self.strides)
         ):
-            x = nn.Conv(
-                c, (k, k), strides=(s, s), padding="SAME", dtype=self.dtype,
-                name=f"conv{i}",
-            )(x)
-            x = nn.LayerNorm(dtype=self.dtype, name=f"norm{i}")(x)
+            setattr(self, f"conv{i}", nn.Conv(
+                c, (k, k), strides=(s, s), padding="SAME",
+                dtype=self.dtype, name=f"conv{i}",
+            ))
+            setattr(self, f"norm{i}", nn.LayerNorm(
+                dtype=self.dtype, name=f"norm{i}"
+            ))
+        self.drop = nn.Dropout(self.dropout)
+
+    def __call__(self, feats: Array, train: bool = False) -> Array:
+        x = feats[..., None]  # (B, T, F, 1)
+        for i in range(len(self.out_channels)):
+            x = getattr(self, f"conv{i}")(x)
+            x = getattr(self, f"norm{i}")(x)
             x = nn.leaky_relu(x)
-            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+            x = self.drop(x, deterministic=not train)
         return x  # (B, T', F', C)
+
+    def apply_level(self, i: int, x: Array, time_pad: Tuple[int, int]) -> Array:
+        """One subsampling level with EXPLICIT time padding (freq padding
+        matches offline SAME for the static freq size) — the streaming
+        building block: the caller buffers inputs so mid-stream chunks run
+        VALID (time_pad (0,0)) and the session flush supplies the final
+        (0,1) zero, reproducing the offline SAME computation exactly.
+
+        x: (B, T, F, C_in) level input. Returns (B, T', F', C_out).
+        """
+        k = self.kernel_sizes[i]
+        s = self.strides[i]
+        f_in = x.shape[2]
+        f_out = -(-f_in // s)
+        f_tot = max((f_out - 1) * s + k - f_in, 0)
+        p = self.variables["params"][f"conv{i}"]
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            p["kernel"].astype(self.dtype),
+            window_strides=(s, s),
+            padding=[tuple(time_pad), (f_tot // 2, f_tot - f_tot // 2)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = y + p["bias"].astype(self.dtype)
+        y = getattr(self, f"norm{i}")(y)
+        return nn.leaky_relu(y)
 
     def output_dim(self, n_mels: int) -> int:
         f = n_mels

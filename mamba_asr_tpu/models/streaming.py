@@ -34,6 +34,79 @@ from mamba_asr_tpu.training.trainer import FrontendConfig
 Array = jax.Array
 
 
+class StreamingFrontend:
+    """EXACT chunked conv-frontend: the offline ConvolutionFrontEnd pads
+    SAME — at even time length that is (0, 1), i.e. one zero frame of
+    *future* lookahead per level. Streaming therefore buffers each
+    level's un-consumed inputs (steady-state carry of k-1 = 2 frames),
+    runs the level VALID over [carry, chunk], and emits only outputs
+    whose full window is real; `finish()` flushes the one trailing zero
+    per level. Output == offline forward exactly when the total frame
+    count is even at every level (chunk counts that are multiples of 4
+    guarantee it). Replaces the previous per-chunk SAME application,
+    whose zero padding at every chunk boundary corrupted 2 of every
+    chunk_frames/4 encoder inputs."""
+
+    def __init__(self, model: ASRModel, params, batch: int):
+        self.model = model
+        self.params = params
+        self.n_levels = len(model.cfg.frontend_channels)
+        self.strides = model.cfg.frontend_strides
+        self.kernels = tuple(3 for _ in range(self.n_levels))
+        self.carry = [None] * self.n_levels  # (B, c, F_i, C_i) np arrays
+
+        def level_fn(i):
+            @jax.jit
+            def fn(params, buf):
+                return model.apply(
+                    params, i, buf, (0, 0),
+                    method=lambda m, j, x, p: m.frontend.apply_level(j, x, p),
+                )
+            return fn
+
+        self._level = [level_fn(i) for i in range(self.n_levels)]
+
+    def _feed_level(self, i: int, x):
+        """x (B, T, F, C) new inputs for level i; returns emitted outputs
+        (possibly length 0) and updates the carry."""
+        buf = x if self.carry[i] is None else jnp.concatenate(
+            [self.carry[i], x], axis=1
+        )
+        n = buf.shape[1]
+        k, s = self.kernels[i], self.strides[i]
+        e = max(0, (n - k) // s + 1)
+        if e == 0:
+            self.carry[i] = buf
+            return None
+        out = self._level[i](self.params, buf)
+        self.carry[i] = buf[:, e * s:]
+        return out
+
+    def feed(self, feats):
+        """feats (B, T, n_mels) -> emitted (B, T_out, F', C) or None."""
+        x = feats[..., None]
+        for i in range(self.n_levels):
+            x = self._feed_level(i, x)
+            if x is None:
+                return None
+        return x
+
+    def finish(self):
+        """Flush: one zero frame per level realizes the offline SAME
+        right padding; returns the final emitted outputs (or None).
+        Each level receives the previous level's flush emission plus its
+        own trailing zero frame."""
+        x = None  # flush emission flowing down the levels
+        for i in range(self.n_levels):
+            template = self.carry[i] if self.carry[i] is not None else x
+            if template is None:
+                continue  # level never received any frames
+            zero = jnp.zeros_like(template[:, :1])
+            new_in = zero if x is None else jnp.concatenate([x, zero], axis=1)
+            x = self._feed_level(i, new_in)
+        return x
+
+
 class StreamingS2SSession:
     """Long-form streaming for the pure-SSM ConMambaMamba model.
 
@@ -97,37 +170,26 @@ class StreamingS2SSession:
         """Advance encoder + decoder-memory state with new audio."""
         if audio_chunk.ndim == 1:
             audio_chunk = audio_chunk[None]
+        self.inner._samples_fed += audio_chunk.shape[1]
         window, n_frames = self.inner._frame_window(audio_chunk)
         if n_frames <= 0:
             return
-        enc, self.inner.enc_state = self._enc_chunk(window)
+        feats = self.inner._feats_fn(self.params, jnp.asarray(window))
+        self._extend_with(self.inner.fe_stream.feed(feats))
+
+    def _extend_with(self, fe_out) -> None:
+        if fe_out is None or fe_out.shape[1] == 0:
+            return
+        enc, _, self.inner.enc_state = self.inner._enc_fn(
+            self.params, fe_out, self.inner.enc_state
+        )
         self.dec_cache = self._extend(self.params, enc, self.dec_cache)
 
-    def _enc_chunk(self, window: np.ndarray):
-        if not hasattr(self, "_enc_fn"):
-            model, frontend = self.model, self.inner.frontend
-            normalizer = self.inner.normalizer
-
-            @jax.jit
-            def enc_fn(params, wav_window, enc_state):
-                feats = log_mel_spectrogram(
-                    wav_window,
-                    sample_rate=frontend.sample_rate,
-                    n_fft=frontend.n_fft,
-                    n_mels=frontend.n_mels,
-                    win_length_ms=frontend.win_length_ms,
-                    hop_length_ms=frontend.hop_length_ms,
-                    center=False,
-                )
-                if normalizer is not None:
-                    feats = apply_normalizer(normalizer, feats)
-                return model.apply(
-                    params, feats, enc_state, method=ASRModel.encode_chunk
-                )
-
-            self._enc_fn = enc_fn
-        return self._enc_fn(self.params, jnp.asarray(window),
-                            self.inner.enc_state)
+    def finish(self) -> None:
+        """Flush remaining frames + the frontend lookahead into the
+        encoder/decoder state."""
+        self._extend_with(self.inner._flush_frames())
+        self._extend_with(self.inner.fe_stream.finish())
 
     def decode_greedy(self, max_new: int = 32) -> List[List[int]]:
         """Greedily emit up to max_new tokens from the current state."""
@@ -184,9 +246,16 @@ class StreamingASRSession:
             (batch, self.win // 2), np.float32
         )
         self.last_frame_tok = np.zeros((batch,), np.int64)
+        # Exact chunked conv frontend (per-level input buffering).
+        self.fe_stream = StreamingFrontend(model, params, batch)
+        # Offline-equivalence accounting: center-framing yields
+        # S//hop + 1 frames for S samples; finish() pads zeros to emit
+        # exactly the remainder (the offline right center-padding).
+        self._samples_fed = 0
+        self._frames_done = 0
 
         @jax.jit
-        def chunk_fn(params, wav_window, enc_state):
+        def feats_fn(params, wav_window):
             feats = log_mel_spectrogram(
                 wav_window,
                 sample_rate=frontend.sample_rate,
@@ -198,17 +267,26 @@ class StreamingASRSession:
             )
             if normalizer is not None:
                 feats = apply_normalizer(normalizer, feats)
+            return feats
+
+        @jax.jit
+        def enc_fn(params, fe_out, enc_state):
+            b, t, f, c = fe_out.shape
             enc, new_state = model.apply(
-                params, feats, enc_state, method=ASRModel.encode_chunk
+                params, fe_out.reshape(b, t, f * c), enc_state,
+                method=lambda m, x, s: m.encoder.forward_chunk(
+                    m.src_proj(x), s
+                ),
             )
             ctc = model.apply(
                 params, enc.astype(jnp.float32),
                 method=lambda m, e: m.ctc_head(e),
             )
             best = jnp.argmax(jax.nn.log_softmax(ctc, -1), axis=-1)
-            return best, new_state
+            return enc, best, new_state
 
-        self._chunk_fn = chunk_fn
+        self._feats_fn = feats_fn
+        self._enc_fn = enc_fn
 
     def _frame_window(self, audio_chunk: np.ndarray) -> Tuple[np.ndarray, int]:
         """[tail, chunk] window covering whole frames; the un-framed
@@ -221,28 +299,65 @@ class StreamingASRSession:
         n_frames = 1 + (buf.shape[1] - self.win) // self.hop
         consumed = n_frames * self.hop
         self.audio_tail = buf[:, consumed:]
+        self._frames_done += n_frames
         return buf[:, : self.win + (n_frames - 1) * self.hop], n_frames
+
+    def _advance(self, fe_out) -> Optional[np.ndarray]:
+        """Run emitted frontend output through the encoder + CTC argmax;
+        returns per-frame best tokens (or None when nothing emitted)."""
+        if fe_out is None or fe_out.shape[1] == 0:
+            return None
+        _, best, self.enc_state = self._enc_fn(
+            self.params, fe_out, self.enc_state
+        )
+        return np.array(best)
+
+    def _collapse(self, best: Optional[np.ndarray]) -> List[List[int]]:
+        out: List[List[int]] = [[] for _ in range(self.batch)]
+        if best is None:
+            return out
+        for b in range(self.batch):
+            prev = self.last_frame_tok[b]
+            for t in best[b]:
+                if t != 0 and t != prev:
+                    out[b].append(int(t))
+                prev = t
+            self.last_frame_tok[b] = prev
+        return out
 
     def feed(self, audio_chunk: np.ndarray) -> List[List[int]]:
         """Feed (B, chunk_samples) audio; returns newly emitted token ids
         per stream (greedy CTC with cross-chunk collapse)."""
         if audio_chunk.ndim == 1:
             audio_chunk = audio_chunk[None]
+        self._samples_fed += audio_chunk.shape[1]
         window, n_frames = self._frame_window(audio_chunk)
         if n_frames <= 0:
             return [[] for _ in range(self.batch)]
-        best, self.enc_state = self._chunk_fn(
-            self.params, jnp.asarray(window), self.enc_state
+        feats = self._feats_fn(self.params, jnp.asarray(window))
+        best = self._advance(self.fe_stream.feed(feats))
+        return self._collapse(best)
+
+    def _flush_frames(self):
+        """Emit the remaining center-framing frames (offline right
+        padding) through fbank + frontend; returns fe output or None."""
+        target = self._samples_fed // self.hop + 1
+        rem = target - self._frames_done
+        if rem <= 0:
+            return None
+        need = self.win + (rem - 1) * self.hop
+        z = max(0, need - self.audio_tail.shape[1])
+        window, n_frames = self._frame_window(
+            np.zeros((self.batch, z), np.float32)
         )
-        best = np.array(best)
-        out: List[List[int]] = []
-        for b in range(self.batch):
-            toks = []
-            prev = self.last_frame_tok[b]
-            for t in best[b]:
-                if t != 0 and t != prev:
-                    toks.append(int(t))
-                prev = t
-            self.last_frame_tok[b] = prev
-            out.append(toks)
-        return out
+        if n_frames <= 0:
+            return None
+        feats = self._feats_fn(self.params, jnp.asarray(window))
+        return self.fe_stream.feed(feats)
+
+    def finish(self) -> List[List[int]]:
+        """End of stream: emit the remaining center-framing frames, flush
+        the frontend's conv lookahead, and return the final tokens."""
+        out = self._collapse(self._advance(self._flush_frames()))
+        tail = self._collapse(self._advance(self.fe_stream.finish()))
+        return [a + b for a, b in zip(out, tail)]
