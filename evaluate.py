@@ -53,6 +53,7 @@ def main(argv=None):
             ds, num_buckets=max(cfg.data.num_buckets // 2, 2),
             max_batch_seconds=cfg.data.valid_max_batch_seconds,
             shuffle=False, speed_perturb=False,
+            num_workers=cfg.data.num_workers,
         )
         if trainer.state is None:
             trainer.init_state(next(iter(loader)))

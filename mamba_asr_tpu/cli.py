@@ -129,6 +129,7 @@ def run_training(argv: Optional[List[str]] = None) -> Trainer:
         speed_perturb=cfg.data.speed_perturb,
         seed=cfg.seed,
         batch_divisor=n_data,
+        num_workers=cfg.data.num_workers,
     )
     valid_loader = None
     if cfg.data.dev_splits:
@@ -142,6 +143,7 @@ def run_training(argv: Optional[List[str]] = None) -> Trainer:
             max_batch_seconds=cfg.data.valid_max_batch_seconds,
             shuffle=False,
             speed_perturb=False,
+            num_workers=cfg.data.num_workers,
         )
 
     trainer.fit(train_loader, valid_loader)
@@ -157,6 +159,7 @@ def run_training(argv: Optional[List[str]] = None) -> Trainer:
             max_batch_seconds=cfg.data.valid_max_batch_seconds,
             shuffle=False,
             speed_perturb=False,
+            num_workers=cfg.data.num_workers,
         )
         decoder = (
             trainer.s2s_decoder(test=True)

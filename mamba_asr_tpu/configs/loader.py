@@ -46,6 +46,11 @@ class DataConfig:
     valid_max_batch_seconds: float = 100.0
     speed_perturb: bool = True
     sorting: str = "random"
+    # Host input pipeline: decode/perturb thread-pool width and prefetch
+    # depth (reference: torch DataLoader num_workers,
+    # /root/reference/train_CTC.py:930-937).
+    num_workers: int = 0  # 0 = auto (one thread per host CPU)
+    prefetch_batches: int = 4
     # Optional grapheme lexicon CSV from the train vocabulary
     # (librispeech_prepare.py:268-457 capability).
     create_lexicon: bool = False

@@ -61,6 +61,53 @@ def write_wav(path: str, wav: np.ndarray, sample_rate: int) -> None:
         w.writeframes(pcm.tobytes())
 
 
+def _utf8_code(n: int) -> bytes:
+    """FLAC frame-number coding (standard UTF-8 of the integer)."""
+    if n < 0x80:
+        return bytes([n])
+    if n < 0x800:
+        return bytes([0xC0 | (n >> 6), 0x80 | (n & 0x3F)])
+    if n < 0x10000:
+        return bytes([0xE0 | (n >> 12), 0x80 | ((n >> 6) & 0x3F),
+                      0x80 | (n & 0x3F)])
+    raise ValueError(f"frame number too large: {n}")
+
+
+def write_flac(path: str, wav: np.ndarray, sample_rate: int,
+               block: int = 4096) -> None:
+    """Write mono float32 [-1, 1] as 16-bit FLAC (verbatim subframes).
+
+    Verbatim frames carry raw big-endian PCM and every field lands on a
+    byte boundary, so the whole file assembles with numpy — no per-bit
+    work. Used to synthesize FLAC corpora for tests and for the loader
+    benchmark (LibriSpeech itself ships FLAC,
+    /root/reference/librispeech_prepare.py:530-545); decode cost of a
+    verbatim stream is the floor of the native decoder's real cost.
+    """
+    pcm = (np.clip(wav, -1.0, 1.0) * 32767.0).astype(np.int16)
+    n = len(pcm)
+    si = 0
+    for val, w in [(block, 16), (block, 16), (0, 24), (0, 24),
+                   (sample_rate, 20), (0, 3), (15, 5), (n, 36), (0, 128)]:
+        si = (si << w) | val
+    parts = [b"fLaC", bytes([0x80, 0, 0, 34]), si.to_bytes(34, "big")]
+    # Frame header: sync(14) 0 0 | blocksize-code 0111, rate-code 0000 |
+    # channels 0000, bps 100, 0  ->  FF F8 70 08.
+    fixed = bytes([0xFF, 0xF8, 0x70, 0x08])
+    for frame_no, idx in enumerate(range(0, max(n, 1), block)):
+        chunk = pcm[idx: idx + block]
+        bs = len(chunk)
+        parts.append(
+            fixed + _utf8_code(frame_no) + (bs - 1).to_bytes(2, "big")
+            + b"\x00"            # crc8 (decoder skips)
+            + b"\x02"            # subframe: pad 0, type VERBATIM, wasted 0
+            + chunk.astype(">i2").tobytes()
+            + b"\x00\x00"        # crc16 (decoder skips)
+        )
+    with open(path, "wb") as f:
+        f.write(b"".join(parts))
+
+
 def flac_stream_info(path: str) -> Tuple[int, int]:
     """Parse FLAC STREAMINFO -> (total_samples, sample_rate).
 

@@ -38,11 +38,39 @@ def speed_perturb(
 
     factor > 1 -> faster playback -> shorter output.
     """
-    if factor == 1.0:
+    if factor == 1.0 or len(wav) == 0:
         return wav
     n_out = int(round(len(wav) / factor))
+    lib = _resample_lib()
+    if lib is not None and wav.dtype == np.float32:
+        import ctypes
+
+        src = np.ascontiguousarray(wav)
+        out = np.empty(n_out, np.float32)
+        fp = ctypes.POINTER(ctypes.c_float)
+        n = lib.linear_resample(
+            src.ctypes.data_as(fp), len(src), float(factor),
+            out.ctypes.data_as(fp), n_out,
+        )
+        return out[:n]
     src_pos = np.arange(n_out, dtype=np.float64) * factor
     return np.interp(src_pos, np.arange(len(wav)), wav).astype(wav.dtype)
+
+
+_RESAMPLE_LIB = None
+
+
+def _resample_lib():
+    """C++ resampler (GIL-free under loader threads); None -> np.interp."""
+    global _RESAMPLE_LIB
+    if _RESAMPLE_LIB is None:
+        try:
+            from mamba_asr_tpu import native
+
+            _RESAMPLE_LIB = native.flac_lib() or False
+        except Exception:
+            _RESAMPLE_LIB = False
+    return _RESAMPLE_LIB or None
 
 
 def random_speed_perturb(

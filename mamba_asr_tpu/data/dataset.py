@@ -22,7 +22,7 @@ from typing import Dict, Iterator, List, Optional
 import numpy as np
 
 from mamba_asr_tpu.data.audio import read_audio
-from mamba_asr_tpu.data.augment import random_speed_perturb
+from mamba_asr_tpu.data.augment import SPEED_FACTORS, speed_perturb
 from mamba_asr_tpu.data.batching import BucketPlan, BucketSampler, make_bucket_plan
 from mamba_asr_tpu.data.librispeech import Utterance, load_manifest
 from mamba_asr_tpu.data.tokenizer import BOS_ID, EOS_ID, PAD_ID
@@ -92,10 +92,23 @@ class BucketedLoader:
         seed: int = 0,
         drop_last: bool = False,
         batch_divisor: int = 1,
+        num_workers: int = 0,
     ):
         self.ds = dataset
         self.speed_perturb = speed_perturb
         self.seed = seed
+        # Per-utterance decode+perturb parallelism; 0 = one thread per
+        # host CPU. Both the FLAC decode and the resample are single
+        # ctypes calls into native/flac_decode.cpp (GIL released for the
+        # whole foreign call), so threads scale to real core counts —
+        # the reference gets the same overlap from torch DataLoader
+        # worker *processes* (/root/reference/train_CTC.py:930-937).
+        if num_workers <= 0:
+            import os
+
+            num_workers = os.cpu_count() or 1
+        self.num_workers = num_workers
+        self._pool = None
         # Speed perturb can lengthen audio by 1/0.95; reserve headroom.
         durations = np.asarray(dataset.durations)
         plan_durations = durations / 0.95 if speed_perturb else durations
@@ -124,6 +137,19 @@ class BucketedLoader:
     def __iter__(self):
         return self.epoch(0)
 
+    def _load_one(self, idx: int, factor: float, n_samples: int, s_max: int):
+        """Decode + perturb + tokenize one utterance (thread-pool body)."""
+        utt = self.ds.utterances[idx]
+        audio, sr = read_audio(utt.path)
+        if sr != self.ds.sample_rate:
+            raise ValueError(
+                f"{utt.path}: sample rate {sr} != {self.ds.sample_rate}"
+            )
+        if factor != 1.0:
+            audio = speed_perturb(audio, factor)
+        toks = self.ds.tokenizer.encode(utt.words)[:s_max]
+        return utt.utt_id, audio[:n_samples], toks
+
     def _collate(self, bucket_idx, indices, real, rng) -> Dict[str, np.ndarray]:
         bucket = self.plan.buckets[bucket_idx]
         n_samples = self.plan.padded_samples(bucket_idx)
@@ -138,26 +164,43 @@ class BucketedLoader:
         tokens_eos = np.full((bsz, s_max + 1), PAD_ID, np.int32)
         ids = []
 
-        for i, idx in enumerate(indices):
-            utt = self.ds.utterances[idx]
-            audio, sr = read_audio(utt.path)
-            if sr != self.ds.sample_rate:
-                raise ValueError(
-                    f"{utt.path}: sample rate {sr} != {self.ds.sample_rate}"
-                )
-            if self.speed_perturb:
-                audio = random_speed_perturb(audio, rng)
-            n = min(len(audio), n_samples)
-            wav[i, :n] = audio[:n]
+        # Draw perturb factors up front, in index order: the realized
+        # factor sequence is identical to the sequential implementation,
+        # independent of thread scheduling.
+        if self.speed_perturb:
+            factors = [
+                SPEED_FACTORS[rng.integers(len(SPEED_FACTORS))]
+                for _ in indices
+            ]
+        else:
+            factors = [1.0] * bsz
+
+        if self.num_workers > 1 and bsz > 1:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._pool = ThreadPoolExecutor(self.num_workers)
+            rows = list(self._pool.map(
+                self._load_one, indices, factors,
+                [n_samples] * bsz, [s_max] * bsz,
+            ))
+        else:
+            rows = [
+                self._load_one(idx, f, n_samples, s_max)
+                for idx, f in zip(indices, factors)
+            ]
+
+        for i, (utt_id, audio, toks) in enumerate(rows):
+            n = len(audio)
+            wav[i, :n] = audio
             wav_lens[i] = n
-            toks = self.ds.tokenizer.encode(utt.words)[: s_max]
             tokens[i, : len(toks)] = toks
             token_lens[i] = len(toks)
             tokens_bos[i, 0] = BOS_ID
             tokens_bos[i, 1 : len(toks) + 1] = toks
             tokens_eos[i, : len(toks)] = toks
             tokens_eos[i, len(toks)] = EOS_ID
-            ids.append(utt.utt_id)
+            ids.append(utt_id)
 
         weight = np.zeros((bsz,), np.float32)
         weight[:real] = 1.0

@@ -74,5 +74,11 @@ def flac_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.linear_resample.restype = ctypes.c_int64
+        lib.linear_resample.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.c_double,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ]
         lib._configured = True
     return lib

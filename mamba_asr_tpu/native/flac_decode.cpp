@@ -23,39 +23,55 @@
 
 namespace {
 
+// MSB-first bit reader with a 64-bit cached accumulator: bulk 8-byte
+// refills + clz-based unary decode instead of per-bit loops (~4x on the
+// rice/LPC hot path, which is the loader's host bottleneck).
 struct BitReader {
   const uint8_t* data;
   size_t size;
-  size_t byte = 0;
-  int bit = 0;  // bits consumed in current byte (0..7)
+  size_t pos = 0;       // next byte to load into the cache
+  uint64_t cache = 0;   // unread bits, left-aligned (MSB first)
+  int ncache = 0;       // valid bits at the top of `cache`
   bool error = false;
 
-  bool aligned_skip() {  // align to byte boundary
-    if (bit) {
-      bit = 0;
-      ++byte;
-    }
-    return byte <= size;
+  void seek(size_t byte_pos) {
+    pos = byte_pos;
+    cache = 0;
+    ncache = 0;
   }
 
-  uint32_t read_bit() {
-    if (byte >= size) {
-      error = true;
-      return 0;
+  size_t byte_pos() const {  // valid only when bit-aligned
+    return pos - (size_t)(ncache >> 3);
+  }
+
+  void fill() {
+    while (ncache <= 56 && pos < size) {
+      cache |= (uint64_t)data[pos++] << (56 - ncache);
+      ncache += 8;
     }
-    uint32_t v = (data[byte] >> (7 - bit)) & 1;
-    if (++bit == 8) {
-      bit = 0;
-      ++byte;
-    }
-    return v;
   }
 
   uint64_t read_bits(int n) {
-    uint64_t v = 0;
-    for (int i = 0; i < n; ++i) v = (v << 1) | read_bit();
+    if (n <= 0) return 0;
+    if (n > 32) return (read_bits(n - 32) << 32) | read_bits(32);
+    if (ncache < n) {
+      fill();
+      if (ncache < n) {  // past EOF: flag and zero-pad
+        error = true;
+        uint64_t v = ncache ? cache >> (64 - ncache) : 0;
+        v <<= (n - ncache);
+        cache = 0;
+        ncache = 0;
+        return v;
+      }
+    }
+    uint64_t v = cache >> (64 - n);
+    cache <<= n;
+    ncache -= n;
     return v;
   }
+
+  uint32_t read_bit() { return (uint32_t)read_bits(1); }
 
   int64_t read_signed(int n) {
     if (n == 0) return 0;
@@ -66,8 +82,33 @@ struct BitReader {
 
   uint32_t read_unary() {
     uint32_t n = 0;
-    while (!error && read_bit() == 0) ++n;
-    return n;
+    for (;;) {
+      if (ncache == 0) {
+        fill();
+        if (ncache == 0) {
+          error = true;
+          return n;
+        }
+      }
+      int lz = cache ? __builtin_clzll(cache) : 64;
+      if (lz >= ncache) {  // zeros run to the end of the cache
+        n += ncache;
+        cache = 0;
+        ncache = 0;
+        continue;
+      }
+      n += lz;
+      cache <<= lz + 1;
+      ncache -= lz + 1;
+      return n;
+    }
+  }
+
+  bool aligned_skip() {  // align to byte boundary
+    int drop = ncache & 7;
+    cache <<= drop;
+    ncache -= drop;
+    return byte_pos() <= size;
   }
 };
 
@@ -227,19 +268,19 @@ int64_t flac_decode_file(const char* path, float* out, int64_t max_samples,
   if (out == nullptr) return (int64_t)total_samples;
 
   BitReader br{buf.data(), (size_t)fsize};
-  br.byte = pos;
 
   std::vector<std::vector<int64_t>> ch(channels);
   int64_t written = 0;
   float scale = 1.0f / (float)(1ll << (bps - 1));
 
-  while (written < max_samples && br.byte + 4 < br.size) {
+  size_t scan = pos;  // byte cursor for frame-sync scanning
+  while (written < max_samples && scan + 4 < (size_t)fsize) {
     // Frame sync: 11111111 111110xx.
-    if (buf[br.byte] != 0xFF || (buf[br.byte + 1] & 0xFC) != 0xF8) {
-      ++br.byte;  // resync scan
+    if (buf[scan] != 0xFF || (buf[scan + 1] & 0xFC) != 0xF8) {
+      ++scan;  // resync scan
       continue;
     }
-    br.bit = 0;
+    br.seek(scan);
     br.read_bits(14);               // sync
     br.read_bit();                  // reserved
     br.read_bit();                  // blocking strategy
@@ -294,6 +335,7 @@ int64_t flac_decode_file(const char* path, float* out, int64_t max_samples,
     if (!ok) return written;
     br.aligned_skip();
     br.read_bits(16);  // CRC-16 (unchecked)
+    scan = br.byte_pos();  // aligned: resume scanning after this frame
 
     // Channel reconstruction + mono downmix (mean over channels).
     for (int i = 0; i < block_size && written < max_samples; ++i) {
@@ -320,6 +362,30 @@ int64_t flac_decode_file(const char* path, float* out, int64_t max_samples,
     }
   }
   return written;
+}
+
+// Linear resample by playback factor (speed perturb: factor 1.05 ->
+// faster -> shorter). Matches numpy.interp semantics on positions
+// i * factor: out[i] lerps in[floor(p)]..in[floor(p)+1], clamped at the
+// final sample. Lives here (not Python) so the loader's whole
+// per-utterance hot path — decode + perturb — is GIL-free native code
+// and scales across dataloader threads on many-core TPU hosts.
+int64_t linear_resample(const float* in, int64_t n_in, double factor,
+                        float* out, int64_t max_out) {
+  if (n_in <= 0) return 0;
+  int64_t n_out = (int64_t)(n_in / factor + 0.5);
+  if (n_out > max_out) n_out = max_out;
+  for (int64_t i = 0; i < n_out; ++i) {
+    double p = i * factor;
+    int64_t j = (int64_t)p;
+    if (j >= n_in - 1) {
+      out[i] = in[n_in - 1];
+    } else {
+      double f = p - j;
+      out[i] = (float)((1.0 - f) * in[j] + f * in[j + 1]);
+    }
+  }
+  return n_out;
 }
 
 }  // extern "C"

@@ -213,7 +213,10 @@ class Trainer:
             losses = []  # device arrays; converted once at epoch end so
             # steps dispatch asynchronously (a per-step float() would
             # force a sync every step).
-            batches = prefetch_iterator(train_loader.epoch(epoch), size=2)
+            batches = prefetch_iterator(
+                train_loader.epoch(epoch),
+                size=cfg.data.prefetch_batches,
+            )
             for i, batch in enumerate(batches):
                 if self.state is None:
                     self.init_state(batch)
@@ -276,7 +279,11 @@ class Trainer:
             and epoch % self.cfg.decode.valid_search_interval == 0
         ):
             beam_decoder = self.s2s_decoder(test=False)
-        for batch in loader.epoch(0):
+        from mamba_asr_tpu.data.dataset import prefetch_iterator
+
+        for batch in prefetch_iterator(
+            loader.epoch(0), size=self.cfg.data.prefetch_batches
+        ):
             jbatch = {k: jnp.asarray(v) for k, v in batch.items()
                       if k not in ("ids", "bucket")}
             out = self.eval_step(
@@ -348,7 +355,11 @@ class Trainer:
 
         wer = ErrorRateStats()
         cer = ErrorRateStats(split_tokens=True)
-        for batch in loader.epoch(0):
+        from mamba_asr_tpu.data.dataset import prefetch_iterator
+
+        for batch in prefetch_iterator(
+            loader.epoch(0), size=self.cfg.data.prefetch_batches
+        ):
             jbatch = {k: jnp.asarray(v) for k, v in batch.items()
                       if k not in ("ids", "bucket")}
             out = self.eval_step(state.params, state.normalizer, jbatch)
