@@ -13,13 +13,17 @@ where r^g is the state of the parent prefix. The returned score for a
 step is psi(c) - psi_prev (incremental), so summing per-step scores
 gives the full CTC prefix log probability.
 
-Fully vectorized over (hyps, vocab) with a lax.scan over frames —
-jittable, static shapes.
+Fully vectorized over (hyps, vocab); the frame recurrences are
+first-order linear in the log semiring (⊕ = logaddexp, ⊗ = +), so they
+run as `lax.associative_scan` over T — log-depth on device instead of
+T sequential steps. At enc T = 1500 the sequential form cost ~45 ms per
+beam step (2 x 1500 tiny iterations, pure loop latency); the
+associative form is a handful of fused (T, N, C) passes.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +31,20 @@ import jax.numpy as jnp
 Array = jax.Array
 
 NEG_INF = -1e30
+
+
+def _linear_log_scan(a: Array, b: Array) -> Array:
+    """Solve x(t) = logaddexp(x(t-1) + a(t), b(t)) with x(-1) = -inf,
+    along axis 0, via associative composition of the affine maps
+    (a, b): x -> a ⊗ x ⊕ b in the log semiring."""
+
+    def combine(l, r):
+        al, bl = l
+        ar, br = r
+        return al + ar, jnp.logaddexp(bl + ar, br)
+
+    _, x = jax.lax.associative_scan(combine, (a, b), axis=0)
+    return x
 
 
 class CTCPrefixState(NamedTuple):
@@ -41,9 +59,12 @@ class CTCPrefixScorer:
 
     def __init__(self, log_probs: Array, input_lengths: Array, beam: int,
                  blank_id: int = 0, eos_id: int = 2):
-        # log_probs (B, T, V) -> expand to hypothesis rows (B*beam, T, V).
+        # log_probs stays (B, T, V); hypothesis rows index into it via
+        # row // beam (a beam-66 x vocab-5000 x T-1500 repeat would pin
+        # ~2 GB of HBM for the whole search).
         b, t, v = log_probs.shape
-        self.lp = jnp.repeat(log_probs.astype(jnp.float32), beam, axis=0)
+        self.lp = log_probs.astype(jnp.float32)
+        self.beam = beam
         self.lens = jnp.repeat(input_lengths, beam, axis=0)
         self.blank = blank_id
         self.eos = eos_id
@@ -54,7 +75,9 @@ class CTCPrefixScorer:
         self.frame_valid = frame_valid  # (N, T)
         # Pre-extract blank row (N, T).
         self.lp_blank = jnp.where(
-            frame_valid, self.lp[:, :, blank_id], 0.0
+            frame_valid,
+            jnp.repeat(self.lp[:, :, blank_id], beam, axis=0),
+            0.0,
         )
 
     def init_state(self) -> CTCPrefixState:
@@ -84,10 +107,11 @@ class CTCPrefixScorer:
         needed by `select` to advance the state for chosen tokens.
         """
         n, t, v = self.n, self.t, self.v
+        bidx = jnp.arange(n, dtype=jnp.int32) // self.beam  # row -> batch
         if candidates is not None:
-            lp = jnp.take_along_axis(
-                self.lp, candidates[:, None, :], axis=2
-            )  # (N, T, C)
+            # Gather (N, T, C) candidate columns from the unexpanded
+            # (B, T, V) log probs.
+            lp = jax.vmap(lambda bi, c: self.lp[bi][:, c])(bidx, candidates)
             scores_c, aux = self._score_impl(state, lp, candidates)
             scores = jnp.full((n, v), NEG_INF)
             scores = jax.vmap(
@@ -97,7 +121,7 @@ class CTCPrefixScorer:
             aux["candidates"] = candidates
             return scores, aux
         scores, aux = self._score_impl(
-            state, self.lp,
+            state, self.lp[bidx],
             jnp.tile(jnp.arange(v, dtype=jnp.int32)[None], (n, 1)),
         )
         return scores, aux
@@ -117,17 +141,6 @@ class CTCPrefixScorer:
             jnp.logaddexp(state.r_b, state.r_nb)[:, :, None],
         )  # (N, T, V)
 
-        # Scan over frames computing r_nb(t, c) and accumulating psi.
-        def step(carry, inputs):
-            r_nb_prev, psi = carry
-            lp_t, lp_b_t, phi_prev, valid_t = inputs
-            # (N, V) each; phi_prev = phi(t-1).
-            grow = phi_prev + lp_t
-            r_nb_t = jnp.logaddexp(r_nb_prev + lp_t, grow)
-            psi = jnp.logaddexp(psi, jnp.where(valid_t[:, None], grow, NEG_INF))
-            r_nb_t = jnp.where(valid_t[:, None], r_nb_t, r_nb_prev)
-            return (r_nb_t, psi), r_nb_t
-
         # Shift phi by one frame: phi(t-1); at t=0, parent prefix must be
         # empty for a first emission -> phi(-1) = 0 if prefix empty else -inf.
         empty = (state.last < 0)[:, None]  # (N, 1)
@@ -139,39 +152,36 @@ class CTCPrefixScorer:
             ],
             axis=1,
         )
-        xs = (
-            jnp.moveaxis(lp, 1, 0),             # (T, N, V)
-            jnp.moveaxis(self.lp_blank, 1, 0),  # (T, N)
-            jnp.moveaxis(phi_shift, 1, 0),      # (T, N, V)
-            jnp.moveaxis(self.frame_valid, 1, 0),
-        )
-        (_, psi), r_nb_all = jax.lax.scan(
-            step,
-            (jnp.full((n, v), NEG_INF), jnp.full((n, v), NEG_INF)),
-            xs,
-        )
-        r_nb_all = jnp.moveaxis(r_nb_all, 0, 1)  # (N, T, V)
+        valid = self.frame_valid[:, :, None]  # (N, T, 1)
+        grow = jnp.where(valid, phi_shift + lp, NEG_INF)  # (N, T, V)
 
-        # r_b(t, c): blank extension of the new prefix g+c.
-        def blank_step(r_b_prev, inputs):
-            r_nb_tm1, lp_b_t, valid_t = inputs
-            r_b_t = jnp.logaddexp(r_b_prev, r_nb_tm1) + lp_b_t[:, None]
-            r_b_t = jnp.where(valid_t[:, None], r_b_t, r_b_prev)
-            return r_b_t, r_b_t
+        # r_nb(t) = logaddexp(r_nb(t-1) + lp_t, grow_t); invalid frames
+        # carry r_nb(t-1) through (a = 0, b = -inf). Associative over T.
+        a_nb = jnp.where(valid, lp, 0.0)
+        r_nb_all = jnp.moveaxis(
+            _linear_log_scan(
+                jnp.moveaxis(a_nb, 1, 0), jnp.moveaxis(grow, 1, 0)
+            ),
+            0, 1,
+        )  # (N, T, V)
 
+        # psi = logsumexp over valid frames of grow (a pure reduction).
+        psi = jax.nn.logsumexp(grow, axis=1)  # (N, V)
+
+        # r_b(t, c) = (r_b(t-1) ⊕ r_nb(t-1)) + lp_blank_t: same affine
+        # form with a = lp_blank (0 at invalid), b = r_nb(t-1) + lp_blank.
         r_nb_shift = jnp.concatenate(
             [jnp.full((n, 1, v), NEG_INF), r_nb_all[:, :-1]], axis=1
         )
-        _, r_b_all = jax.lax.scan(
-            blank_step,
-            jnp.full((n, v), NEG_INF),
-            (
-                jnp.moveaxis(r_nb_shift, 1, 0),
-                jnp.moveaxis(self.lp_blank, 1, 0),
-                jnp.moveaxis(self.frame_valid, 1, 0),
+        lp_b = self.lp_blank[:, :, None]  # (N, T, 1)
+        a_b = jnp.broadcast_to(lp_b, r_nb_shift.shape)
+        b_b = jnp.where(valid, r_nb_shift + lp_b, NEG_INF)
+        r_b_all = jnp.moveaxis(
+            _linear_log_scan(
+                jnp.moveaxis(a_b, 1, 0), jnp.moveaxis(b_b, 1, 0)
             ),
+            0, 1,
         )
-        r_b_all = jnp.moveaxis(r_b_all, 0, 1)
 
         # EOS score = full prefix probability of g itself at the last
         # valid frame (r_b + r_nb at T_end).

@@ -39,6 +39,8 @@ def main():
     p.add_argument("--max-steps", type=int, default=256)
     p.add_argument("--config", default="hparams/S2S/conmambamamba_large.yaml")
     p.add_argument("--no-lm", action="store_true")
+    p.add_argument("--ablate", action="store_true",
+                   help="also time no-lm / no-ctc / bare variants")
     args = p.parse_args()
 
     import jax
@@ -73,14 +75,16 @@ def main():
     print(f"audio {args.seconds:.0f}s x {b} -> {t_frames} frames "
           f"-> enc T ~ {t_frames // 4}", flush=True)
 
-    # Params are shape-independent in T: init on a short clip (fast),
-    # run the jitted forward at full length.
+    # Params are shape-independent in T: init on a short clip (jitted —
+    # eager init costs one ~250 ms tunnel dispatch per op), run the
+    # jitted forward at full length.
     init_feats = jnp.zeros((1, 64, fe.n_mels), jnp.float32)
     t0 = time.perf_counter()
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0), init_feats, jnp.array([64]),
         jnp.array([[1, 3, 4]], jnp.int32),
     )
+    jax.block_until_ready(params)
     print(f"ASR init ({num_params(params)/1e6:.1f}M params) "
           f"in {time.perf_counter()-t0:.1f}s", flush=True)
 
@@ -88,70 +92,85 @@ def main():
     if not args.no_lm:
         lm = TransformerLM(vocab_size=cfg.model.vocab_size)
         t0 = time.perf_counter()
-        lm_params = lm.init(
+        lm_params = jax.jit(lm.init)(
             jax.random.PRNGKey(1), jnp.ones((1, 4), jnp.int32)
         )
+        jax.block_until_ready(lm_params)
         print(f"LM init ({num_params(lm_params)/1e6:.1f}M params) "
               f"in {time.perf_counter()-t0:.1f}s", flush=True)
 
     fwd = jax.jit(lambda p, f, l: model.apply(p, f, l))
+    # First execution of a fresh executable costs ~60 s over the axon
+    # tunnel (one-time backend warmup) — time the steady state only,
+    # synced by a device->host value fetch (block_until_ready returns
+    # early over this tunnel).
     t0 = time.perf_counter()
     out = fwd(params, feats, lens)
-    jax.block_until_ready(out)
-    print(f"encoder fwd compile+run {time.perf_counter()-t0:.1f}s",
+    _ = float(np.asarray(out["ctc_log_probs"][0, 0, 0]))
+    print(f"encoder fwd compile+warmup {time.perf_counter()-t0:.1f}s",
           flush=True)
-    t0 = time.perf_counter()
-    out = fwd(params, feats, lens)
-    enc_dev = float(np.asarray(out["enc_lengths"][0])) and (
-        time.perf_counter() - t0)
-    print(f"encoder fwd steady {enc_dev:.2f}s", flush=True)
-
-    searcher = S2SBeamSearcher(
-        model,
-        beam_size=args.beam,
-        ctc_weight=d.ctc_weight_decode,
-        ctc_candidates=d.ctc_candidates,
-        lm_weight=0.0 if args.no_lm else d.lm_weight,
-        temperature=d.temperature,
-        temperature_lm=d.temperature_lm,
-        length_normalization=d.length_normalization,
-        max_decode_ratio=d.max_decode_ratio,
-        min_decode_ratio=d.min_decode_ratio,
-        lm_model=lm,
-        max_steps_cap=args.max_steps,
-    )
-
-    t0 = time.perf_counter()
-    toks, hyplens, scores = searcher(
-        params, out["enc_out"], out["enc_lengths"],
-        ctc_log_probs=out["ctc_log_probs"], lm_params=lm_params,
-    )
-    _ = np.asarray(scores)
-    compile_s = time.perf_counter() - t0
-    print(f"beam search compile+run {compile_s:.1f}s", flush=True)
-
-    times = []
+    enc_times = []
     for _ in range(3):
+        t0 = time.perf_counter()
+        out = fwd(params, feats, lens)
+        _ = float(np.asarray(out["ctc_log_probs"][0, 0, 0]))
+        enc_times.append(time.perf_counter() - t0)
+    enc_dev = min(enc_times)
+    print(f"encoder fwd steady {enc_dev*1000:.1f} ms "
+          f"(enc-RTFx {b*args.seconds/enc_dev:,.0f})", flush=True)
+
+    def run_variant(tag, ctc_w, lm_w, lm_mdl, lm_p):
+        searcher = S2SBeamSearcher(
+            model,
+            beam_size=args.beam,
+            ctc_weight=ctc_w,
+            ctc_candidates=d.ctc_candidates,
+            lm_weight=lm_w,
+            temperature=d.temperature,
+            temperature_lm=d.temperature_lm,
+            length_normalization=d.length_normalization,
+            max_decode_ratio=d.max_decode_ratio,
+            min_decode_ratio=d.min_decode_ratio,
+            lm_model=lm_mdl,
+            max_steps_cap=args.max_steps,
+        )
+        clp = out["ctc_log_probs"] if ctc_w > 0 else None
         t0 = time.perf_counter()
         toks, hyplens, scores = searcher(
             params, out["enc_out"], out["enc_lengths"],
-            ctc_log_probs=out["ctc_log_probs"], lm_params=lm_params,
+            ctc_log_probs=clp, lm_params=lm_p,
         )
         _ = np.asarray(scores)
-        times.append(time.perf_counter() - t0)
-    decode_s = min(times)
-    steps = int(np.asarray(hyplens).max())
-    audio_s = b * args.seconds
-    kind = jax.devices()[0].device_kind
-    print(
-        f"beam {args.beam} vocab {cfg.model.vocab_size} "
-        f"lm {'off' if args.no_lm else 'on'} "
-        f"ctc_cand {d.ctc_candidates}: decode {decode_s:.2f}s "
-        f"({steps} steps, {decode_s/max(steps,1)*1000:.1f} ms/step), "
-        f"decode-RTFx {audio_s/decode_s:.1f}, "
-        f"full-pipeline-RTFx {audio_s/(decode_s+enc_dev):.1f} [{kind}]",
-        flush=True,
-    )
+        compile_s = time.perf_counter() - t0
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            toks, hyplens, scores = searcher(
+                params, out["enc_out"], out["enc_lengths"],
+                ctc_log_probs=clp, lm_params=lm_p,
+            )
+            _ = np.asarray(scores)
+            times.append(time.perf_counter() - t0)
+        decode_s = min(times)
+        steps = int(np.asarray(hyplens).max())
+        audio_s = b * args.seconds
+        kind = jax.devices()[0].device_kind
+        print(
+            f"[{tag}] beam {args.beam} vocab {cfg.model.vocab_size}: "
+            f"compile+warmup {compile_s:.1f}s, decode {decode_s:.2f}s "
+            f"({steps} steps, {decode_s/max(steps,1)*1000:.1f} ms/step), "
+            f"decode-RTFx {audio_s/decode_s:.1f}, "
+            f"full-pipeline-RTFx {audio_s/(decode_s+enc_dev):.1f} [{kind}]",
+            flush=True,
+        )
+        return decode_s
+
+    lm_w = 0.0 if args.no_lm else d.lm_weight
+    run_variant("full", d.ctc_weight_decode, lm_w, lm, lm_params)
+    if args.ablate:
+        run_variant("no-lm", d.ctc_weight_decode, 0.0, None, None)
+        run_variant("no-ctc", 0.0, lm_w, lm, lm_params)
+        run_variant("bare", 0.0, 0.0, None, None)
 
 
 if __name__ == "__main__":
