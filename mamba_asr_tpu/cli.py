@@ -72,6 +72,7 @@ def load_lm(cfg: ExperimentConfig, tokenizer):
         nhead=cfg.decode.lm_nhead,
         num_layers=cfg.decode.lm_layers,
         d_ffn=cfg.decode.lm_d_ffn,
+        dtype=jnp.dtype(cfg.decode.lm_dtype),
     )
     target = lm.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32), train=False

@@ -81,6 +81,10 @@ class DecodeConfig:
     # decode — the reference's Pretrainer-download equivalent
     # (train_S2S.py:1235-1236), loaded from disk instead of HF.
     lm_path: str = ""
+    # LM compute/KV-cache dtype at decode: bf16 halves the per-step HBM
+    # traffic of the (N, S_max, H, dh) buffers (the beam-step bottleneck
+    # at beam 66); logits/log-softmax stay fp32.
+    lm_dtype: str = "bfloat16"
     lm_d_model: int = 768
     lm_nhead: int = 12
     lm_layers: int = 12

@@ -90,7 +90,8 @@ def main():
 
     lm = lm_params = None
     if not args.no_lm:
-        lm = TransformerLM(vocab_size=cfg.model.vocab_size)
+        lm = TransformerLM(vocab_size=cfg.model.vocab_size,
+                           dtype=jnp.dtype(d.lm_dtype))
         t0 = time.perf_counter()
         lm_params = jax.jit(lm.init)(
             jax.random.PRNGKey(1), jnp.ones((1, 4), jnp.int32)
