@@ -194,3 +194,35 @@ def test_constant_subframe_negative_value(tmp_path):
 
     wav, _ = read_audio(path)
     np.testing.assert_allclose(wav, -2 / 32768.0, atol=1e-7)
+
+
+def test_write_flac_roundtrip_and_native_resample(tmp_path):
+    """audio.write_flac (numpy verbatim encoder) -> native decoder
+    round-trip at 16-bit quantization tolerance; plus the C++
+    linear_resample used by speed_perturb matches np.interp exactly."""
+    from mamba_asr_tpu.data.audio import (
+        flac_stream_info,
+        read_audio,
+        write_flac,
+    )
+    from mamba_asr_tpu.data.augment import speed_perturb
+
+    rng = np.random.default_rng(5)
+    wav = rng.normal(0, 0.2, 40000).astype(np.float32).clip(-1, 1)
+    path = str(tmp_path / "w.flac")
+    write_flac(path, wav, 16000, block=1024)
+    total, sr = flac_stream_info(path)
+    assert (total, sr) == (40000, 16000)
+    back, sr2 = read_audio(path)
+    assert sr2 == 16000 and len(back) == 40000
+    # int16 quantization + 32767/32768 scale convention.
+    np.testing.assert_allclose(back, wav, atol=1.0 / 16000)
+
+    for factor in (0.95, 1.05):
+        out = speed_perturb(back, factor)
+        n_out = int(round(len(back) / factor))
+        ref = np.interp(
+            np.arange(n_out) * factor, np.arange(len(back)), back
+        ).astype(np.float32)
+        assert len(out) == n_out
+        np.testing.assert_allclose(out, ref, atol=1e-6)
