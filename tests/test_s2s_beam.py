@@ -252,3 +252,38 @@ def test_beam_reference_shape_regime_compiles():
     )
     assert toks_o.shape[0] == 1
     assert np.isfinite(np.array(scores)).all()
+
+
+def test_ctc_prefix_scorer_long_sequence_consistency():
+    """Associative-scan scorer at longer T with ragged lengths: sum of
+    incremental prefix scores + eos == full CTC NLL (same oracle as the
+    short test; stresses the log-semiring scan numerics at T=200)."""
+    rng = np.random.default_rng(11)
+    b, t, v = 3, 200, 8
+    logits = rng.normal(size=(b, t, v)).astype(np.float32) * 2.0
+    lp = jnp.asarray(np.array(jax.nn.log_softmax(jnp.asarray(logits), -1)))
+    lens = jnp.array([200, 137, 61])
+    y = rng.integers(3, v, size=(b, 12)).astype(np.int32)
+    # Avoid immediate repeats (prefix scorer treats repeats via phi).
+    for i in range(1, y.shape[1]):
+        y[:, i] = np.where(y[:, i] == y[:, i - 1], 3 + (y[:, i] + 1) % (v - 3),
+                           y[:, i])
+
+    scorer = CTCPrefixScorer(lp, lens, beam=1, blank_id=0, eos_id=2)
+    state = scorer.init_state()
+    total = np.zeros(b)
+    for i in range(y.shape[1]):
+        scores, aux = scorer.score(state)
+        tok = jnp.asarray(y[:, i])
+        total += np.array(
+            jnp.take_along_axis(scores, tok[:, None], axis=1)[:, 0]
+        )
+        state = scorer.select(state, aux, tok, jnp.arange(b))
+    scores, _ = scorer.score(state)
+    total += np.array(scores[:, 2])
+
+    full_nll = np.array(
+        ctc_forward_score(lp, jnp.asarray(y), lens,
+                          jnp.full((b,), y.shape[1]))
+    )
+    np.testing.assert_allclose(total, -full_nll, rtol=2e-4, atol=2e-4)
