@@ -41,8 +41,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-L_CHUNK = 128
-D_TILE = 128
+# Tile sizes, swept on a v5e at the heavy-config shapes (B8 T376 D1024
+# N16, 2026-08): fwd+bwd ms/op — (128,128) 3.78, (128,256) 3.51,
+# (64,128) 2.87, (64,256) 2.74 <- best; L_CHUNK=256 fails to compile
+# (VMEM). Smaller L chunks shrink the (L, N, D_TILE) live set; D_TILE
+# 256 amortizes per-cell overheads over two lane groups.
+L_CHUNK = 64
+D_TILE = 256
 
 
 def _round_up(x: int, m: int) -> int:

@@ -35,16 +35,20 @@ def device_time(fn, arg, k1=4, k2=12, reps=3):
 
         return jax.jit(lambda c: jax.lax.scan(body, c, jnp.arange(k))[0])
 
+    # Sync on the LAST leaf: measurement carries put the step-dependent
+    # scalar accumulator there. Fetching a pass-through leaf (e.g. the
+    # unchanged params) can return before execution completes over the
+    # axon tunnel and fakes near-zero timings.
     run1, run2 = k_steps(k1), k_steps(k2)
     s1 = run1(arg)
-    _ = float(np.asarray(jax.tree_util.tree_leaves(s1)[0]).ravel()[0])
+    _ = float(np.asarray(jax.tree_util.tree_leaves(s1)[-1]).ravel()[0])
     s2 = run2(arg)
-    _ = float(np.asarray(jax.tree_util.tree_leaves(s2)[0]).ravel()[0])
+    _ = float(np.asarray(jax.tree_util.tree_leaves(s2)[-1]).ravel()[0])
 
     def timed(run):
         t0 = time.perf_counter()
         out = run(arg)
-        _ = float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+        _ = float(np.asarray(jax.tree_util.tree_leaves(out)[-1]).ravel()[0])
         return time.perf_counter() - t0
 
     t1 = min(timed(run1) for _ in range(reps))
@@ -122,38 +126,38 @@ def main():
 
     results = {}
 
-    # 1. Full train step.
-    def full_step(s, i):
-        s2, _ = step(s, jb, jax.random.fold_in(jax.random.PRNGKey(1), i),
-                     jnp.asarray(True))
-        return s2
-
-    results["full_step"] = device_time(full_step, state)
-    print(f"full step: {results['full_step']*1000:.1f} ms", flush=True)
-
     # 2. Loss forward only (same loss math, no grad/update). Carry a
     # scalar accumulator so the scan has a data dependence.
     from mamba_asr_tpu.training.trainer import make_eval_step  # noqa: F401
 
-    def loss_only(acc, i):
-        feats_i = feats
+    # Params ride the scan carry — closing over them would embed 0.5 GB
+    # of constants in the HLO and choke the remote compiler.
+    def loss_only(c, i):
+        params, acc = c
+        # i-dependent input defeats loop-invariant code motion (an
+        # i-independent body gets hoisted and measures ~0 ms).
         out = model.apply(
-            state.params, feats_i, flens, jb["tokens_bos"],
+            {"params": params}, feats * (1.0 + 1e-6 * i), flens,
+            jb["tokens_bos"],
         )
         lp = out["ctc_log_probs"]
-        return acc + lp.mean() + out["seq_log_probs"].mean()
+        return (params, acc + lp.mean() + out["seq_log_probs"].mean())
 
-    results["fwd_loss"] = device_time(loss_only, jnp.zeros(()))
+    results["fwd_loss"] = device_time(
+        loss_only, (state.params, jnp.zeros(())))
     print(f"forward (enc+dec heads): {results['fwd_loss']*1000:.1f} ms",
           flush=True)
 
     # 3. Encoder-only forward.
-    def enc_only(acc, i):
-        enc, _ = model.apply(state.params, feats, flens,
+    def enc_only(c, i):
+        params, acc = c
+        enc, _ = model.apply({"params": params},
+                             feats * (1.0 + 1e-6 * i), flens,
                              method=ASRModel.encode)
-        return acc + enc.mean().astype(jnp.float32)
+        return (params, acc + enc.mean().astype(jnp.float32))
 
-    results["fwd_encoder"] = device_time(enc_only, jnp.zeros(()))
+    results["fwd_encoder"] = device_time(
+        enc_only, (state.params, jnp.zeros(())))
     print(f"forward (encoder only): {results['fwd_encoder']*1000:.1f} ms",
           flush=True)
 
@@ -170,19 +174,22 @@ def main():
     results["fbank"] = device_time(fb_only, jnp.zeros(()))
     print(f"fbank: {results['fbank']*1000:.1f} ms", flush=True)
 
-    # 5. Full step with the chunked XLA scan (no Pallas).
-    model_x = build("xla")
-    step_x = make_train_step(model_x, tx, frontend, tcfg,
-                             SpecAugmentConfig())
-
-    def full_step_x(s, i):
-        s2, _ = step_x(s, jb, jax.random.fold_in(jax.random.PRNGKey(1), i),
-                       jnp.asarray(True))
+    # 1. Full train step.
+    def full_step(s, i):
+        s2, _ = step(s, jb, jax.random.fold_in(jax.random.PRNGKey(1), i),
+                     jnp.asarray(True))
         return s2
 
-    results["full_step_xla_scan"] = device_time(full_step_x, state)
-    print(f"full step (XLA scan): "
-          f"{results['full_step_xla_scan']*1000:.1f} ms", flush=True)
+    results["full_step"] = device_time(full_step, state)
+    print(f"full step: {results['full_step']*1000:.1f} ms", flush=True)
+
+
+    # 5. The chunked-XLA-scan variant of this step does not compile at
+    # these dims: XLA asks for 48.3 GB of HBM (measured 2026-08) — its
+    # (B, chunks, D, N) scan intermediates spill where the Pallas kernel
+    # stays VMEM-resident. Recorded here instead of timed.
+    print("full step (XLA scan): OOM at compile (48.3 GB HBM needed)",
+          flush=True)
 
     bwd_opt = results["full_step"] - results["fwd_loss"]
     dec = results["fwd_loss"] - results["fwd_encoder"]
@@ -190,9 +197,7 @@ def main():
         f"\nbreakdown: encoder fwd {results['fwd_encoder']*1000:.1f} ms, "
         f"decoder+heads fwd {dec*1000:.1f} ms, "
         f"bwd+opt {bwd_opt*1000:.1f} ms, "
-        f"fbank {results['fbank']*1000:.1f} ms; "
-        f"pallas speedup vs xla scan "
-        f"{results['full_step_xla_scan']/results['full_step']:.2f}x",
+        f"fbank {results['fbank']*1000:.1f} ms",
         flush=True,
     )
 
