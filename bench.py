@@ -61,21 +61,39 @@ def main():
         toks, lens = ctc_greedy_decode(out["ctc_log_probs"], out["enc_lengths"])
         return toks, lens
 
-    # Warmup / compile (force a real round-trip: over the axon tunnel
-    # jax.block_until_ready returns before execution completes, so only a
-    # device->host value transfer is a true sync).
-    toks, lens = infer(wav, wav_lens)
+    # All iterations run inside ONE jitted lax.scan (single dispatch):
+    # the per-call enqueue cost over the axon tunnel varies from ~45 to
+    # ~250 ms with tunnel state, which at batch-seconds this size would
+    # otherwise dominate and make the metric measure the tunnel, not the
+    # chip. Each iteration's input depends on the previous output so no
+    # work can be elided.
+    iters = 10
+
+    @jax.jit
+    def infer_k(wav):
+        def body(w, _):
+            toks, lens = infer(w, wav_lens)
+            # Data-dependent, numerically negligible (~1e-27) carry
+            # update: not provably zero, so XLA cannot hoist the body
+            # out of the loop as loop-invariant.
+            return w + lens[0].astype(w.dtype) * 1e-30, (toks, lens)
+
+        _, (toks, lens) = jax.lax.scan(body, wav, jnp.arange(iters))
+        return toks[-1], lens[-1]
+
+    # Warmup (compile + first-execution backend warmup; sync via a
+    # device->host value fetch — block_until_ready can return early over
+    # the tunnel).
+    toks, lens = infer_k(wav)
     _ = np.asarray(lens)
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        toks, lens = infer(wav, wav_lens)
-        # Chain iterations: next input depends on this output, so no
-        # dispatch reordering/elision is possible.
-        wav = wav + (lens[0] * 0).astype(wav.dtype)
-    _ = (np.asarray(toks), np.asarray(lens))
-    dt = time.perf_counter() - t0
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        toks, lens = infer_k(wav)
+        _ = (np.asarray(toks), np.asarray(lens))
+        dts.append(time.perf_counter() - t0)
+    dt = min(dts)
 
     audio_seconds = batch * seconds * iters
     rtfx = audio_seconds / dt

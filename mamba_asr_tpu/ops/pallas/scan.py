@@ -9,11 +9,11 @@ the inputs once in + outputs once out.
 
 Layout (TPU tiling: last dim = 128 lanes, 2nd-to-last = sublanes):
   per grid cell (batch b, d-tile d, length-chunk l):
-    u/delta/z blocks   (L_CHUNK, D_TILE)        D_TILE = 128 lanes
+    u/delta/z blocks   (L_CHUNK, d_tile)       d_tile = up to 4x128 lanes
     B/C blocks         (L_CHUNK, N)
-    A^T, carry h       (N, D_TILE)              N sublanes x 128 lanes
-  the in-chunk recurrence runs as a Hillis-Steele doubling scan over the
-  leading L axis of (L_CHUNK, N, D_TILE) arrays — log2(L_CHUNK) fully
+    A^T, carry h       (N, d_tile)
+  the in-chunk recurrence runs as a two-level parallel scan over the
+  leading L axis of (L_CHUNK, N, d_tile) arrays — log-depth fully
   vectorized VPU passes instead of L sequential steps — and the running
   state h is carried across length-chunks in a VMEM scratch accumulator
   (grid iterates the L axis innermost).
@@ -47,7 +47,16 @@ Array = jax.Array
 # (VMEM). Smaller L chunks shrink the (L, N, D_TILE) live set; D_TILE
 # 256 amortizes per-cell overheads over two lane groups.
 L_CHUNK = 64
-D_TILE = 256
+COLS = 8  # within-row sequential width of the two-level in-chunk scan
+D_TILE_MAX = 512
+
+
+def _d_tile(d_in: int) -> int:
+    """Feature-tile width: wide tiles amortize per-cell overheads —
+    (64, 512) swept best at d_inner 1024 (2.44 ms fwd+bwd vs 3.78 at the
+    old (128, 128)) — capped by the padded feature size so small models
+    (e.g. d_inner 288) don't pad to 512."""
+    return min(D_TILE_MAX, ((d_in + 127) // 128) * 128)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -81,7 +90,7 @@ def _forward_chunk_scan(da, dbu, h_carry, lchunk, n_state):
     log-depth Hillis scan over the ROWS row-aggregates, then combine.
     Returns hs (L, N, D).
     """
-    rows, cols = lchunk // 8, 8
+    rows, cols = lchunk // COLS, COLS
     a_in = da.reshape(rows, cols, n_state, da.shape[-1])
     b_in = dbu.reshape(rows, cols, n_state, dbu.shape[-1])
     pa, pb = a_in[:, 0:1], b_in[:, 0:1]
@@ -126,7 +135,7 @@ def _reverse_chunk_scan(ash, d, lchunk, n_state):
     Mosaic): backward within-row passes, a reverse row-aggregate scan,
     and a combine with row-boundary values. Returns g (L, N, D).
     """
-    rows, cols = lchunk // 8, 8
+    rows, cols = lchunk // COLS, COLS
     a_in = ash.reshape(rows, cols, n_state, ash.shape[-1])
     d_in = d.reshape(rows, cols, n_state, d.shape[-1])
 
@@ -333,7 +342,8 @@ def _pallas_fwd_impl(u, delta, A, B, C, D, z, delta_bias, delta_softplus,
     dtype_in = u.dtype
 
     lp = _round_up(length, L_CHUNK)
-    dp = _round_up(d_in, D_TILE)
+    d_tile = _d_tile(d_in)
+    dp = _round_up(d_in, d_tile)
 
     def pad_ld(x):  # (B, L, D)
         return jnp.pad(x, ((0, 0), (0, lp - length), (0, dp - d_in)))
@@ -363,7 +373,7 @@ def _pallas_fwd_impl(u, delta, A, B, C, D, z, delta_bias, delta_softplus,
             ((0, 0), (0, 0), (0, dp - d_in)),
         )
 
-    grid = (bsz, dp // D_TILE, lp // L_CHUNK)
+    grid = (bsz, dp // d_tile, lp // L_CHUNK)
 
     out, hlast = pl.pallas_call(
         functools.partial(
@@ -374,25 +384,25 @@ def _pallas_fwd_impl(u, delta, A, B, C, D, z, delta_bias, delta_softplus,
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, L_CHUNK, D_TILE), lambda b, d, l: (b, l, d)),
-            pl.BlockSpec((1, L_CHUNK, D_TILE), lambda b, d, l: (b, l, d)),
+            pl.BlockSpec((1, L_CHUNK, d_tile), lambda b, d, l: (b, l, d)),
+            pl.BlockSpec((1, L_CHUNK, d_tile), lambda b, d, l: (b, l, d)),
             pl.BlockSpec((1, L_CHUNK, n), lambda b, d, l: (b, l, 0)),
             pl.BlockSpec((1, L_CHUNK, n), lambda b, d, l: (b, l, 0)),
-            pl.BlockSpec((n, D_TILE), lambda b, d, l: (0, d)),
-            pl.BlockSpec((1, D_TILE), lambda b, d, l: (0, d)),
-            pl.BlockSpec((1, D_TILE), lambda b, d, l: (0, d)),
-            pl.BlockSpec((1, L_CHUNK, D_TILE), lambda b, d, l: (b, l, d)),
-            pl.BlockSpec((1, n, D_TILE), lambda b, d, l: (b, 0, d)),
+            pl.BlockSpec((n, d_tile), lambda b, d, l: (0, d)),
+            pl.BlockSpec((1, d_tile), lambda b, d, l: (0, d)),
+            pl.BlockSpec((1, d_tile), lambda b, d, l: (0, d)),
+            pl.BlockSpec((1, L_CHUNK, d_tile), lambda b, d, l: (b, l, d)),
+            pl.BlockSpec((1, n, d_tile), lambda b, d, l: (b, 0, d)),
         ],
         out_specs=(
-            pl.BlockSpec((1, L_CHUNK, D_TILE), lambda b, d, l: (b, l, d)),
-            pl.BlockSpec((1, n, D_TILE), lambda b, d, l: (b, 0, d)),
+            pl.BlockSpec((1, L_CHUNK, d_tile), lambda b, d, l: (b, l, d)),
+            pl.BlockSpec((1, n, d_tile), lambda b, d, l: (b, 0, d)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bsz, lp, dp), dtype_in),
             jax.ShapeDtypeStruct((bsz, n, dp), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((n, D_TILE), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((n, d_tile), jnp.float32)],
         interpret=interpret,
     )(u_p, delta_p, b_p, c_p, a_t, dtb, dsk, z_p, h0_t)
     h_last = jnp.swapaxes(hlast[:, :, :d_in], 1, 2)  # (B, D, N)
@@ -422,7 +432,8 @@ def selective_scan_bwd_pallas(
     n = A.shape[1]
 
     lp = _round_up(length, L_CHUNK)
-    dp = _round_up(d_in, D_TILE)
+    d_tile = _d_tile(d_in)
+    dp = _round_up(d_in, d_tile)
     nl = lp // L_CHUNK
 
     def pad_ld(x):
@@ -480,7 +491,7 @@ def selective_scan_bwd_pallas(
     _, h_starts = jax.lax.scan(boundary_body, h0_t, (u_c, dt_c, b_c))
     h_starts = jnp.moveaxis(h_starts, 0, 1)  # (B, nc, N, Dp)
 
-    grid = (bsz, dp // D_TILE, nl)
+    grid = (bsz, dp // d_tile, nl)
     rev = lambda b, d, l: (b, nl - 1 - l, d)
     rev_n = lambda b, d, l: (b, nl - 1 - l, 0)
 
@@ -493,37 +504,37 @@ def selective_scan_bwd_pallas(
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, L_CHUNK, D_TILE), rev),
-            pl.BlockSpec((1, L_CHUNK, D_TILE), rev),
+            pl.BlockSpec((1, L_CHUNK, d_tile), rev),
+            pl.BlockSpec((1, L_CHUNK, d_tile), rev),
             pl.BlockSpec((1, L_CHUNK, n), rev_n),
             pl.BlockSpec((1, L_CHUNK, n), rev_n),
-            pl.BlockSpec((n, D_TILE), lambda b, d, l: (0, d)),
-            pl.BlockSpec((1, D_TILE), lambda b, d, l: (0, d)),
-            pl.BlockSpec((1, D_TILE), lambda b, d, l: (0, d)),
-            pl.BlockSpec((1, L_CHUNK, D_TILE), rev),
-            pl.BlockSpec((1, L_CHUNK, D_TILE), rev),
-            pl.BlockSpec((1, 1, n, D_TILE), lambda b, d, l: (b, nl - 1 - l, 0, d)),
-            pl.BlockSpec((1, n, D_TILE), lambda b, d, l: (b, 0, d)),
+            pl.BlockSpec((n, d_tile), lambda b, d, l: (0, d)),
+            pl.BlockSpec((1, d_tile), lambda b, d, l: (0, d)),
+            pl.BlockSpec((1, d_tile), lambda b, d, l: (0, d)),
+            pl.BlockSpec((1, L_CHUNK, d_tile), rev),
+            pl.BlockSpec((1, L_CHUNK, d_tile), rev),
+            pl.BlockSpec((1, 1, n, d_tile), lambda b, d, l: (b, nl - 1 - l, 0, d)),
+            pl.BlockSpec((1, n, d_tile), lambda b, d, l: (b, 0, d)),
         ],
         out_specs=(
-            pl.BlockSpec((1, L_CHUNK, D_TILE), rev),
-            pl.BlockSpec((1, L_CHUNK, D_TILE), rev),
+            pl.BlockSpec((1, L_CHUNK, d_tile), rev),
+            pl.BlockSpec((1, L_CHUNK, d_tile), rev),
             pl.BlockSpec((1, 1, L_CHUNK, n), lambda b, d, l: (d, b, nl - 1 - l, 0)),
             pl.BlockSpec((1, 1, L_CHUNK, n), lambda b, d, l: (d, b, nl - 1 - l, 0)),
-            pl.BlockSpec((1, L_CHUNK, D_TILE), rev),
-            pl.BlockSpec((1, n, D_TILE), lambda b, d, l: (b, 0, d)),
-            pl.BlockSpec((1, n, D_TILE), lambda b, d, l: (b, 0, d)),
+            pl.BlockSpec((1, L_CHUNK, d_tile), rev),
+            pl.BlockSpec((1, n, d_tile), lambda b, d, l: (b, 0, d)),
+            pl.BlockSpec((1, n, d_tile), lambda b, d, l: (b, 0, d)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bsz, lp, dp), jnp.float32),
             jax.ShapeDtypeStruct((bsz, lp, dp), jnp.float32),
-            jax.ShapeDtypeStruct((dp // D_TILE, bsz, lp, n), jnp.float32),
-            jax.ShapeDtypeStruct((dp // D_TILE, bsz, lp, n), jnp.float32),
+            jax.ShapeDtypeStruct((dp // d_tile, bsz, lp, n), jnp.float32),
+            jax.ShapeDtypeStruct((dp // d_tile, bsz, lp, n), jnp.float32),
             jax.ShapeDtypeStruct((bsz, lp, dp), jnp.float32),
             jax.ShapeDtypeStruct((bsz, n, dp), jnp.float32),
             jax.ShapeDtypeStruct((bsz, n, dp), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((n, D_TILE), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((n, d_tile), jnp.float32)],
         interpret=interpret,
     )(u_p, delta_p, b_p, c_p, a_t, dtb, dsk, z_p, dout_p, h_starts, dhl_t)
 
