@@ -85,6 +85,11 @@ class ASRConfig:
     # nn.scan over encoder layers: O(1)-depth compile time, stacked
     # parameter layout (conmamba only; streaming requires False).
     scan_layers: bool = False
+    # Recompute encoder-layer activations in the backward pass (with
+    # scan_layers): trades ~30% step time for O(1)-in-depth activation
+    # memory — required for long sequences (ConMamba Large at batch
+    # 8 x 60 s OOMs without it).
+    remat_layers: bool = False
     # Compute dtype for the network ("float32" | "bfloat16").
     compute_dtype: str = "float32"
     xavier_parity_init: bool = False
@@ -145,6 +150,7 @@ class ASRModel(nn.Module):
                 mamba_cfg=cfg.mamba,
                 bidirectional=cfg.bidirectional,
                 scan_layers=cfg.scan_layers,
+                remat_layers=cfg.remat_layers,
                 dtype=dtype,
                 name="encoder",
             )
@@ -161,6 +167,7 @@ class ASRModel(nn.Module):
                 causal=cfg.causal,
                 attention_type=cfg.attention_type,
                 scan_layers=cfg.scan_layers,
+                remat_layers=cfg.remat_layers,
                 dtype=dtype,
                 name="encoder",
             )

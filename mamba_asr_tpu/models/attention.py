@@ -200,14 +200,26 @@ class RelPosMHAXL(nn.Module):
         )
 
         content = jnp.einsum("bqhd,bkhd->bhqk", q + u.astype(q.dtype), k)
-        # Position scores against all offsets, then gather r = j - i.
+        # Position scores against all offsets: want
+        # pos_score[..., i, j] = pos_all[..., i, j - i + Lk - 1].
         pos_all = jnp.einsum("bqhd,rhd->bhqr", q + vb.astype(q.dtype), p)
-        offset_idx = (
-            jnp.arange(lk)[None, :] - jnp.arange(lq)[:, None] + (lk - 1)
-        )  # (Lq, Lk) in [0, 2Lk-2]
-        pos_score = jnp.take_along_axis(
-            pos_all, offset_idx[None, None], axis=-1
-        )
+        if lq == lk:
+            # Transformer-XL relative shift: pad one column and reslice —
+            # pure reshapes. The take_along_axis gather this replaces was
+            # the Conformer train step's bottleneck on TPU (generic
+            # gathers of (B, H, L, L) from (B, H, L, 2L-1) lower badly).
+            b_ = pos_all.shape[0]
+            x = jnp.pad(pos_all, ((0, 0), (0, 0), (0, 0), (0, 1)))
+            x = x.reshape(b_, h, lq * 2 * lk)
+            x = x[:, :, lk - 1 : lk - 1 + lq * (2 * lk - 1)]
+            pos_score = x.reshape(b_, h, lq, 2 * lk - 1)[..., :lk]
+        else:
+            offset_idx = (
+                jnp.arange(lk)[None, :] - jnp.arange(lq)[:, None] + (lk - 1)
+            )  # (Lq, Lk) in [0, 2Lk-2]
+            pos_score = jnp.take_along_axis(
+                pos_all, offset_idx[None, None], axis=-1
+            )
 
         scores = (content + pos_score) / math.sqrt(dh)
         if self.mask_pos_future:

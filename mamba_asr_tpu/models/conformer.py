@@ -183,6 +183,7 @@ class _ScannedConformerStack(nn.Module):
 
     num_layers: int
     layer_kwargs: dict
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, src_mask, kpm, pos_embs, chunk_size, train):
@@ -197,8 +198,9 @@ class _ScannedConformerStack(nn.Module):
                 )
                 return y, None
 
+        body = nn.remat(Body, prevent_cse=False) if self.remat else Body
         scan = nn.scan(
-            Body,
+            body,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             length=self.num_layers,
@@ -220,6 +222,8 @@ class ConformerEncoder(nn.Module):
     attention_type: str = "RelPosMHAXL"
     left_context_frames: int = 16
     scan_layers: bool = False
+    # Recompute layer activations in bwd (memory <-> time; long seqs).
+    remat_layers: bool = False
     dtype: Any = jnp.float32
 
     def _layer_kwargs(self) -> dict:
@@ -242,6 +246,7 @@ class ConformerEncoder(nn.Module):
             self.stack = _ScannedConformerStack(
                 num_layers=self.num_layers,
                 layer_kwargs=self._layer_kwargs(),
+                remat=self.remat_layers,
                 name="stack",
             )
             self.layers = ()

@@ -141,6 +141,7 @@ class _ScannedConmambaStack(nn.Module):
 
     num_layers: int
     layer_kwargs: dict
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: Array, chunk_size, train: bool) -> Array:
@@ -154,8 +155,13 @@ class _ScannedConmambaStack(nn.Module):
                 )
                 return y, None
 
+        # remat: recompute layer activations in the backward instead of
+        # saving them — nn.scan otherwise keeps every layer's residuals
+        # live, which OOMs long sequences (ConMamba Large at batch
+        # 8 x 60 s asks 18.7 GB without it).
+        body = nn.remat(Body, prevent_cse=False) if self.remat else Body
         scan = nn.scan(
-            Body,
+            body,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             length=self.num_layers,
@@ -178,6 +184,8 @@ class ConmambaEncoder(nn.Module):
     # Stack layers with nn.scan (stacked params, O(1)-depth compile).
     # Checkpoint layouts differ between the two modes.
     scan_layers: bool = False
+    # Recompute layer activations in bwd (memory <-> time; long seqs).
+    remat_layers: bool = False
     dtype: Any = jnp.float32
 
     def _layer_kwargs(self) -> dict:
@@ -199,6 +207,7 @@ class ConmambaEncoder(nn.Module):
             self.stack = _ScannedConmambaStack(
                 num_layers=self.num_layers,
                 layer_kwargs=self._layer_kwargs(),
+                remat=self.remat_layers,
                 name="stack",
             )
             self.layers = ()

@@ -247,3 +247,34 @@ def test_layerdrop():
     # eval: all layers run.
     y_eval, _ = enc.apply(p, x)
     assert not np.allclose(np.array(y), np.array(y_eval), atol=1e-4)
+
+
+def test_remat_layers_matches_plain_grads():
+    """remat_layers must change memory, not math: grads equal (both
+    encoders, scan_layers on)."""
+    from mamba_asr_tpu.models.asr import ASRConfig, ASRModel
+    from mamba_asr_tpu.models.mamba import MambaConfig
+
+    for enc in ("conmamba", "conformer"):
+        grads = []
+        for remat in (False, True):
+            cfg = ASRConfig(
+                vocab_size=9, n_mels=8, d_model=16, nhead=2,
+                num_encoder_layers=2, num_decoder_layers=0, d_ffn=16,
+                dropout=0.0, encoder_module=enc, kernel_size=7,
+                mamba=MambaConfig(d_state=4, scan_impl="xla"),
+                scan_layers=True, remat_layers=remat,
+            )
+            m = ASRModel(cfg)
+            feats = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 8))
+            lens = jnp.array([16, 12])
+            params = m.init(jax.random.PRNGKey(1), feats, lens)
+
+            def loss(p):
+                return m.apply(p, feats, lens)["ctc_log_probs"].sum()
+
+            grads.append(jax.grad(loss)(params))
+        a, b = (jax.tree_util.tree_leaves(g) for g in grads)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.array(x), np.array(y),
+                                       rtol=3e-4, atol=1e-5)
