@@ -118,22 +118,30 @@ class MultiheadAttention(nn.Module):
 
         q = proj(query, "q")  # (B, Lq, H, dh)
         new_cache = None
+        heads_major = False  # k/v layout: (B, S, H, dh) vs (B, H, S, dh)
         if static_kv is not None:
             k, v = static_kv
         elif cache is not None:
+            # Cache buffers are HEADS-MAJOR (B, H, S_max, dh) — the
+            # standard decode layout; the attention contraction reads
+            # them without a transpose. (Measured perf-neutral vs
+            # seq-major on v5e at beam 66 x S 257 x d768: the beam-step
+            # LM cost is bounded by the reorder-gather traffic, not
+            # attention layout.)
             k_buf, v_buf = cache
             k_new = proj(key, "k").astype(k_buf.dtype)  # (B, 1, H, dh)
             v_new = proj(value, "v").astype(v_buf.dtype)
             k_buf = jax.lax.dynamic_update_slice_in_dim(
-                k_buf, k_new, cache_index, axis=1
+                k_buf, jnp.swapaxes(k_new, 1, 2), cache_index, axis=2
             )
             v_buf = jax.lax.dynamic_update_slice_in_dim(
-                v_buf, v_new, cache_index, axis=1
+                v_buf, jnp.swapaxes(v_new, 1, 2), cache_index, axis=2
             )
             k, v = k_buf, v_buf
             new_cache = (k_buf, v_buf)
+            heads_major = True
             # Only positions <= cache_index are valid.
-            future = jnp.arange(k.shape[1])[None, :] > cache_index
+            future = jnp.arange(k.shape[2])[None, :] > cache_index
             key_padding_mask = (
                 future
                 if key_padding_mask is None
@@ -142,13 +150,35 @@ class MultiheadAttention(nn.Module):
         else:
             k = proj(key, "k")
             v = proj(value, "v")
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k.astype(q.dtype)) / math.sqrt(dh)
-        scores = _apply_masks(scores, attn_mask, key_padding_mask)
-        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(
-            scores.dtype
-        )
-        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v.astype(attn.dtype))
+        if heads_major and q.shape[1] == 1:
+            # Single-query decode step: per-head matvecs as fused
+            # broadcast-multiply + reduce on the VPU (B*H tiny (S, dh)
+            # dot_generals don't tile the MXU; measured equal on v5e,
+            # kept for its simpler lowering).
+            qh = jnp.swapaxes(q, 1, 2)  # (B, H, 1, dh)
+            scores = (qh * k.astype(q.dtype)).sum(-1)[:, :, None, :]
+            scores = scores / math.sqrt(dh)  # (B, H, 1, S)
+            scores = _apply_masks(scores, attn_mask, key_padding_mask)
+            attn = jax.nn.softmax(
+                scores.astype(jnp.float32), axis=-1
+            ).astype(scores.dtype)
+            attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+            out = (attn[:, :, 0, :, None] * v.astype(attn.dtype)).sum(
+                axis=2
+            )[:, None]  # (B, 1, H, dh)
+        else:
+            k_eq = "bhkd" if heads_major else "bkhd"
+            scores = jnp.einsum(
+                f"bqhd,{k_eq}->bhqk", q, k.astype(q.dtype)
+            ) / math.sqrt(dh)
+            scores = _apply_masks(scores, attn_mask, key_padding_mask)
+            attn = jax.nn.softmax(
+                scores.astype(jnp.float32), axis=-1
+            ).astype(scores.dtype)
+            attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+            out = jnp.einsum(
+                f"bhqk,{k_eq}->bqhd", attn, v.astype(attn.dtype)
+            )
         out = out.reshape(*out.shape[:-2], d_model)
         out = nn.Dense(d_model, dtype=self.dtype, name="out")(out)
         return out, (new_cache if cache is not None else attn)

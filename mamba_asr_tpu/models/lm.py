@@ -60,7 +60,7 @@ class TransformerLM(nn.Module):
         """
         stepping = cache is not None
         if stepping:
-            s_ctx = cache[0][0].shape[1]
+            s_ctx = cache[0][0].shape[2]
             x = NormalizedEmbedding(
                 self.vocab_size, self.d_model, dtype=self.dtype, name="embed"
             )(tokens[:, None])
@@ -99,5 +99,6 @@ class TransformerLM(nn.Module):
         """Per-layer (k, v) buffers (B, s_max, H, dh). Pure shapes — no
         params touched, callable on the bare module."""
         dh = self.d_model // self.nhead
-        z = lambda: jnp.zeros((batch, s_max, self.nhead, dh), self.dtype)
+        # Heads-major (B, H, S, dh): see attention.py cache branch.
+        z = lambda: jnp.zeros((batch, self.nhead, s_max, dh), self.dtype)
         return [(z(), z()) for _ in range(self.num_layers)]

@@ -365,7 +365,8 @@ class TransformerDecoder(nn.Module):
     def init_cache(self, batch: int, s_max: int, d_model: int,
                    dtype=jnp.float32):
         dh = d_model // self.nhead
-        z = lambda: jnp.zeros((batch, s_max, self.nhead, dh), dtype)
+        # Heads-major (B, H, S, dh): see attention.py cache branch.
+        z = lambda: jnp.zeros((batch, self.nhead, s_max, dh), dtype)
         return {
             "layers": [
                 {"self": (z(), z()), "cross": None}
