@@ -15,9 +15,11 @@ with learned per-head biases u (content) and v (position) and sinusoidal
 relative embeddings p projected by a learned matrix.
 
 TPU notes: everything is expressed as batched matmuls (MXU); the
-relative-position term is computed against all 2L-1 offsets then gathered
-with `take_along_axis` (static shapes; XLA lowers the gather efficiently).
-Masks are boolean (True = disallowed) and applied as additive -inf.
+relative-position term is computed against all 2L-1 offsets and aligned
+to (i, j) with the Transformer-XL pad-and-reshape shift (the equivalent
+take_along_axis gather lowers catastrophically on TPU — 6.8x slower
+Conformer train step). Masks are boolean (True = disallowed), additive
+-inf.
 """
 
 from __future__ import annotations
@@ -74,7 +76,7 @@ class MultiheadAttention(nn.Module):
     Incremental-decoding support (used by the S2S/LM beam search so each
     step is O(1) new work instead of the reference's full-prefix re-scan,
     SURVEY.md §3.2):
-      - `cache=(k_buf, v_buf)` (B, S_max, H, dh) + `cache_index=s`:
+      - `cache=(k_buf, v_buf)` (B, H, S_max, dh) + `cache_index=s`:
         query/key/value are a single position (B, 1, D); the new K/V are
         written at position s, attention runs over positions <= s, and
         the return is (out, (new_k_buf, new_v_buf)).
