@@ -93,6 +93,10 @@ def main():
             step = args.chunk_frames * cfg.frontend.hop
             for off in range(0, len(wav), step):
                 ids += sess.feed(wav[None, off : off + step])[0]
+            # Flush the remaining center-framing frames + the conv
+            # frontend's lookahead: with it the streamed transcript
+            # equals the offline greedy decode exactly (causal config).
+            ids += sess.finish()[0]
             print(f"{path}\t{tokenizer.decode(ids)}")
         return
 
