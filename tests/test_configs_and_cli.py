@@ -155,3 +155,53 @@ def test_evaluate_entry(tmp_path):
     eval_mod.main(common)
     exp = os.path.join(out, "CTC/conmamba_small", "3407")
     assert os.path.isfile(os.path.join(exp, "wer_test-clean.txt"))
+
+
+def test_recognize_entry(tmp_path, capsys):
+    """recognize.py: greedy, beam, and streaming (with end-of-stream
+    flush) transcription from a trained checkpoint."""
+    import sys as _sys
+
+    from mamba_asr_tpu.cli import run_training
+
+    corpus = str(tmp_path / "LibriSpeech")
+    _make_corpus(corpus)
+    out = str(tmp_path / "results")
+    common = [
+        os.path.join(REPO, "hparams", "CTC", "conmamba_small.yaml"),
+        "--data.data_folder", corpus,
+        "--data.output_folder", out,
+        "--data.train_splits", "[train-clean-100]",
+        "--data.test_splits", "[test-clean]",
+        "--data.speed_perturb", "false",
+        "--model.d_model", "16",
+        "--model.num_encoder_layers", "1",
+        "--model.d_ffn", "16",
+        "--model.compute_dtype", "float32",
+        "--model.mamba.d_state", "4",
+        "--frontend.n_mels", "20",
+        "--model.n_mels", "20",
+        "--train.grad_accumulation_factor", "1",
+        "--data.num_buckets", "2",
+        "--data.max_batch_seconds", "4.0",
+    ]
+    run_training(common + ["--train.number_of_epochs", "1"])
+
+    import recognize as rec_mod
+
+    exp = os.path.join(out, "CTC/conmamba_small", "3407")
+    wav = glob.glob(os.path.join(corpus, "test-clean", "1", "2",
+                                 "*.wav"))[0]
+    base = [common[0], wav,
+            "--ckpt_dir", os.path.join(exp, "save"),
+            "--tokenizer", os.path.join(exp, "tokenizer_char.json"),
+            ] + common[1:]
+    for extra in ([], ["--beam", "4"], ["--streaming"]):
+        old_argv = _sys.argv
+        _sys.argv = ["recognize.py"] + base + extra
+        try:
+            rec_mod.main()
+        finally:
+            _sys.argv = old_argv
+        printed = capsys.readouterr().out
+        assert wav in printed, (extra, printed)
