@@ -223,6 +223,11 @@ def test_streaming_s2s_session():
     sess.feed(rng.normal(0, 0.3, size=(1, 16 * 160)).astype(np.float32))
     hyp2 = sess.decode_greedy(max_new=4)
     assert len(hyp2) == 1
+    # End-of-stream flush (frame remainder + conv-frontend lookahead)
+    # folds into the encoder/decoder state and decoding still works.
+    sess.finish()
+    hyp3 = sess.decode_greedy(max_new=4)
+    assert len(hyp3) == 1
 
 
 def test_conformer_streaming_matches_chunked_training():
