@@ -96,8 +96,9 @@ class TransformerLM(nn.Module):
         return logits
 
     def init_cache(self, batch: int, s_max: int):
-        """Per-layer (k, v) buffers (B, s_max, H, dh). Pure shapes — no
-        params touched, callable on the bare module."""
+        """Per-layer (k, v) buffers, heads-major (B, H, s_max, dh) —
+        attention.py's cache contract. Pure shapes — no params touched,
+        callable on the bare module."""
         dh = self.d_model // self.nhead
         # Heads-major (B, H, S, dh): see attention.py cache branch.
         z = lambda: jnp.zeros((batch, self.nhead, s_max, dh), self.dtype)

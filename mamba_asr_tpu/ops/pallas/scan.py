@@ -51,12 +51,19 @@ COLS = 8  # within-row sequential width of the two-level in-chunk scan
 D_TILE_MAX = 512
 
 
-def _d_tile(d_in: int) -> int:
+def _d_tile(d_in: int, n_state: int = 16) -> int:
     """Feature-tile width: wide tiles amortize per-cell overheads —
-    (64, 512) swept best at d_inner 1024 (2.44 ms fwd+bwd vs 3.78 at the
-    old (128, 128)) — capped by the padded feature size so small models
-    (e.g. d_inner 288) don't pad to 512."""
-    return min(D_TILE_MAX, ((d_in + 127) // 128) * 128)
+    (64, 512) swept best at d_inner 1024 / N 16 (2.44 ms fwd+bwd vs 3.78
+    at the old (128, 128)) — capped by the padded feature size so small
+    models (e.g. d_inner 288) don't pad to 512, and by the VMEM budget
+    when N grows: the bwd cell holds ~8 live (L_CHUNK, N, d_tile) fp32
+    arrays (da, dbu, hs, h_prev, dh, g, gh, ash), so at N 16 / d_tile 512
+    that is 8 * 64*16*512*4B = 16 MB (~the whole VMEM, compiles because
+    not all are simultaneously live); N 32 at the same width would ask
+    for 2x that, so halve the tile instead (same live bytes)."""
+    cap = D_TILE_MAX if n_state <= 16 else D_TILE_MAX * 16 // _round_up(n_state, 8)
+    cap = max(128, cap)
+    return min(cap, ((d_in + 127) // 128) * 128)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -76,8 +83,10 @@ def supported(u: Array, A: Array, h0, return_last_state: bool) -> bool:
         return False
     b, length, d = u.shape
     n = A.shape[1]
-    # VMEM budget per cell ~ (L_CHUNK * N * D_TILE) * 4B * ~4 live arrays
-    # = 128*32*128*4*4 = 8 MB at N=32; cap N.
+    # _d_tile() shrinks the feature tile as N grows so the bwd cell's
+    # ~8 live (L_CHUNK, N, d_tile) fp32 arrays stay within the ~16 MB
+    # VMEM that the swept N=16/d_tile=512 point occupies; beyond N=32
+    # the tile would drop below one 128-lane group — fall back to XLA.
     return n <= 32 and length >= 1 and d >= 1
 
 
@@ -342,7 +351,7 @@ def _pallas_fwd_impl(u, delta, A, B, C, D, z, delta_bias, delta_softplus,
     dtype_in = u.dtype
 
     lp = _round_up(length, L_CHUNK)
-    d_tile = _d_tile(d_in)
+    d_tile = _d_tile(d_in, n)
     dp = _round_up(d_in, d_tile)
 
     def pad_ld(x):  # (B, L, D)
@@ -432,7 +441,7 @@ def selective_scan_bwd_pallas(
     n = A.shape[1]
 
     lp = _round_up(length, L_CHUNK)
-    d_tile = _d_tile(d_in)
+    d_tile = _d_tile(d_in, n)
     dp = _round_up(d_in, d_tile)
     nl = lp // L_CHUNK
 

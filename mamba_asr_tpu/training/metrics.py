@@ -96,27 +96,30 @@ def align_tokens(
     ErrorRateStats.write_stats behavior, dumped at
     /root/reference/train_CTC.py:664-666)."""
     n, m = len(ref), len(hyp)
-    # dp[i][j] = cost; ptr[i][j] = op taken to reach (i, j).
-    dp = np.zeros((n + 1, m + 1), np.int32)
+    # Row-vectorized DP (whole test sets go through write_stats; the
+    # O(n*m) pure-Python inner loop was the bottleneck there). The
+    # insertion recurrence cur[j] = min(tmp[j], cur[j-1] + 1) resolves
+    # in closed form as a running minimum of tmp[j] - j.
+    hyp_arr = np.asarray(hyp) if m else np.zeros((0,))
     ptr = np.zeros((n + 1, m + 1), np.int8)  # 0:=, 1:S, 2:I, 3:D
-    dp[:, 0] = np.arange(n + 1)
-    dp[0, :] = np.arange(m + 1)
     ptr[1:, 0] = 3
     ptr[0, 1:] = 2
+    prev = np.arange(m + 1)
+    j_idx = np.arange(m + 1)
     for i in range(1, n + 1):
-        for j in range(1, m + 1):
-            eq = ref[i - 1] == hyp[j - 1]
-            diag = dp[i - 1, j - 1] + (0 if eq else 1)
-            ins = dp[i, j - 1] + 1
-            dele = dp[i - 1, j] + 1
-            best = min(diag, ins, dele)
-            dp[i, j] = best
-            if best == diag:
-                ptr[i, j] = 0 if eq else 1
-            elif best == ins:
-                ptr[i, j] = 2
-            else:
-                ptr[i, j] = 3
+        eq = hyp_arr == ref[i - 1]
+        diag = prev[:-1] + (~eq)
+        dele = prev[1:] + 1
+        tmp = np.concatenate(([i], np.minimum(diag, dele)))
+        cur = np.minimum.accumulate(tmp - j_idx) + j_idx
+        # Tie-break priority (diag > ins > del) matches the scalar DP.
+        ins = cur[:-1] + 1
+        row = np.where(
+            cur[1:] == diag, np.where(eq, 0, 1),
+            np.where(cur[1:] == ins, 2, 3),
+        )
+        ptr[i, 1:] = row
+        prev = cur
     ops = []
     i, j = n, m
     while i > 0 or j > 0:

@@ -95,7 +95,11 @@ def main():
                 ids += sess.feed(wav[None, off : off + step])[0]
             # Flush the remaining center-framing frames + the conv
             # frontend's lookahead: with it the streamed transcript
-            # equals the offline greedy decode exactly (causal config).
+            # equals the offline greedy decode exactly (causal config)
+            # when the frame count is even at every frontend level —
+            # odd counts diverge by one boundary frame because offline
+            # SAME-pads (1,1) while the flush supplies only the trailing
+            # zero (StreamingFrontend.finish docstring).
             ids += sess.finish()[0]
             print(f"{path}\t{tokenizer.decode(ids)}")
         return
