@@ -17,8 +17,16 @@ Fully vectorized over (hyps, vocab); the frame recurrences are
 first-order linear in the log semiring (⊕ = logaddexp, ⊗ = +), so they
 run as `lax.associative_scan` over T — log-depth on device instead of
 T sequential steps. At enc T = 1500 the sequential form cost ~45 ms per
-beam step (2 x 1500 tiny iterations, pure loop latency); the
-associative form is a handful of fused (T, N, C) passes.
+beam step (2 x 1500 tiny iterations, pure loop latency).
+
+Round-3 cost split: `score` needs only psi(c) — a logsumexp over frames
+of phi(t-1, c) + logp(t, c), a PURE REDUCTION — while the r_nb/r_b frame
+recurrences are only ever needed for the ONE token each surviving
+hypothesis actually selects. So `score` runs no scans at all (one fused
+(N, T, C) reduction pass), and `select` re-runs the two log-semiring
+associative scans at C = 1 on (T, N) arrays. At beam 66 x C 96 x
+T 1500 that removes ~2 x log2(T) passes over ~38 MB arrays per beam
+step (~7 ms of the round-2 beam step).
 """
 
 from __future__ import annotations
@@ -129,9 +137,11 @@ class CTCPrefixScorer:
     def _score_impl(
         self, state: CTCPrefixState, lp: Array, cand_ids: Array
     ) -> Tuple[Array, dict]:
-        """lp: (N, T, C) log probs of candidate tokens; cand_ids (N, C)."""
-        n, t = self.n, self.t
-        v = lp.shape[-1]  # C
+        """lp: (N, T, C) log probs of candidate tokens; cand_ids (N, C).
+
+        psi-only: no frame recurrences here — one fused reduction over T
+        (see module docstring); `select` recomputes the DP rows for the
+        chosen token."""
         # phi(t, c): parent can emit c after ending blank always, or after
         # ending non-blank only if c != last.
         same = cand_ids == state.last[:, None]  # (N, C)
@@ -139,11 +149,12 @@ class CTCPrefixScorer:
             same[:, None, :],
             state.r_b[:, :, None],
             jnp.logaddexp(state.r_b, state.r_nb)[:, :, None],
-        )  # (N, T, V)
+        )  # (N, T, C)
 
         # Shift phi by one frame: phi(t-1); at t=0, parent prefix must be
         # empty for a first emission -> phi(-1) = 0 if prefix empty else -inf.
         empty = (state.last < 0)[:, None]  # (N, 1)
+        v = lp.shape[-1]
         phi_shift = jnp.concatenate(
             [
                 jnp.where(empty, 0.0, NEG_INF)[:, None, :]
@@ -153,35 +164,10 @@ class CTCPrefixScorer:
             axis=1,
         )
         valid = self.frame_valid[:, :, None]  # (N, T, 1)
-        grow = jnp.where(valid, phi_shift + lp, NEG_INF)  # (N, T, V)
-
-        # r_nb(t) = logaddexp(r_nb(t-1) + lp_t, grow_t); invalid frames
-        # carry r_nb(t-1) through (a = 0, b = -inf). Associative over T.
-        a_nb = jnp.where(valid, lp, 0.0)
-        r_nb_all = jnp.moveaxis(
-            _linear_log_scan(
-                jnp.moveaxis(a_nb, 1, 0), jnp.moveaxis(grow, 1, 0)
-            ),
-            0, 1,
-        )  # (N, T, V)
+        grow = jnp.where(valid, phi_shift + lp, NEG_INF)  # (N, T, C)
 
         # psi = logsumexp over valid frames of grow (a pure reduction).
-        psi = jax.nn.logsumexp(grow, axis=1)  # (N, V)
-
-        # r_b(t, c) = (r_b(t-1) ⊕ r_nb(t-1)) + lp_blank_t: same affine
-        # form with a = lp_blank (0 at invalid), b = r_nb(t-1) + lp_blank.
-        r_nb_shift = jnp.concatenate(
-            [jnp.full((n, 1, v), NEG_INF), r_nb_all[:, :-1]], axis=1
-        )
-        lp_b = self.lp_blank[:, :, None]  # (N, T, 1)
-        a_b = jnp.broadcast_to(lp_b, r_nb_shift.shape)
-        b_b = jnp.where(valid, r_nb_shift + lp_b, NEG_INF)
-        r_b_all = jnp.moveaxis(
-            _linear_log_scan(
-                jnp.moveaxis(a_b, 1, 0), jnp.moveaxis(b_b, 1, 0)
-            ),
-            0, 1,
-        )
+        psi = jax.nn.logsumexp(grow, axis=1)  # (N, C)
 
         # EOS score = full prefix probability of g itself at the last
         # valid frame (r_b + r_nb at T_end).
@@ -196,8 +182,7 @@ class CTCPrefixScorer:
             cand_ids == self.eos, (eos_psi - state.psi)[:, None], scores
         )
         scores = jnp.where(cand_ids == self.blank, NEG_INF, scores)
-        aux = {"r_nb": r_nb_all, "r_b": r_b_all, "psi": psi}
-        return scores, aux
+        return scores, {"psi": psi}
 
     def select(
         self, state: CTCPrefixState, aux: dict, tokens: Array,
@@ -207,10 +192,17 @@ class CTCPrefixScorer:
 
         tokens: (N,) chosen next token per surviving hypothesis;
         reorder: (N,) index of the parent hypothesis row.
+
+        Re-runs the r_nb/r_b frame recurrences for the ONE chosen token
+        per row — two C=1 log-semiring associative scans on (T, N)
+        arrays, ~C x cheaper than materializing the DP for every scored
+        candidate at score time.
         """
         def take(x):
             return x[reorder]
 
+        n, t = self.n, self.t
+        bidx = jnp.arange(n, dtype=jnp.int32) // self.beam
         if "candidates" in aux:
             # Map vocab token -> candidate slot; unscored tokens keep the
             # parent state (only eos can be selected unscored).
@@ -222,14 +214,35 @@ class CTCPrefixScorer:
         else:
             idx = tokens
             found = jnp.ones_like(tokens, bool)
-
-        r_nb = jnp.take_along_axis(
-            take(aux["r_nb"]), idx[:, None, None], axis=2
-        )[:, :, 0]
-        r_b = jnp.take_along_axis(
-            take(aux["r_b"]), idx[:, None, None], axis=2
-        )[:, :, 0]
         psi = jnp.take_along_axis(take(aux["psi"]), idx[:, None], axis=1)[:, 0]
+
+        # Recompute the chosen token's DP rows from the parent state —
+        # identical math to the pre-round-3 per-candidate scans at C=1.
+        r_b_par = take(state.r_b)     # (N, T)
+        r_nb_par = take(state.r_nb)
+        last_par = take(state.last)
+        lp_tok = jax.vmap(lambda bi, c: self.lp[bi][:, c])(
+            bidx, tokens[:, None]
+        )[:, :, 0]  # (N, T)
+        same = tokens == last_par
+        phi = jnp.where(
+            same[:, None], r_b_par, jnp.logaddexp(r_b_par, r_nb_par)
+        )
+        empty = last_par < 0
+        phi_shift = jnp.concatenate(
+            [jnp.where(empty, 0.0, NEG_INF)[:, None], phi[:, :-1]], axis=1
+        )
+        valid = self.frame_valid  # (N, T)
+        grow = jnp.where(valid, phi_shift + lp_tok, NEG_INF)
+        a_nb = jnp.where(valid, lp_tok, 0.0)
+        r_nb = _linear_log_scan(a_nb.T, grow.T).T  # (N, T)
+        r_nb_shift = jnp.concatenate(
+            [jnp.full((n, 1), NEG_INF), r_nb[:, :-1]], axis=1
+        )
+        a_b = self.lp_blank  # (N, T), 0 at invalid frames
+        b_b = jnp.where(valid, r_nb_shift + self.lp_blank, NEG_INF)
+        r_b = _linear_log_scan(a_b.T, b_b.T).T
+
         # Hypotheses that chose EOS (or an unscored token) keep their
         # parent state.
         keep_old = ((tokens == self.eos) | ~found)[:, None]
