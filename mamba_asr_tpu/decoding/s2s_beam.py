@@ -65,6 +65,12 @@ class S2SBeamSearcher:
     # score (partial-scorer pattern; 0 = score the full vocab). The full
     # DP materializes (beams, T, V) per step — prohibitive at vocab 5000.
     ctc_candidates: int = 0
+    # Append-only KV caches + ancestor-mask gather-at-read for the LM and
+    # transformer-decoder self-attention (ops/pallas/beam_attention.py):
+    # removes the per-step full-buffer beam-reorder traffic that bounded
+    # the round-2 beam step (~1.9 GB/step at beam 66 x d768 x S 257).
+    # False = legacy reorder path (kept for A/B benchmarking).
+    beam_gather: bool = True
 
     def __post_init__(self):
         self._jit_cache = {}
@@ -116,6 +122,26 @@ class S2SBeamSearcher:
             use_cache = getattr(model.cfg, "decoder_module", "") in (
                 "mamba", "transformer"
             )
+        dec_is_transformer = (
+            getattr(model.cfg, "decoder_module", "") == "transformer"
+        )
+        # Ancestor-mask mode applies wherever per-hypothesis KV buffers
+        # exist: the fusion LM, and transformer-decoder self-attention.
+        use_anc = self.beam_gather and (
+            has_lm or (use_cache and dec_is_transformer)
+        )
+        if use_anc:
+            from mamba_asr_tpu.ops.pallas.beam_attention import (
+                J_CHUNK,
+                build_anc_mask,
+            )
+
+            # Round the cache length up so the Pallas chunked kernel
+            # applies on TPU (it skips chunks past the current position,
+            # so the extra tail costs nothing).
+            s_cache = -(-(s_max + 1) // J_CHUNK) * J_CHUNK
+        else:
+            s_cache = s_max + 1
 
         def search(params, lm_params, enc_out, enc_lens, ctc_log_probs):
             enc_rep = jnp.repeat(enc_out, k, axis=0)
@@ -134,8 +160,9 @@ class S2SBeamSearcher:
                 from mamba_asr_tpu.models.asr import ASRModel
 
                 dec_cache = model.apply(
-                    params, n, s_max + 1,
+                    params, n, s_cache,
                     method=ASRModel.init_decoder_cache,
+                    beam_gather=use_anc and dec_is_transformer,
                 )
                 dec_cache = model.apply(
                     params, enc_rep, dec_cache, enc_lens_rep,
@@ -144,7 +171,19 @@ class S2SBeamSearcher:
 
             lm_cache = None
             if has_lm and lm_model is not None:
-                lm_cache = lm_model.init_cache(n, s_max + 1)
+                lm_cache = lm_model.init_cache(
+                    n, s_cache, beam_gather=use_anc
+                )
+
+            # anc[j, n] = physical cache row holding position j of
+            # hypothesis n's prefix. Row n writes position s at row n
+            # itself, so the identity init is correct for every not-yet-
+            # reordered position.
+            anc0 = (
+                jnp.tile(jnp.arange(n, dtype=jnp.int32)[None], (s_cache, 1))
+                if use_anc
+                else None
+            )
 
             tokens0 = jnp.full((n, s_max + 1), 0, jnp.int32).at[:, 0].set(
                 self.bos_id
@@ -164,10 +203,11 @@ class S2SBeamSearcher:
                 scorer_state,
                 dec_cache,
                 lm_cache,
+                anc0,
             )
 
             def cond(carry):
-                s, _, _, finished = carry[0], carry[1], carry[2], carry[3]
+                s, finished = carry[0], carry[3]
                 return (s < s_max) & ~finished.all()
 
             def body(carry):
@@ -177,7 +217,7 @@ class S2SBeamSearcher:
                 return (s + 1,) + new
 
             carry = jax.lax.while_loop(cond, body, carry0)
-            _, tokens, scores, finished, lengths, _, _, _ = carry
+            _, tokens, scores, finished, lengths, _, _, _, _ = carry
 
             # Unfinished hypotheses: count full length.
             lengths = jnp.where(finished, lengths, s_max)
@@ -201,7 +241,17 @@ class S2SBeamSearcher:
         def step_body(params, lm_params, carry, s, scorer, enc_rep,
                       enc_lens_rep):
             (tokens, scores, finished, lengths, sc_state, dec_cache,
-             lm_cache) = carry
+             lm_cache, anc) = carry
+
+            anc_mask = None
+            if use_anc:
+                # Position s is written by each row itself this step —
+                # pin row s to the identity before rendering the mask
+                # (earlier end-of-step gathers shuffled every row).
+                anc = jax.lax.dynamic_update_slice(
+                    anc, jnp.arange(n, dtype=jnp.int32)[None], (s, 0)
+                )
+                anc_mask = build_anc_mask(anc, s, n, jnp.bfloat16)
 
             prev_tok = jnp.take_along_axis(
                 tokens, s[None, None].astype(jnp.int32), axis=1
@@ -212,6 +262,7 @@ class S2SBeamSearcher:
                 step_logits, dec_cache = model.apply(
                     params, prev_tok, s, dec_cache,
                     method=ASRModel.decode_step,
+                    anc_mask=anc_mask if dec_is_transformer else None,
                 )
                 lp = jax.nn.log_softmax(step_logits / self.temperature,
                                         axis=-1)
@@ -240,7 +291,8 @@ class S2SBeamSearcher:
                 # per step (full-prefix re-scoring of the 12-layer d768 LM
                 # per step is what makes beam 66 x vocab 5000 infeasible).
                 lm_step, lm_cache = lm_model.apply(
-                    lm_params, prev_tok, cache=lm_cache, cache_index=s
+                    lm_params, prev_tok, cache=lm_cache, cache_index=s,
+                    anc_mask=anc_mask,
                 )
                 lm_lp = jax.nn.log_softmax(
                     lm_step / self.temperature_lm, axis=-1
@@ -306,35 +358,48 @@ class S2SBeamSearcher:
             new_cache = dec_cache
             if use_cache:
                 if isinstance(dec_cache, dict) and "layers" in dec_cache:
-                    # Transformer decoder: only the self-attention KV
-                    # buffers are per-hypothesis; the cross K/V and memory
-                    # mask are identical across beams of a batch row and
-                    # reorder preserves row groups — skip gathering those
-                    # (they are (N, T_enc, H, dh): hundreds of MB at
-                    # reference scale).
-                    new_cache = {
-                        "layers": [
-                            {
-                                "self": jax.tree_util.tree_map(
-                                    lambda x: x[reorder], c["self"]
-                                ),
-                                "cross": c["cross"],
-                            }
-                            for c in dec_cache["layers"]
-                        ],
-                        "mem_mask": dec_cache["mem_mask"],
-                    }
+                    # Transformer decoder. Ancestor mode: the self KV
+                    # buffers are append-only — nothing to gather. Legacy
+                    # mode: gather only the per-hypothesis self buffers;
+                    # the cross K/V and memory mask are identical across
+                    # beams of a batch row and reorder preserves row
+                    # groups — skip gathering those (they are
+                    # (N, T_enc, H, dh): hundreds of MB at reference
+                    # scale).
+                    if not use_anc:
+                        new_cache = {
+                            "layers": [
+                                {
+                                    "self": jax.tree_util.tree_map(
+                                        lambda x: x[reorder], c["self"]
+                                    ),
+                                    "cross": c["cross"],
+                                }
+                                for c in dec_cache["layers"]
+                            ],
+                            "mem_mask": dec_cache["mem_mask"],
+                        }
                 else:
+                    # Mamba decoder: per-hypothesis (conv, ssm) states are
+                    # O(d_inner) per layer — the gather is cheap and the
+                    # states are mutated in place each step, so ancestor
+                    # indexing does not apply.
                     new_cache = jax.tree_util.tree_map(
                         lambda x: x[reorder], dec_cache
                     )
             new_lm_cache = lm_cache
-            if lm_cache is not None:
+            if lm_cache is not None and not use_anc:
                 new_lm_cache = jax.tree_util.tree_map(
                     lambda x: x[reorder], lm_cache
                 )
+            new_anc = anc
+            if use_anc:
+                # New hypothesis i extends old row reorder[i]: its whole
+                # prefix (including the position-s entry just written at
+                # row reorder[i]) relocates by one (S, N) int32 gather.
+                new_anc = anc[:, reorder]
             return (new_tokens, new_scores, new_finished, new_lengths,
-                    new_state, new_cache, new_lm_cache)
+                    new_state, new_cache, new_lm_cache, new_anc)
 
         return search
 

@@ -335,15 +335,18 @@ class ASRModel(nn.Module):
 
     # -- stateful decoder cache (O(1)-per-token decode) ----------------------
 
-    def init_decoder_cache(self, batch: int, s_max: Optional[int] = None):
+    def init_decoder_cache(self, batch: int, s_max: Optional[int] = None,
+                           beam_gather: bool = False):
         """Mamba decoder: per-layer (conv_state, ssm_state). Transformer
         decoder: per-layer self-attention KV buffers of length `s_max`
-        (+ cross K/V filled by priming)."""
+        (+ cross K/V filled by priming); `beam_gather` selects the
+        append-only ancestor-mask layout (attention.py)."""
         if self.cfg.decoder_module == "mamba":
             return self.decoder.init_cache(batch, self.cfg.dtype)
         assert s_max is not None, "transformer decoder cache needs s_max"
         return self.decoder.init_cache(
-            batch, s_max, self.cfg.d_model, self.cfg.dtype
+            batch, s_max, self.cfg.d_model, self.cfg.dtype,
+            beam_gather=beam_gather,
         )
 
     def prime_decoder_cache(self, enc_out: Array, cache,
@@ -370,10 +373,13 @@ class ASRModel(nn.Module):
         ever *extends* state, nothing is recomputed (BASELINE config 5)."""
         return self.decoder.extend_cache(enc_chunk, cache)
 
-    def decode_step(self, token_t: Array, pos: Array, cache):
+    def decode_step(self, token_t: Array, pos: Array, cache,
+                    anc_mask: Optional[Array] = None):
         """One decode step. token_t (B,) int32, pos scalar position.
 
-        Returns (raw seq-head logits (B, V), new_cache)."""
+        Returns (raw seq-head logits (B, V), new_cache). `anc_mask`
+        (transformer decoder only) selects append-only beam-gather
+        self-attention caches (attention.py)."""
         tgt = self.tgt_embed(token_t[:, None])[:, 0]
         pe = sinusoidal_position_encoding(
             self.cfg.max_length, self.cfg.d_model, tgt.dtype
@@ -382,7 +388,8 @@ class ASRModel(nn.Module):
         if self.cfg.decoder_module == "mamba":
             dec, cache = self.decoder.step(tgt, cache)
         else:
-            dec, cache = self.decoder.step(tgt, pos, cache)
+            dec, cache = self.decoder.step(tgt, pos, cache,
+                                           anc_mask=anc_mask)
         logits = self.seq_head(dec.astype(jnp.float32))
         return logits, cache
 

@@ -80,6 +80,12 @@ class MultiheadAttention(nn.Module):
         query/key/value are a single position (B, 1, D); the new K/V are
         written at position s, attention runs over positions <= s, and
         the return is (out, (new_k_buf, new_v_buf)).
+      - `cache` + `anc_mask` (S, R, B): APPEND-ONLY beam-search mode.
+        Buffers are (H, S_max, B, dh); row i writes at [:, s, i] and is
+        never reordered — attention gathers each hypothesis' prefix
+        through the ancestor mask (ops/pallas/beam_attention.py). This
+        removes the per-step full-buffer beam-reorder traffic that
+        dominated the round-2 beam step.
       - `static_kv=(k, v)`: use precomputed projected K/V (cross-attention
         over a fixed encoder memory) — no K/V projection matmuls per step.
       - `precompute_kv=True`: returns the projected (k, v) of key/value
@@ -104,6 +110,7 @@ class MultiheadAttention(nn.Module):
         cache_index: Optional[Array] = None,
         static_kv: Optional[Tuple[Array, Array]] = None,
         precompute_kv: bool = False,
+        anc_mask: Optional[Array] = None,
     ) -> Tuple[Array, Array]:
         del pos_embs  # absolute-PE path adds encodings to inputs instead
         d_model = query.shape[-1]
@@ -121,6 +128,28 @@ class MultiheadAttention(nn.Module):
         q = proj(query, "q")  # (B, Lq, H, dh)
         new_cache = None
         heads_major = False  # k/v layout: (B, S, H, dh) vs (B, H, S, dh)
+        if cache is not None and anc_mask is not None:
+            from mamba_asr_tpu.ops.pallas.beam_attention import (
+                beam_attention,
+            )
+
+            # Append-only beam cache (H, S_max, B, dh): write this row's
+            # K/V at cache_index, attend through the ancestor mask.
+            k_buf, v_buf = cache
+            k_new = jnp.transpose(proj(key, "k"), (2, 1, 0, 3))
+            v_new = jnp.transpose(proj(value, "v"), (2, 1, 0, 3))
+            k_buf = jax.lax.dynamic_update_slice_in_dim(
+                k_buf, k_new.astype(k_buf.dtype), cache_index, axis=1
+            )
+            v_buf = jax.lax.dynamic_update_slice_in_dim(
+                v_buf, v_new.astype(v_buf.dtype), cache_index, axis=1
+            )
+            out = beam_attention(
+                q[:, 0], k_buf, v_buf, anc_mask, cache_index
+            )[:, None]  # (B, 1, H, dh)
+            out = out.reshape(*out.shape[:-2], d_model)
+            out = nn.Dense(d_model, dtype=self.dtype, name="out")(out)
+            return out, (k_buf, v_buf)
         if static_kv is not None:
             k, v = static_kv
         elif cache is not None:

@@ -48,6 +48,7 @@ class TransformerLM(nn.Module):
         train: bool = False,
         cache: Optional[list] = None,
         cache_index: Optional[Array] = None,
+        anc_mask: Optional[Array] = None,
     ) -> Array:
         """tokens (B, S) -> logits (B, S, vocab).
 
@@ -60,7 +61,8 @@ class TransformerLM(nn.Module):
         """
         stepping = cache is not None
         if stepping:
-            s_ctx = cache[0][0].shape[2]
+            # (B, H, S, dh) heads-major or (H, S, B, dh) beam-gather.
+            s_ctx = cache[0][0].shape[1 if anc_mask is not None else 2]
             x = NormalizedEmbedding(
                 self.vocab_size, self.d_model, dtype=self.dtype, name="embed"
             )(tokens[:, None])
@@ -87,7 +89,7 @@ class TransformerLM(nn.Module):
             dtype=self.dtype,
             name="encoder",
         )(x, src_mask=src_mask, src_key_padding_mask=kpm, train=train,
-          cache=cache, cache_index=cache_index)
+          cache=cache, cache_index=cache_index, anc_mask=anc_mask)
         logits = nn.Dense(self.vocab_size, dtype=jnp.float32, name="out")(
             out.astype(jnp.float32)
         )
@@ -95,11 +97,14 @@ class TransformerLM(nn.Module):
             return logits[:, 0], new_cache
         return logits
 
-    def init_cache(self, batch: int, s_max: int):
-        """Per-layer (k, v) buffers, heads-major (B, H, s_max, dh) —
-        attention.py's cache contract. Pure shapes — no params touched,
+    def init_cache(self, batch: int, s_max: int, beam_gather: bool = False):
+        """Per-layer (k, v) buffers, heads-major (B, H, s_max, dh) — or
+        append-only (H, s_max, B, dh) when `beam_gather` (ancestor-mask
+        beam decoding, attention.py). Pure shapes — no params touched,
         callable on the bare module."""
         dh = self.d_model // self.nhead
-        # Heads-major (B, H, S, dh): see attention.py cache branch.
-        z = lambda: jnp.zeros((batch, self.nhead, s_max, dh), self.dtype)
+        if beam_gather:
+            z = lambda: jnp.zeros((self.nhead, s_max, batch, dh), self.dtype)
+        else:
+            z = lambda: jnp.zeros((batch, self.nhead, s_max, dh), self.dtype)
         return [(z(), z()) for _ in range(self.num_layers)]

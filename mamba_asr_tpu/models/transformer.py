@@ -129,10 +129,13 @@ class TransformerEncoderLayer(nn.Module):
         train: bool = False,
         cache: Optional[Tuple[Array, Array]] = None,
         cache_index: Optional[Array] = None,
+        anc_mask: Optional[Array] = None,
     ) -> Tuple[Array, Array]:
         """With `cache`/`cache_index` (regularMHA only), src is one
         position (B, 1, D) and the second return is the updated KV cache
-        instead of attention weights (incremental decoding)."""
+        instead of attention weights (incremental decoding). `anc_mask`
+        switches the cache to the append-only beam-gather layout
+        (attention.py)."""
         if self.attention_type == "RelPosMHAXL":
             mha = RelPosMHAXL(self.nhead, self.dropout, dtype=self.dtype,
                               name="self_att")
@@ -152,6 +155,7 @@ class TransformerEncoderLayer(nn.Module):
             train=train,
             cache=cache,
             cache_index=cache_index,
+            anc_mask=anc_mask,
         )
         src = src + drop(att_out)
         if not self.normalize_before:
@@ -193,6 +197,7 @@ class TransformerEncoder(nn.Module):
         train: bool = False,
         cache: Optional[list] = None,
         cache_index: Optional[Array] = None,
+        anc_mask: Optional[Array] = None,
     ) -> Tuple[Array, Array]:
         """With `cache` (list of per-layer (k_buf, v_buf)) and
         `cache_index`, src is a single position (B, 1, D) and the second
@@ -218,7 +223,7 @@ class TransformerEncoder(nn.Module):
                 name=f"layer_{i}",
             )(out, src_mask, src_key_padding_mask, pos_embs, train=train,
               cache=None if cache is None else cache[i],
-              cache_index=cache_index)
+              cache_index=cache_index, anc_mask=anc_mask)
             if cache is not None:
                 new_caches.append(attn)  # attn slot carries the new cache
             if drop_keys is not None:
@@ -252,6 +257,7 @@ class TransformerDecoderLayer(nn.Module):
         cache: Optional[dict] = None,
         cache_index: Optional[Array] = None,
         compute_cross_kv: bool = False,
+        anc_mask: Optional[Array] = None,
     ) -> Tuple[Array, Array, Array]:
         """Incremental decoding:
         - `compute_cross_kv=True`: returns the cross-attention's projected
@@ -279,7 +285,7 @@ class TransformerDecoderLayer(nn.Module):
         )(x, x, x, attn_mask=tgt_mask,
           key_padding_mask=tgt_key_padding_mask, train=train,
           cache=cache["self"] if stepping else None,
-          cache_index=cache_index)
+          cache_index=cache_index, anc_mask=anc_mask)
         tgt = tgt + drop(sa_out)
         if not self.normalize_before:
             tgt = norm1(tgt)
@@ -363,10 +369,14 @@ class TransformerDecoder(nn.Module):
     # -- O(1) decode cache ----------------------------------------------
 
     def init_cache(self, batch: int, s_max: int, d_model: int,
-                   dtype=jnp.float32):
+                   dtype=jnp.float32, beam_gather: bool = False):
         dh = d_model // self.nhead
-        # Heads-major (B, H, S, dh): see attention.py cache branch.
-        z = lambda: jnp.zeros((batch, self.nhead, s_max, dh), dtype)
+        # Heads-major (B, H, S, dh), or append-only (H, S, B, dh) when
+        # beam-gather decoding: see attention.py cache branch.
+        if beam_gather:
+            z = lambda: jnp.zeros((self.nhead, s_max, batch, dh), dtype)
+        else:
+            z = lambda: jnp.zeros((batch, self.nhead, s_max, dh), dtype)
         return {
             "layers": [
                 {"self": (z(), z()), "cross": None}
@@ -384,7 +394,8 @@ class TransformerDecoder(nn.Module):
             layers.append({"self": c["self"], "cross": kv})
         return {"layers": layers, "mem_mask": memory_key_padding_mask}
 
-    def step(self, tgt_t: Array, pos: Array, cache) -> Tuple[Array, dict]:
+    def step(self, tgt_t: Array, pos: Array, cache,
+             anc_mask: Optional[Array] = None) -> Tuple[Array, dict]:
         """One decode step. tgt_t (B, d_model), pos scalar int."""
         x = tgt_t[:, None]
         new_layers = []
@@ -392,6 +403,7 @@ class TransformerDecoder(nn.Module):
             x, new_c, _ = layer(
                 x, None, cache=c, cache_index=pos,
                 memory_key_padding_mask=cache["mem_mask"],
+                anc_mask=anc_mask,
             )
             new_layers.append(new_c)
         out = self.norm(x)[:, 0]

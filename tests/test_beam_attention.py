@@ -1,0 +1,132 @@
+"""Ancestor-masked beam attention: kernel vs gather oracle, and
+end-to-end searcher equivalence vs the legacy reorder path.
+
+Reference behavior: the beam search's KV bookkeeping must be
+semantically identical to physically reordering caches by the parent
+permutation each step (what SpeechBrain's searcher achieves by
+re-running the full prefix, /root/reference/train_S2S.py:382-394).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mamba_asr_tpu.ops.pallas.beam_attention import (
+    beam_attention_pallas,
+    beam_attention_xla,
+    build_anc_mask,
+)
+
+
+def _gather_oracle(q, k, v, anc, pos):
+    """Direct per-hypothesis gather + softmax (numpy)."""
+    h, s, b, dh = k.shape
+    q, k, v, anc = map(np.asarray, (q, k, v, anc))
+    out = np.zeros((b, h, dh), np.float32)
+    for n in range(b):
+        ke = np.stack([k[:, j, anc[j, n]] for j in range(pos + 1)], 1)
+        ve = np.stack([v[:, j, anc[j, n]] for j in range(pos + 1)], 1)
+        sc = np.einsum("hd,hjd->hj", q[n], ke) / math.sqrt(dh)
+        a = np.exp(sc - sc.max(-1, keepdims=True))
+        a /= a.sum(-1, keepdims=True)
+        out[n] = np.einsum("hj,hjd->hd", a, ve)
+    return out
+
+
+@pytest.mark.parametrize("pos", [0, 5, 63, 64, 100, 127])
+def test_beam_attention_matches_gather_oracle(pos):
+    rng = np.random.default_rng(0)
+    h, s, b, dh = 2, 128, 5, 8
+    q = jnp.asarray(rng.normal(size=(b, h, dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(h, s, b, dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(h, s, b, dh)), jnp.float32)
+    anc = jnp.asarray(rng.integers(0, b, size=(s, b)), jnp.int32)
+    mask = build_anc_mask(anc, pos, b, jnp.float32)
+    ref = _gather_oracle(q, k, v, anc, pos)
+
+    out_xla = np.asarray(beam_attention_xla(q, k, v, mask))
+    np.testing.assert_allclose(out_xla, ref, atol=1e-5)
+
+    # Pallas in interpreter mode exercises the chunked online-softmax +
+    # chunk-skip (clamped index map) logic on any backend.
+    out_pl = np.asarray(
+        beam_attention_pallas(q, k, v, mask, pos, j_chunk=32,
+                              interpret=True)
+    )
+    np.testing.assert_allclose(out_pl, ref, atol=1e-5)
+
+
+def test_beam_attention_bf16_cache():
+    rng = np.random.default_rng(1)
+    h, s, b, dh = 2, 64, 4, 8
+    pos = 30
+    q = jnp.asarray(rng.normal(size=(b, h, dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(h, s, b, dh)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(h, s, b, dh)), jnp.bfloat16)
+    anc = jnp.asarray(rng.integers(0, b, size=(s, b)), jnp.int32)
+    mask = build_anc_mask(anc, pos, b, jnp.bfloat16)
+    ref = _gather_oracle(
+        q, k.astype(jnp.float32), v.astype(jnp.float32), anc, pos
+    )
+    out_pl = np.asarray(
+        beam_attention_pallas(q, k, v, mask, pos, j_chunk=32,
+                              interpret=True)
+    ).astype(np.float32)
+    np.testing.assert_allclose(out_pl, ref, atol=3e-2)
+
+
+def _tiny_s2s_setup(decoder_module):
+    from mamba_asr_tpu.models.asr import ASRConfig, ASRModel
+    from mamba_asr_tpu.models.mamba import MambaConfig
+
+    cfg = ASRConfig(
+        vocab_size=17, n_mels=12, d_model=16, nhead=2,
+        num_encoder_layers=1, num_decoder_layers=2, d_ffn=24,
+        encoder_module="transformer", decoder_module=decoder_module,
+        attention_type="regularMHA", dropout=0.0,
+        mamba=MambaConfig(d_state=4, scan_impl="xla"),
+    )
+    model = ASRModel(cfg)
+    rng = np.random.default_rng(3)
+    feats = jnp.asarray(rng.normal(size=(2, 32, 12)), jnp.float32)
+    lens = jnp.asarray([32, 24], jnp.int32)
+    params = model.init(
+        jax.random.PRNGKey(0), feats, lens,
+        jnp.asarray([[1, 3, 4], [1, 5, 2]], jnp.int32),
+    )
+    out = model.apply(params, feats, lens)
+    return model, params, out
+
+
+@pytest.mark.parametrize("decoder_module", ["transformer", "mamba"])
+def test_searcher_beam_gather_matches_reorder(decoder_module):
+    """Full search: ancestor-mask mode == legacy reorder mode."""
+    from mamba_asr_tpu.decoding.s2s_beam import S2SBeamSearcher
+    from mamba_asr_tpu.models.lm import TransformerLM
+
+    model, params, out = _tiny_s2s_setup(decoder_module)
+    lm = TransformerLM(vocab_size=17, d_model=16, nhead=2, num_layers=2,
+                       d_ffn=24)
+    lm_params = lm.init(jax.random.PRNGKey(1), jnp.ones((1, 4), jnp.int32))
+
+    results = {}
+    for mode in (True, False):
+        searcher = S2SBeamSearcher(
+            model, beam_size=4, ctc_weight=0.3, lm_weight=0.4,
+            lm_model=lm, max_steps_cap=12, beam_gather=mode,
+            ctc_candidates=8,
+        )
+        toks, lens_, scores = searcher(
+            params, out["enc_out"], out["enc_lengths"],
+            ctc_log_probs=out["ctc_log_probs"], lm_params=lm_params,
+        )
+        results[mode] = (np.asarray(toks), np.asarray(lens_),
+                         np.asarray(scores))
+
+    np.testing.assert_array_equal(results[True][0], results[False][0])
+    np.testing.assert_array_equal(results[True][1], results[False][1])
+    np.testing.assert_allclose(results[True][2], results[False][2],
+                               atol=1e-4)
