@@ -2,11 +2,14 @@
 """Transcribe audio files with a trained checkpoint.
 
     python recognize.py <hparams.yaml> --ckpt_dir results/.../save \
-        audio1.wav audio2.flac [--beam 0|N] [--streaming]
+        audio1.wav audio2.flac [--beam 0|N] [--streaming] [--s2s]
 
 Decodes with greedy CTC (--beam 0), on-device CTC beam search (--beam N),
-or chunked streaming greedy (--streaming). Prints one line per file:
-<path>\t<transcript>.
+chunked streaming greedy (--streaming), or the joint CTC/attention beam
+through the S2S decoder (--s2s; reference behavior: the test_searcher
+applied to any batch, /root/reference/train_S2S.py:387-394) with optional
+LM shallow fusion when `decode.lm_path` is configured. Prints one line
+per file: <path>\t<transcript>.
 """
 
 from __future__ import annotations
@@ -23,6 +26,9 @@ def main():
     p.add_argument("--tokenizer", default="")
     p.add_argument("--beam", type=int, default=0)
     p.add_argument("--streaming", action="store_true")
+    p.add_argument("--s2s", action="store_true",
+                   help="joint CTC/attention beam via the S2S decoder "
+                        "(requires an S2S config; uses decode.* weights)")
     p.add_argument("--chunk_frames", type=int, default=64)
     args, extra = p.parse_known_args()
 
@@ -105,6 +111,48 @@ def main():
         return
 
     eval_step = make_eval_step(model, cfg.frontend)
+
+    if args.s2s:
+        if cfg.model.num_decoder_layers <= 0:
+            raise SystemExit("--s2s needs a config with decoder layers")
+        from mamba_asr_tpu.cli import load_lm
+        from mamba_asr_tpu.decoding.s2s_beam import (
+            S2SBeamSearcher,
+            strip_special,
+        )
+
+        d = cfg.decode
+        lm_model, lm_params = load_lm(cfg, tokenizer)
+        searcher = S2SBeamSearcher(
+            model,
+            beam_size=args.beam or d.s2s_test_beam_size,
+            ctc_weight=d.ctc_weight_decode,
+            ctc_candidates=d.ctc_candidates,
+            lm_weight=d.lm_weight if lm_model is not None else 0.0,
+            temperature=d.temperature,
+            temperature_lm=d.temperature_lm,
+            length_normalization=d.length_normalization,
+            max_decode_ratio=d.max_decode_ratio,
+            min_decode_ratio=d.min_decode_ratio,
+            lm_model=lm_model,
+        )
+        for path in args.audio:
+            wav, sr = read_audio(path)
+            batch = {
+                "wav": jnp.asarray(wav)[None],
+                "wav_lens": jnp.array([len(wav)], jnp.int32),
+                "tokens_bos": jnp.zeros((1, 4), jnp.int32),
+            }
+            out = eval_step(state.params, state.normalizer, batch)
+            toks, lens, _ = searcher(
+                {"params": state.params}, out["enc_out"],
+                out["enc_lengths"], ctc_log_probs=out["ctc_log_probs"],
+                lm_params=lm_params,
+            )
+            ids = strip_special(np.array(toks), np.array(lens))[0]
+            print(f"{path}\t{tokenizer.decode(ids)}")
+        return
+
     for path in args.audio:
         wav, sr = read_audio(path)
         batch = {

@@ -205,3 +205,55 @@ def test_recognize_entry(tmp_path, capsys):
             _sys.argv = old_argv
         printed = capsys.readouterr().out
         assert wav in printed, (extra, printed)
+
+
+def test_recognize_s2s_entry(tmp_path, capsys):
+    """recognize.py --s2s: file -> transcript through the joint
+    CTC/attention beam (the reference's test_searcher applied to an
+    arbitrary batch, /root/reference/train_S2S.py:387-394)."""
+    import sys as _sys
+
+    from mamba_asr_tpu.cli import run_training
+
+    corpus = str(tmp_path / "LibriSpeech")
+    _make_corpus(corpus)
+    out = str(tmp_path / "results")
+    common = [
+        os.path.join(REPO, "hparams", "S2S", "conmambamamba_small.yaml"),
+        "--data.data_folder", corpus,
+        "--data.output_folder", out,
+        "--data.train_splits", "[train-clean-100]",
+        "--data.test_splits", "[test-clean]",
+        "--data.speed_perturb", "false",
+        "--model.d_model", "16",
+        "--model.num_encoder_layers", "1",
+        "--model.num_decoder_layers", "1",
+        "--model.nhead", "2",
+        "--model.d_ffn", "16",
+        "--model.compute_dtype", "float32",
+        "--model.mamba.d_state", "4",
+        "--frontend.n_mels", "20",
+        "--model.n_mels", "20",
+        "--train.grad_accumulation_factor", "1",
+        "--data.num_buckets", "2",
+        "--data.max_batch_seconds", "4.0",
+        "--decode.valid_search_interval", "5",
+    ]
+    run_training(common + ["--train.number_of_epochs", "1"])
+
+    import recognize as rec_mod
+
+    exp = os.path.join(out, "S2S/conmambamamba_small", "3407")
+    wav = glob.glob(os.path.join(corpus, "test-clean", "1", "2",
+                                 "*.wav"))[0]
+    old_argv = _sys.argv
+    _sys.argv = (["recognize.py", common[0], wav,
+                  "--ckpt_dir", os.path.join(exp, "save"),
+                  "--tokenizer", os.path.join(exp, "tokenizer_bpe.json"),
+                  "--s2s", "--beam", "3"] + common[1:])
+    try:
+        rec_mod.main()
+    finally:
+        _sys.argv = old_argv
+    printed = capsys.readouterr().out
+    assert wav in printed, printed
