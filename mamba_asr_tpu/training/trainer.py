@@ -73,6 +73,16 @@ class SpecAugmentConfig:
     freq_drop_width: int = 10
     apply_time_warp: bool = False
     time_warp_window: int = 5
+    # SpeechBrain Augmenter batch-composition semantics
+    # (speechbrain.augment.augmenter.Augmenter; every shipped reference
+    # recipe sets concat_original: False / repeat_augment: 1, i.e. the
+    # in-place default below). When enabled, the train batch becomes
+    # [original (if concat_original); repeat_augment independent
+    # augmented copies] with labels/lengths/weights replicated to match
+    # (train_CTC.py:401-403, train_S2S.py:505-516) and the batchmean
+    # losses taken over the enlarged batch.
+    concat_original: bool = False
+    repeat_augment: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -175,9 +185,9 @@ def make_train_step(
         flens = jnp.minimum(frame_lengths(frontend, batch["wav_lens"]), t)
         feats = apply_normalizer(normalizer, feats)
         if specaug.enabled:
-            feats = spec_augment(
-                feats,
-                rng,
+            aug = lambda f, r: spec_augment(
+                f,
+                r,
                 num_time_drops=specaug.num_time_drops,
                 time_drop_width=specaug.time_drop_width,
                 num_freq_drops=specaug.num_freq_drops,
@@ -185,6 +195,29 @@ def make_train_step(
                 apply_time_warp=specaug.apply_time_warp,
                 time_warp_window=specaug.time_warp_window,
             )
+            reps = max(specaug.repeat_augment, 1)
+            if specaug.concat_original or reps > 1:
+                # Augmenter parity mode: [orig?; reps augmented copies],
+                # labels replicated below, batchmean over the enlarged
+                # batch (train_CTC.py:401-405).
+                parts = [feats] if specaug.concat_original else []
+                parts += [
+                    aug(feats, jax.random.fold_in(rng, 100 + i))
+                    for i in range(reps)
+                ]
+                n_copies = len(parts)
+                feats = jnp.concatenate(parts, axis=0)
+                flens = jnp.tile(flens, n_copies)
+                rep = lambda x: jnp.tile(
+                    x, (n_copies,) + (1,) * (x.ndim - 1)
+                )
+                batch = dict(batch)
+                for key_ in ("tokens", "token_lens", "tokens_bos",
+                             "tokens_eos", "eos_lens", "weight"):
+                    if key_ in batch:
+                        batch[key_] = rep(batch[key_])
+            else:
+                feats = aug(feats, rng)
         use_decoder = model.cfg.num_decoder_layers > 0
         out = model.apply(
             {"params": params},

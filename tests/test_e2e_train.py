@@ -133,6 +133,111 @@ def test_s2s_training_step_runs():
     assert int(state.step) == 4
 
 
+def test_s2s_training_learns():
+    """The joint CTC+attention loop actually LEARNS: loss decreases and
+    decoder token accuracy rises well above chance (the reference's
+    training contract, train_S2S.py:682-821 — a regression in e.g.
+    kldiv masking or the decoder stack would pass a finiteness-only
+    check)."""
+    cfg = ASRConfig(
+        vocab_size=12,
+        n_mels=20,
+        d_model=32,
+        nhead=2,
+        num_encoder_layers=1,
+        num_decoder_layers=1,
+        d_ffn=32,
+        dropout=0.0,
+        encoder_module="conmamba",
+        decoder_module="mamba",
+        kernel_size=7,
+        mamba=MambaConfig(d_state=4, scan_impl="xla"),
+    )
+    model = ASRModel(cfg)
+    frontend = FrontendConfig(n_mels=20, n_fft=256, win_length_ms=16.0)
+    tcfg = TrainConfig(
+        lr=2e-3, warmup_steps=30, grad_accumulation_factor=1,
+        ctc_weight=0.3, label_smoothing=0.1, normalizer_update_epochs=1,
+    )
+    tx = make_optimizer(tcfg)
+    rng = np.random.default_rng(1)
+    batch = _synthetic_batch(rng, vocab=12)
+    batch["tokens_bos"][:, 0] = 1
+    batch["tokens_bos"][:, 1:] = batch["tokens"]
+    batch["tokens_eos"][:, :-1] = batch["tokens"]
+    batch["tokens_eos"][:, -1] = 2
+
+    state = init_train_state(model, tx, frontend, jax.random.PRNGKey(0), batch)
+    train_step = make_train_step(
+        model, tx, frontend, tcfg, SpecAugmentConfig(enabled=False)
+    )
+    losses, att_losses = [], []
+    for i in range(60):
+        state, metrics = train_step(
+            state, batch, jax.random.PRNGKey(i), jnp.asarray(i < 10)
+        )
+        losses.append(float(metrics["loss"]))
+        att_losses.append(float(metrics["loss_att"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.5, losses[::10]
+    assert att_losses[-1] < att_losses[0] * 0.7, att_losses[::10]
+
+    eval_step = make_eval_step(model, frontend)
+    out = eval_step(state.params, state.normalizer, batch)
+    pred = np.asarray(out["seq_log_probs"]).argmax(-1)
+    tgt = batch["tokens_eos"]
+    valid = np.arange(tgt.shape[1])[None, :] < batch["eos_lens"][:, None]
+    acc = ((pred == tgt) & valid).sum() / valid.sum()
+    assert acc > 0.5, f"teacher-forced token accuracy {acc:.2f}"
+
+
+def test_augmenter_concat_parity_mode():
+    """SpecAugment concat-original semantics: with identity augmentation
+    (zero drops), [orig; 2 copies] must reproduce the loss of a manually
+    tripled batch exactly (reference Augmenter batch composition +
+    replicate_labels, train_CTC.py:401-405)."""
+    cfg = ASRConfig(
+        vocab_size=8,
+        n_mels=20,
+        d_model=32,
+        num_encoder_layers=1,
+        num_decoder_layers=0,
+        d_ffn=32,
+        dropout=0.0,
+        encoder_module="conmamba",
+        kernel_size=7,
+        mamba=MambaConfig(d_state=4, scan_impl="xla"),
+    )
+    model = ASRModel(cfg)
+    frontend = FrontendConfig(n_mels=20, n_fft=256, win_length_ms=16.0)
+    tcfg = TrainConfig(
+        lr=2e-3, warmup_steps=20, grad_accumulation_factor=1,
+        normalizer_update_epochs=0,
+    )
+    batch = _synthetic_batch(np.random.default_rng(0))
+    identity_aug = SpecAugmentConfig(
+        enabled=True, num_time_drops=0, num_freq_drops=0,
+        apply_time_warp=False, concat_original=True, repeat_augment=2,
+    )
+    manual = {
+        k: np.concatenate([v] * 3, axis=0) for k, v in batch.items()
+    }
+
+    losses = {}
+    for tag, b, sa in (
+        ("concat", batch, identity_aug),
+        ("manual", manual, SpecAugmentConfig(enabled=False)),
+    ):
+        tx = make_optimizer(tcfg)
+        state = init_train_state(
+            model, tx, frontend, jax.random.PRNGKey(0), batch
+        )
+        step = make_train_step(model, tx, frontend, tcfg, sa)
+        _, metrics = step(state, b, jax.random.PRNGKey(0), jnp.asarray(False))
+        losses[tag] = float(metrics["loss"])
+    np.testing.assert_allclose(losses["concat"], losses["manual"], rtol=1e-5)
+
+
 def test_grad_accumulation_matches_single_step():
     """Accumulation semantics: with identical micro-batches, k micro-steps
     under grad_accumulation_factor=k must produce exactly the parameters of
