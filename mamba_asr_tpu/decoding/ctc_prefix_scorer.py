@@ -22,11 +22,22 @@ beam step (2 x 1500 tiny iterations, pure loop latency).
 Round-3 cost split: `score` needs only psi(c) — a logsumexp over frames
 of phi(t-1, c) + logp(t, c), a PURE REDUCTION — while the r_nb/r_b frame
 recurrences are only ever needed for the ONE token each surviving
-hypothesis actually selects. So `score` runs no scans at all (one fused
-(N, T, C) reduction pass), and `select` re-runs the two log-semiring
-associative scans at C = 1 on (T, N) arrays. At beam 66 x C 96 x
-T 1500 that removes ~2 x log2(T) passes over ~38 MB arrays per beam
-step (~7 ms of the round-2 beam step).
+hypothesis actually selects. So `score` runs no scans at all, and
+`select` re-runs the two log-semiring associative scans at C = 1 on
+(T, N) arrays.
+
+TPU-native psi: since phi(t-1, c) separates into a per-hypothesis frame
+vector (the same-token correction touches exactly ONE column per row),
+the reduction is a probability-space MATMUL on the MXU:
+
+    psi[n, v] = m[n] + log( exp(phi_sh[n, :] - m[n]) @ exp(lp[b(n)]) )
+
+with exp(lp) (T, V) precomputed once per utterance. That scores the
+FULL vocab exactly — no candidate gather, no (N, T, C) materialization;
+the per-step cost is one (K, T) x (T, V) matmul reading exp(lp) once
+(~30 MB at T 1500 x vocab 5000, ~1 GFLOP). The reference's ESPnet
+scorer restricts to candidate tokens to stay affordable; this
+formulation does not need to.
 """
 
 from __future__ import annotations
@@ -87,6 +98,10 @@ class CTCPrefixScorer:
             jnp.repeat(self.lp[:, :, blank_id], beam, axis=0),
             0.0,
         )
+        # Probabilities, precomputed once per utterance: the per-step psi
+        # reduction is a probability-space matmul against this (see
+        # module docstring).
+        self.p = jnp.exp(self.lp)  # (B, T, V)
 
     def init_state(self) -> CTCPrefixState:
         """State of the empty prefix: r_b(t) = sum of blanks up to t."""
@@ -103,71 +118,53 @@ class CTCPrefixScorer:
     def score(
         self, state: CTCPrefixState, candidates: Optional[Array] = None
     ) -> Tuple[Array, dict]:
-        """Incremental prefix scores for next tokens.
+        """Incremental prefix scores for next tokens — EXACT over the
+        full vocab via the probability-space matmul (module docstring).
 
-        candidates: optional (N, C) token ids — scoring is restricted to
-        these (the partial-scorer pattern; the full (N, T, V) DP at BPE
-        vocab 5000 x beam 66 would be multi-GB per step). Returns
-        (scores, aux): scores is (N, V) with non-candidates at NEG_INF
-        when restricted, (N, V) exact otherwise.
-
-        Returns (scores, aux) where aux holds the per-candidate DP rows
-        needed by `select` to advance the state for chosen tokens.
+        candidates: optional (N, C) token ids — when given, non-candidate
+        scores are masked to NEG_INF (kept for API/recipe parity with the
+        reference's partial scorer; the full computation costs the same).
+        Returns (scores (N, V), aux) where aux carries the full psi plane
+        `select` advances the state from.
         """
         n, t, v = self.n, self.t, self.v
-        bidx = jnp.arange(n, dtype=jnp.int32) // self.beam  # row -> batch
-        if candidates is not None:
-            # Gather (N, T, C) candidate columns from the unexpanded
-            # (B, T, V) log probs.
-            lp = jax.vmap(lambda bi, c: self.lp[bi][:, c])(bidx, candidates)
-            scores_c, aux = self._score_impl(state, lp, candidates)
-            scores = jnp.full((n, v), NEG_INF)
-            scores = jax.vmap(
-                lambda s, c, sc: s.at[c].set(sc)
-            )(scores, candidates, scores_c)
-            # eos/blank handled inside _score_impl via candidate match.
-            aux["candidates"] = candidates
-            return scores, aux
-        scores, aux = self._score_impl(
-            state, self.lp[bidx],
-            jnp.tile(jnp.arange(v, dtype=jnp.int32)[None], (n, 1)),
+        b = self.lp.shape[0]
+        k = self.beam
+
+        # phi(t-1, ·) for c != last: one frame-vector per hypothesis.
+        phi_ne = jnp.logaddexp(state.r_b, state.r_nb)  # (N, T)
+        empty = state.last < 0
+        boundary = jnp.where(empty, 0.0, NEG_INF)  # (N,)
+        phi_sh = jnp.concatenate(
+            [boundary[:, None], phi_ne[:, :-1]], axis=1
         )
-        return scores, aux
+        phi_sh = jnp.where(self.frame_valid, phi_sh, NEG_INF)
 
-    def _score_impl(
-        self, state: CTCPrefixState, lp: Array, cand_ids: Array
-    ) -> Tuple[Array, dict]:
-        """lp: (N, T, C) log probs of candidate tokens; cand_ids (N, C).
-
-        psi-only: no frame recurrences here — one fused reduction over T
-        (see module docstring); `select` recomputes the DP rows for the
-        chosen token."""
-        # phi(t, c): parent can emit c after ending blank always, or after
-        # ending non-blank only if c != last.
-        same = cand_ids == state.last[:, None]  # (N, C)
-        phi = jnp.where(
-            same[:, None, :],
-            state.r_b[:, :, None],
-            jnp.logaddexp(state.r_b, state.r_nb)[:, :, None],
-        )  # (N, T, C)
-
-        # Shift phi by one frame: phi(t-1); at t=0, parent prefix must be
-        # empty for a first emission -> phi(-1) = 0 if prefix empty else -inf.
-        empty = (state.last < 0)[:, None]  # (N, 1)
-        v = lp.shape[-1]
-        phi_shift = jnp.concatenate(
-            [
-                jnp.where(empty, 0.0, NEG_INF)[:, None, :]
-                * jnp.ones((1, 1, v)),
-                phi[:, :-1, :],
-            ],
-            axis=1,
+        # psi[n, v] = m + log(exp(phi_sh - m) @ p): one (B, K, T) x
+        # (B, T, V) matmul on the MXU, p read once per step.
+        m = jnp.max(phi_sh, axis=1)  # (N,)
+        e_phi = jnp.exp(phi_sh - m[:, None])  # in [0, 1], 0 at -inf
+        acc = jnp.einsum(
+            "bkt,btv->bkv", e_phi.reshape(b, k, t), self.p
+        ).reshape(n, v)
+        psi = jnp.where(
+            acc > 0.0, m[:, None] + jnp.log(jnp.maximum(acc, 1e-38)),
+            NEG_INF,
         )
-        valid = self.frame_valid[:, :, None]  # (N, T, 1)
-        grow = jnp.where(valid, phi_shift + lp, NEG_INF)  # (N, T, C)
 
-        # psi = logsumexp over valid frames of grow (a pure reduction).
-        psi = jax.nn.logsumexp(grow, axis=1)  # (N, C)
+        # Same-token correction: phi uses r_b only for c == last — exactly
+        # one column per row.
+        bidx = jnp.arange(n, dtype=jnp.int32) // k
+        lp_last = jax.vmap(lambda bi, c: self.lp[bi][:, c])(
+            bidx, jnp.maximum(state.last, 0)[:, None]
+        )[:, :, 0]  # (N, T)
+        phi_same_sh = jnp.concatenate(
+            [boundary[:, None], state.r_b[:, :-1]], axis=1
+        )
+        phi_same_sh = jnp.where(self.frame_valid, phi_same_sh, NEG_INF)
+        psi_same = jax.nn.logsumexp(phi_same_sh + lp_last, axis=1)  # (N,)
+        col = jnp.arange(v, dtype=jnp.int32)[None, :]
+        psi = jnp.where(col == state.last[:, None], psi_same[:, None], psi)
 
         # EOS score = full prefix probability of g itself at the last
         # valid frame (r_b + r_nb at T_end).
@@ -175,13 +172,19 @@ class CTCPrefixScorer:
         end_b = jnp.take_along_axis(state.r_b, idx, axis=1)[:, 0]
         end_nb = jnp.take_along_axis(state.r_nb, idx, axis=1)[:, 0]
         eos_psi = jnp.logaddexp(end_b, end_nb)
-        eos_psi = jnp.where(state.last < 0, 0.0, eos_psi)
+        eos_psi = jnp.where(empty, 0.0, eos_psi)
 
         scores = psi - state.psi[:, None]  # incremental
         scores = jnp.where(
-            cand_ids == self.eos, (eos_psi - state.psi)[:, None], scores
+            col == self.eos, (eos_psi - state.psi)[:, None], scores
         )
-        scores = jnp.where(cand_ids == self.blank, NEG_INF, scores)
+        scores = jnp.where(col == self.blank, NEG_INF, scores)
+        if candidates is not None:
+            member = jnp.zeros((n, v), bool)
+            member = jax.vmap(lambda mrow, c: mrow.at[c].set(True))(
+                member, candidates
+            )
+            scores = jnp.where(member, scores, NEG_INF)
         return scores, {"psi": psi}
 
     def select(
@@ -203,18 +206,11 @@ class CTCPrefixScorer:
 
         n, t = self.n, self.t
         bidx = jnp.arange(n, dtype=jnp.int32) // self.beam
-        if "candidates" in aux:
-            # Map vocab token -> candidate slot; unscored tokens keep the
-            # parent state (only eos can be selected unscored).
-            cand = take(aux["candidates"])  # (N, C)
-            hit = cand == tokens[:, None]
-            slot = jnp.argmax(hit, axis=1)
-            found = hit.any(axis=1)
-            idx = slot
-        else:
-            idx = tokens
-            found = jnp.ones_like(tokens, bool)
-        psi = jnp.take_along_axis(take(aux["psi"]), idx[:, None], axis=1)[:, 0]
+        # aux["psi"] covers the full vocab (exact matmul scoring), so the
+        # chosen token's psi is a direct gather.
+        psi = jnp.take_along_axis(
+            take(aux["psi"]), tokens[:, None], axis=1
+        )[:, 0]
 
         # Recompute the chosen token's DP rows from the parent state —
         # identical math to the pre-round-3 per-candidate scans at C=1.
@@ -243,9 +239,8 @@ class CTCPrefixScorer:
         b_b = jnp.where(valid, r_nb_shift + self.lp_blank, NEG_INF)
         r_b = _linear_log_scan(a_b.T, b_b.T).T
 
-        # Hypotheses that chose EOS (or an unscored token) keep their
-        # parent state.
-        keep_old = ((tokens == self.eos) | ~found)[:, None]
+        # Hypotheses that chose EOS keep their parent state.
+        keep_old = (tokens == self.eos)[:, None]
         old = CTCPrefixState(*[take(x) for x in state])
         return CTCPrefixState(
             r_nb=jnp.where(keep_old, old.r_nb, r_nb),

@@ -144,6 +144,24 @@ class S2SBeamSearcher:
             s_cache = s_max + 1
 
         def search(params, lm_params, enc_out, enc_lens, ctc_log_probs):
+            # Cast decode-time weights to the compute dtype ONCE per
+            # search (outside the step loop): every beam step re-reads
+            # all decoder/LM parameters, so fp32 storage would double
+            # that HBM traffic for bf16-compute models.
+            def cast_tree(tree, dt):
+                return jax.tree_util.tree_map(
+                    lambda x: x.astype(dt)
+                    if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                    tree,
+                )
+
+            if model.cfg.dtype == jnp.bfloat16:
+                params = cast_tree(params, jnp.bfloat16)
+            if (
+                lm_model is not None and lm_params is not None
+                and lm_model.dtype == jnp.bfloat16
+            ):
+                lm_params = cast_tree(lm_params, jnp.bfloat16)
             enc_rep = jnp.repeat(enc_out, k, axis=0)
             enc_lens_rep = jnp.repeat(enc_lens, k, axis=0)
 
