@@ -225,6 +225,7 @@ class StreamingASRSession:
         normalizer: Optional[NormalizerState] = None,
         chunk_frames: int = 64,
         batch: int = 1,
+        collect_log_probs: bool = False,
     ):
         self.model = model
         self.params = params
@@ -248,6 +249,10 @@ class StreamingASRSession:
         self.last_frame_tok = np.zeros((batch,), np.int64)
         # Exact chunked conv frontend (per-level input buffering).
         self.fe_stream = StreamingFrontend(model, params, batch)
+        # Optional per-frame CTC log-prob capture (streaming-quality
+        # measurement: divergence vs the offline forward).
+        self.collect_log_probs = collect_log_probs
+        self.log_probs: List[np.ndarray] = []
         # Offline-equivalence accounting: center-framing yields
         # S//hop + 1 frames for S samples; finish() pads zeros to emit
         # exactly the remainder (the offline right center-padding).
@@ -282,8 +287,9 @@ class StreamingASRSession:
                 params, enc.astype(jnp.float32),
                 method=lambda m, e: m.ctc_head(e),
             )
-            best = jnp.argmax(jax.nn.log_softmax(ctc, -1), axis=-1)
-            return enc, best, new_state
+            lp = jax.nn.log_softmax(ctc, -1)
+            best = jnp.argmax(lp, axis=-1)
+            return enc, best, lp, new_state
 
         self._feats_fn = feats_fn
         self._enc_fn = enc_fn
@@ -307,9 +313,11 @@ class StreamingASRSession:
         returns per-frame best tokens (or None when nothing emitted)."""
         if fe_out is None or fe_out.shape[1] == 0:
             return None
-        _, best, self.enc_state = self._enc_fn(
+        _, best, lp, self.enc_state = self._enc_fn(
             self.params, fe_out, self.enc_state
         )
+        if self.collect_log_probs:
+            self.log_probs.append(np.array(lp))
         return np.array(best)
 
     def _collapse(self, best: Optional[np.ndarray]) -> List[List[int]]:

@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""Train-to-floor proof: the FULL learning loop drives WER to ~0.
+
+LibriSpeech cannot land in this environment (zero egress), so this is
+the strongest achievable proxy for the reference's WER contract
+(/root/reference/README.md:71): build a synthetic but genuinely
+learnable corpus (each letter of a small alphabet is a pure tone;
+utterances are words spelled from those letters with silence gaps),
+then run the REAL training CLI (train_ctc.py / train_s2s.py) end to end
+— data prep, tokenizer fit, bucketed loading, jitted train steps,
+checkpoint top-k + averaging, beam decoding, wer files — until the test
+WER reaches (near) zero.
+
+    python scripts/train_to_floor.py [--mode ctc|s2s|both] [--epochs N]
+
+Runs on whatever backend jax resolves (TPU under axon; use
+JAX_PLATFORMS-equivalent forcing for CPU). Prints one result line per
+mode and exits nonzero if a mode fails to reach --target WER.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import runpy
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+LETTERS = "ABCDEF"
+WORDS = ["AB", "BA", "CAD", "DEC", "FAD", "BEEF", "CAFE", "DAB"]
+SR = 16000
+TONE_S = 0.14
+# Inter-word gap: must survive the encoder's 4x downsample with several
+# frames to spare, or the model cannot place the space character.
+GAP_S = 0.2
+
+
+def _letter_tone(ch: str, rng) -> np.ndarray:
+    n = int(TONE_S * SR)
+    t = np.arange(n) / SR
+    f = 350.0 + 180.0 * LETTERS.index(ch)
+    sig = np.sin(2 * np.pi * f * t)
+    return (sig * 0.3).astype(np.float32)
+
+
+def _utterance(words, rng) -> np.ndarray:
+    gap = np.zeros(int(GAP_S * SR), np.float32)
+    parts = [np.zeros(int(0.05 * SR), np.float32)]
+    for w in words:
+        for ch in w:
+            parts.append(_letter_tone(ch, rng))
+        parts.append(gap)
+    wav = np.concatenate(parts)
+    return wav + rng.normal(0, 0.003, size=wav.shape).astype(np.float32)
+
+
+def build_corpus(root: str, n_train=32, n_dev=8, n_test=8, seed=0):
+    from mamba_asr_tpu.data.audio import write_wav
+
+    rng = np.random.default_rng(seed)
+    for split, n in (("train-clean-100", n_train), ("dev-clean", n_dev),
+                     ("test-clean", n_test)):
+        d = os.path.join(root, split, "1", "2")
+        os.makedirs(d, exist_ok=True)
+        lines = []
+        for i in range(n):
+            uid = f"1-2-{i:04d}"
+            words = [WORDS[rng.integers(len(WORDS))]
+                     for _ in range(int(rng.integers(2, 5)))]
+            write_wav(os.path.join(d, uid + ".wav"), _utterance(words, rng),
+                      SR)
+            lines.append(f"{uid} {' '.join(words)}")
+        with open(os.path.join(d, "1-2.trans.txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+
+def run_mode(mode: str, corpus: str, out: str, epochs: int) -> dict:
+    """Run the real CLI; return the final test summary dict."""
+    is_s2s = mode == "s2s"
+    config = (
+        "hparams/S2S/conmambamamba_small.yaml" if is_s2s
+        else "hparams/CTC/conmamba_small.yaml"
+    )
+    argv = [
+        config,
+        "--data.data_folder", corpus,
+        "--data.output_folder", os.path.join(out, mode),
+        "--data.train_splits", "[train-clean-100]",
+        "--data.test_splits", "[test-clean]",
+        "--data.speed_perturb", "false",
+        "--data.tokenizer_type", "char",
+        "--model.d_model", "64",
+        "--model.num_encoder_layers", "2",
+        "--model.d_ffn", "128",
+        "--model.compute_dtype", "float32",
+        "--model.mamba.d_state", "8",
+        "--frontend.n_mels", "40",
+        "--model.n_mels", "40",
+        "--train.lr", "0.002",
+        "--train.warmup_steps", "60",
+        "--train.grad_accumulation_factor", "1",
+        "--train.number_of_epochs", str(epochs),
+        "--train.keep_checkpoints", "5",
+        "--train.avg_checkpoints", "5",
+        "--specaug.num_time_drops", "1",
+        "--specaug.num_freq_drops", "1",
+        "--data.num_buckets", "2",
+        "--data.max_batch_seconds", "24.0",
+    ]
+    if is_s2s:
+        argv += [
+            "--model.nhead", "2",
+            "--model.num_decoder_layers", "1",
+            "--train.ctc_weight", "0.3",
+            "--decode.valid_search_interval", str(max(epochs // 2, 1)),
+            "--decode.valid_beam_size", "4",
+            "--decode.s2s_test_beam_size", "8",
+        ]
+    entry = "train_s2s.py" if is_s2s else "train_ctc.py"
+    old_argv = sys.argv
+    sys.argv = [entry] + argv
+    t0 = time.perf_counter()
+    try:
+        runpy.run_path(os.path.join(REPO, entry), run_name="__main__")
+    finally:
+        sys.argv = old_argv
+    wall = time.perf_counter() - t0
+
+    from mamba_asr_tpu.configs.loader import load_config, parse_overrides
+
+    cfg = load_config(os.path.join(REPO, config), parse_overrides(argv[1:]))
+    wer_file = os.path.join(cfg.output_folder, "wer_test-clean.txt")
+    with open(wer_file) as f:
+        header = f.readline().strip()
+    wer = float(header.split()[1])
+    return {"mode": mode, "test_wer": wer, "epochs": epochs,
+            "wall_s": round(wall, 1), "wer_header": header,
+            "exp_dir": cfg.output_folder}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["ctc", "s2s", "both"], default="both")
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--target", type=float, default=2.0,
+                    help="max acceptable test WER (%)")
+    ap.add_argument("--workdir", default="")
+    args = ap.parse_args()
+
+    work = args.workdir or tempfile.mkdtemp(prefix="train_to_floor_")
+    corpus = os.path.join(work, "corpus")
+    if not os.path.isdir(os.path.join(corpus, "train-clean-100")):
+        build_corpus(corpus)
+    modes = ["ctc", "s2s"] if args.mode == "both" else [args.mode]
+    ok = True
+    for mode in modes:
+        res = run_mode(mode, corpus, os.path.join(work, "out"), args.epochs)
+        res["ok"] = res["test_wer"] <= args.target
+        ok &= res["ok"]
+        print("RESULT " + json.dumps(res), flush=True)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -310,3 +310,45 @@ def test_streaming_session_exact_vs_offline():
         streamed.extend(sess.feed(wav[:, i:i + chunk])[0])
     streamed.extend(sess.finish()[0])
     assert streamed == [int(t) for t in offline], (streamed, offline)
+
+
+def test_bidirectional_streaming_divergence_shrinks_with_chunk():
+    """Quantified quality bound for the bidirectional streaming
+    compromise (chunk-local backward pass, models/mamba.py): the
+    encoder-output divergence from the offline forward must shrink
+    monotonically as the chunk grows, and be small in absolute terms at
+    the recommended operating point (>= 64 frames; see DESIGN.md and
+    scripts/bench_streaming_quality.py for checkpoint-level numbers)."""
+    enc = ConmambaEncoder(
+        num_layers=2, d_model=16, d_ffn=32, kernel_size=7,
+        causal=False, bidirectional=True, mamba_cfg=MCFG, dropout=0.0,
+    )
+    t_total = 128
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, t_total, 16)) * 0.5
+    params = enc.init(jax.random.PRNGKey(1), x)
+    full = np.array(enc.apply(params, x))
+
+    def stream_div(chunk):
+        state = enc.apply(params, 1, method=ConmambaEncoder.init_stream_state)
+        outs = []
+        for c in range(t_total // chunk):
+            y, state = enc.apply(
+                params, x[:, c * chunk: (c + 1) * chunk], state,
+                method=ConmambaEncoder.forward_chunk,
+            )
+            outs.append(np.array(y))
+        stream = np.concatenate(outs, axis=1)
+        scale = np.abs(full).mean()
+        return float(np.abs(stream - full).mean() / scale)
+
+    divs = {c: stream_div(c) for c in (16, 32, 64, 128)}
+    # Monotone improvement with chunk size.
+    assert divs[32] <= divs[16] and divs[64] <= divs[32] \
+        and divs[128] <= divs[64], divs
+    # Whole-utterance chunk == offline (backward pass sees everything).
+    assert divs[128] < 1e-3, divs
+    # Operating-point bound: at 64-frame (640 ms) chunks the relative
+    # divergence stays under 35% of mean signal on an untrained encoder
+    # (trained checkpoints score far lower - the bench script measures
+    # WER-level agreement there).
+    assert divs[64] < 0.35, divs
