@@ -106,3 +106,27 @@ def test_nbest_and_rescoring():
         cand = [list(np.array(toks[b, i, : int(tlens[b, i])]))
                 for i in range(4)]
         assert list(np.array(r_toks[b, : int(r_lens[b])])) in cand
+
+
+def test_ctc_beam_reference_shape_regime():
+    """The CTC recipes' test decoder shape: beam 100, prune -12/-1.2,
+    T 512 (hparams/CTC/conmamba_large.yaml:232-237), with realistic
+    peaked emissions. Device search must match the host oracle's top
+    hypothesis."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from bench_ctc_beam import synthetic_log_probs
+
+    t, v = 512, 31
+    lp = synthetic_log_probs(t, v, seed=3)
+    toks, lens = ctc_beam_search(
+        jnp.asarray(lp)[None], jnp.asarray([t]), beam_size=100,
+        beam_prune_logp=-12.0, token_prune_min_logp=-1.2,
+    )
+    got = list(np.array(toks[0, : int(lens[0])]))
+    want = ctc_beam_search_ref(
+        np.asarray(lp), t, beam_size=100,
+        beam_prune_logp=-12.0, token_prune_min_logp=-1.2,
+    )
+    assert got == list(want), (got[:20], list(want)[:20])
