@@ -19,12 +19,14 @@ Layout (TPU tiling: last dim = 128 lanes, 2nd-to-last = sublanes):
   (grid iterates the L axis innermost).
 
 Backward: jax.custom_vjp whose bwd on TPU is the ANALYTIC Pallas adjoint
-(_scan_bwd_kernel via selective_scan_bwd_pallas): chunk-boundary states
-are recomputed with a cheap XLA aggregate pass, then each
-(batch, d-tile, time-chunk) cell re-runs the forward chunk scan and a
-reverse g-recurrence entirely in VMEM — the same recompute-in-backward
-strategy as the reference kernel's checkpoint_lvl=1
-(selective_scan_interface.py:223-226). On non-TPU backends the bwd falls
+(_scan_bwd_kernel via selective_scan_bwd_pallas): the forward kernel
+emits its per-chunk boundary states (a few MB of f32 residual), then
+each (batch, d-tile, time-chunk) cell re-runs the forward chunk scan
+from its boundary state and a reverse g-recurrence entirely in VMEM —
+the same recompute-in-backward strategy as the reference kernel's
+checkpoint_lvl=1 (selective_scan_interface.py:223-226), but without the
+XLA boundary-recompute pass (which materialized (B, L, N, D) arrays and
+cost more than the kernel itself). On non-TPU backends the bwd falls
 back to the chunk-checkpointed XLA adjoint
 (ops.selective_scan.selective_scan_vjp).
 """
@@ -185,7 +187,7 @@ def _reverse_chunk_scan(ash, d, lchunk, n_state):
 
 def _scan_kernel(
     u_ref, dt_ref, bmat_ref, cmat_ref, at_ref, dtb_ref, dskip_ref, z_ref,
-    h0_ref, out_ref, hlast_ref, h_ref,
+    h0_ref, out_ref, hb_ref, h_ref,
     *, n_state: int, delta_softplus: bool, lchunk: int,
 ):
     l_idx = pl.program_id(2)
@@ -214,10 +216,12 @@ def _scan_kernel(
     h_carry = h_ref[...].astype(jnp.float32)  # (N, D)
     hs = _forward_chunk_scan(da, dbu, h_carry, lchunk, n_state)
     h_ref[...] = hs[lchunk - 1]
-    # hlast block is constant across the l axis: stays VMEM-resident and
-    # flushes once with the final chunk's state (padding steps are
-    # identity, so this equals h at the true length).
-    hlast_ref[0] = hs[lchunk - 1].astype(hlast_ref.dtype)
+    # Per-chunk boundary state, indexed by the l axis: h_bounds[:, l] is
+    # the state AFTER chunk l. The final chunk's entry is h_last (padding
+    # steps are identity), and the backward pass seeds each chunk cell
+    # from h_bounds[:, l-1] — which removes the whole XLA
+    # boundary-recompute pass the adjoint otherwise needs.
+    hb_ref[0, 0] = hs[lchunk - 1].astype(hb_ref.dtype)
 
     y = jnp.sum(hs * cmat[:, :, None], axis=1)  # (L, D)
     y = y + u * d_skip
@@ -344,8 +348,11 @@ def _pad_delta_identity(delta, dtb, length, lp, dp, delta_softplus):
 
 
 def _pallas_fwd_impl(u, delta, A, B, C, D, z, delta_bias, delta_softplus,
-                     h0=None, interpret: bool = False):
-    """Returns (out (B, L, D) in u.dtype, h_last (B, D, N) float32)."""
+                     h0=None, interpret: bool = False,
+                     want_bounds: bool = False):
+    """Returns (out (B, L, D) in u.dtype, h_last (B, D, N) float32), plus
+    the per-chunk boundary states (B, n_chunks, N, Dp) float32 in kernel
+    layout when `want_bounds` (consumed by the analytic adjoint)."""
     bsz, length, d_in = u.shape
     n = A.shape[1]
     dtype_in = u.dtype
@@ -382,9 +389,10 @@ def _pallas_fwd_impl(u, delta, A, B, C, D, z, delta_bias, delta_softplus,
             ((0, 0), (0, 0), (0, dp - d_in)),
         )
 
-    grid = (bsz, dp // d_tile, lp // L_CHUNK)
+    nl = lp // L_CHUNK
+    grid = (bsz, dp // d_tile, nl)
 
-    out, hlast = pl.pallas_call(
+    out, h_bounds = pl.pallas_call(
         functools.partial(
             _scan_kernel,
             n_state=n,
@@ -405,21 +413,24 @@ def _pallas_fwd_impl(u, delta, A, B, C, D, z, delta_bias, delta_softplus,
         ],
         out_specs=(
             pl.BlockSpec((1, L_CHUNK, d_tile), lambda b, d, l: (b, l, d)),
-            pl.BlockSpec((1, n, d_tile), lambda b, d, l: (b, 0, d)),
+            pl.BlockSpec((1, 1, n, d_tile), lambda b, d, l: (b, l, 0, d)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bsz, lp, dp), dtype_in),
-            jax.ShapeDtypeStruct((bsz, n, dp), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, nl, n, dp), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((n, d_tile), jnp.float32)],
         interpret=interpret,
     )(u_p, delta_p, b_p, c_p, a_t, dtb, dsk, z_p, h0_t)
-    h_last = jnp.swapaxes(hlast[:, :, :d_in], 1, 2)  # (B, D, N)
+    h_last = jnp.swapaxes(h_bounds[:, -1, :, :d_in], 1, 2)  # (B, D, N)
+    if want_bounds:
+        return out[:, :length, :d_in], h_last, h_bounds
     return out[:, :length, :d_in], h_last
 
 
 def selective_scan_bwd_pallas(
-    residuals, dout, delta_softplus: bool, interpret: bool = False
+    residuals, dout, delta_softplus: bool, interpret: bool = False,
+    boundaries=None,
 ):
     """Pallas adjoint: per-cell VMEM-resident backward (see
     _scan_bwd_kernel).
@@ -427,6 +438,9 @@ def selective_scan_bwd_pallas(
     residuals: (u, delta, A, B, C, D, z, delta_bias) or the same + h0.
     dout: out cotangent, or a (dout, dhlast) tuple when the forward also
     returned the last state.
+    boundaries: optional per-chunk boundary states (B, nl, N, Dp) emitted
+    by the forward kernel (want_bounds=True); when absent they are
+    recomputed with an XLA chunk-aggregate pass.
     Returns grads matching the residuals' arity.
     """
     if len(residuals) == 9:
@@ -471,34 +485,44 @@ def selective_scan_bwd_pallas(
     h0_t = pad_nd(h0)
     dhl_t = pad_nd(dhlast)
 
-    # Chunk-boundary states (cheap XLA forward over chunk aggregates).
-    dtf = delta_p.astype(jnp.float32) + dtb.astype(jnp.float32)
-    if delta_softplus:
-        dtf = jax.nn.softplus(dtf)
-    uf = u_p.astype(jnp.float32)
-    atf = a_t.astype(jnp.float32)
+    if boundaries is not None:
+        # Forward-kernel-emitted boundary states: h before chunk l is h0
+        # for l=0, else the state after chunk l-1.
+        h_starts = jnp.concatenate(
+            [h0_t[:, None], boundaries[:, :-1].astype(jnp.float32)], axis=1
+        )
+    else:
+        # Chunk-boundary states (XLA forward over chunk aggregates) —
+        # only for direct calls; the custom_vjp path passes `boundaries`.
+        dtf = delta_p.astype(jnp.float32) + dtb.astype(jnp.float32)
+        if delta_softplus:
+            dtf = jax.nn.softplus(dtf)
+        uf = u_p.astype(jnp.float32)
+        atf = a_t.astype(jnp.float32)
 
-    def chunked(x):
-        return jnp.moveaxis(
-            x.reshape(bsz, nl, L_CHUNK, x.shape[-1]), 1, 0
+        def chunked(x):
+            return jnp.moveaxis(
+                x.reshape(bsz, nl, L_CHUNK, x.shape[-1]), 1, 0
+            )
+
+        u_c, dt_c, b_c = (
+            chunked(uf), chunked(dtf), chunked(b_p.astype(jnp.float32))
         )
 
-    u_c, dt_c, b_c = chunked(uf), chunked(dtf), chunked(b_p.astype(jnp.float32))
+        def boundary_body(h, xs):
+            uu, dd, bb = xs  # (B, L, D) / (B, L, N)
+            da = jnp.exp(dd[:, :, None, :] * atf[None, None])  # (B,L,N,D)
+            dbu = (dd * uu)[:, :, None, :] * bb[:, :, :, None]
+            dbu = dbu.at[:, 0].add(da[:, 0] * h)
 
-    def boundary_body(h, xs):
-        uu, dd, bb = xs  # (B, L, D) / (B, L, N)
-        da = jnp.exp(dd[:, :, None, :] * atf[None, None])  # (B, L, N, D)
-        dbu = (dd * uu)[:, :, None, :] * bb[:, :, :, None]
-        dbu = dbu.at[:, 0].add(da[:, 0] * h)
+            def comb(x, y):
+                return (y[0] * x[0], y[0] * x[1] + y[1])
 
-        def comb(x, y):
-            return (y[0] * x[0], y[0] * x[1] + y[1])
+            pa, pb = jax.lax.associative_scan(comb, (da, dbu), axis=1)
+            return pb[:, -1], h
 
-        pa, pb = jax.lax.associative_scan(comb, (da, dbu), axis=1)
-        return pb[:, -1], h
-
-    _, h_starts = jax.lax.scan(boundary_body, h0_t, (u_c, dt_c, b_c))
-    h_starts = jnp.moveaxis(h_starts, 0, 1)  # (B, nc, N, Dp)
+        _, h_starts = jax.lax.scan(boundary_body, h0_t, (u_c, dt_c, b_c))
+        h_starts = jnp.moveaxis(h_starts, 0, 1)  # (B, nc, N, Dp)
 
     grid = (bsz, dp // d_tile, nl)
     rev = lambda b, d, l: (b, nl - 1 - l, d)
@@ -568,18 +592,29 @@ def selective_scan_bwd_pallas(
 
 
 def _fwd(u, delta, A, B, C, D, z, delta_bias, h0, delta_softplus):
-    out = _pallas_fwd_impl(u, delta, A, B, C, D, z, delta_bias,
-                           delta_softplus, h0=h0)
-    return out, (u, delta, A, B, C, D, z, delta_bias, h0)
+    if jax.default_backend() == "tpu":
+        out, h_last, bounds = _pallas_fwd_impl(
+            u, delta, A, B, C, D, z, delta_bias, delta_softplus, h0=h0,
+            want_bounds=True,
+        )
+    else:
+        out, h_last = _pallas_fwd_impl(
+            u, delta, A, B, C, D, z, delta_bias, delta_softplus, h0=h0
+        )
+        bounds = None
+    return (out, h_last), (u, delta, A, B, C, D, z, delta_bias, h0, bounds)
 
 
 def _bwd(delta_softplus, residuals, g):
     """Analytic adjoint, VMEM-resident Pallas kernel on TPU (two in-cell
     chunk scans: h recompute + reverse g recurrence — the reference CUDA
-    kernel's recompute strategy, selective_scan_interface.py bwd), with
-    autodiff of the chunked XLA scan as the non-TPU fallback."""
+    kernel's recompute strategy, selective_scan_interface.py bwd), seeded
+    with the forward kernel's chunk-boundary states; autodiff of the
+    chunked XLA scan is the non-TPU fallback."""
+    *res, bounds = residuals
     if jax.default_backend() == "tpu":
-        return selective_scan_bwd_pallas(residuals, g, delta_softplus)
+        return selective_scan_bwd_pallas(tuple(res), g, delta_softplus,
+                                         boundaries=bounds)
     from mamba_asr_tpu.ops.selective_scan import selective_scan_chunked
 
     def f(u, delta, A, B, C, D, z, delta_bias, h0):
@@ -587,7 +622,7 @@ def _bwd(delta_softplus, residuals, g):
             u, delta, A, B, C, D, z, delta_bias, delta_softplus, h0, True
         )
 
-    _, vjp_fn = jax.vjp(f, *residuals)
+    _, vjp_fn = jax.vjp(f, *res)
     return vjp_fn(g)
 
 

@@ -1,0 +1,231 @@
+#!/usr/bin/env python
+"""Ablation variants of the Pallas selective-scan FWD kernel.
+
+The fwd kernel costs ~1.4 ms at (B8 T376 D1024 N16) vs a ~0.15 ms HBM
+floor — VPU-issue-bound. Each variant below removes ONE piece of in-cell
+work (numerically wrong on purpose); the timing delta attributes the
+cost. Run on TPU:
+
+    python scripts/exp_scan_variants.py [--variants base,noexp,...]
+
+Variants:
+  base        the real kernel body (sanity: should match bench_scan_kernel)
+  noexp       da = 1 + x instead of exp(x)
+  nosoftplus  skip the softplus on dt
+  noscan      hs = dbu (recurrence removed, da still computed)
+  nodbu       dbu = broadcast of u (outer-product build removed)
+  noy         skip the y = sum_n hs*C contraction
+  fastexp     2^round(x*log2e) * poly(frac) manual approximation
+  bf16scan    run the chunk scan arithmetic in bf16 (da/dbu/hs)
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mamba_asr_tpu.ops.pallas.scan import (  # noqa: E402
+    L_CHUNK,
+    _d_tile,
+    _forward_chunk_scan,
+    _pad_delta_identity,
+    _round_up,
+)
+
+
+def make_kernel(variant: str, n_state: int, lchunk: int):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    def kernel(u_ref, dt_ref, bmat_ref, cmat_ref, at_ref, dtb_ref,
+               dskip_ref, z_ref, h0_ref, out_ref, hlast_ref, h_ref):
+        l_idx = pl.program_id(2)
+
+        @pl.when(l_idx == 0)
+        def _():
+            h_ref[...] = h0_ref[0].astype(h_ref.dtype)
+
+        u = u_ref[0].astype(jnp.float32)
+        dt = dt_ref[0].astype(jnp.float32)
+        bmat = bmat_ref[0].astype(jnp.float32)
+        cmat = cmat_ref[0].astype(jnp.float32)
+        a_t = at_ref[...].astype(jnp.float32)
+        dt_bias = dtb_ref[...].astype(jnp.float32)
+        d_skip = dskip_ref[...].astype(jnp.float32)
+        z = z_ref[0].astype(jnp.float32)
+
+        dt = dt + dt_bias
+        if variant != "nosoftplus":
+            dt = jax.nn.softplus(dt)
+
+        x = dt[:, None, :] * a_t[None, :, :]
+        if variant == "noexp":
+            da = 1.0 + x
+        elif variant == "fastexp":
+            # exp(x) = 2^(x*log2e); split into integer exponent (via
+            # scalb-style bit shift) and a cubic on the fractional part.
+            y = jnp.maximum(x * 1.4426950408889634, -120.0)
+            yi = jnp.floor(y)
+            yf = y - yi
+            # 2^yf on [0,1): minimax-ish cubic
+            p = 1.0 + yf * (0.6931471 + yf * (0.2401597 + yf * 0.0558027))
+            e = ((yi.astype(jnp.int32) + 127) << 23)
+            da = jax.lax.bitcast_convert_type(e, jnp.float32) * p
+        else:
+            da = jnp.exp(x)
+        if variant == "nodbu":
+            dbu = jnp.broadcast_to(u[:, None, :], da.shape)
+        else:
+            dbu = (dt * u)[:, None, :] * bmat[:, :, None]
+
+        h_carry = h_ref[...].astype(jnp.float32)
+        if variant == "noscan":
+            hs = dbu
+        elif variant == "bf16scan":
+            hs = _forward_chunk_scan(
+                da.astype(jnp.bfloat16), dbu.astype(jnp.bfloat16),
+                h_carry.astype(jnp.bfloat16), lchunk, n_state
+            ).astype(jnp.float32)
+        else:
+            hs = _forward_chunk_scan(da, dbu, h_carry, lchunk, n_state)
+        h_ref[...] = hs[lchunk - 1]
+        hlast_ref[0] = hs[lchunk - 1].astype(hlast_ref.dtype)
+
+        if variant == "noy":
+            y_out = u
+        else:
+            y_out = jnp.sum(hs * cmat[:, :, None], axis=1)
+        y_out = y_out + u * d_skip
+        y_out = y_out * jax.nn.silu(z)
+        out_ref[0] = y_out.astype(out_ref.dtype)
+
+    return kernel
+
+
+def run_variant(variant, u, delta, A, B, C, D, z, dtb):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bsz, length, d_in = u.shape
+    n = A.shape[1]
+    lp = _round_up(length, L_CHUNK)
+    d_tile = _d_tile(d_in, n)
+    dp = _round_up(d_in, d_tile)
+
+    def impl(u, delta, z):
+        def pad_ld(x):
+            return jnp.pad(x, ((0, 0), (0, lp - length), (0, dp - d_in)))
+
+        u_p = pad_ld(u)
+        dtb_p = jnp.pad(dtb, (0, dp - d_in))[None, :]
+        delta_p = _pad_delta_identity(delta, dtb_p, length, lp, dp, True)
+        z_p = pad_ld(z)
+        b_p = jnp.pad(B, ((0, 0), (0, lp - length), (0, 0)))
+        c_p = jnp.pad(C, ((0, 0), (0, lp - length), (0, 0)))
+        a_t = jnp.pad(A.T, ((0, 0), (0, dp - d_in)))
+        dsk = jnp.pad(D, (0, dp - d_in))[None, :]
+        h0_t = jnp.zeros((bsz, n, dp), jnp.float32)
+        grid = (bsz, dp // d_tile, lp // L_CHUNK)
+        out, _ = pl.pallas_call(
+            make_kernel(variant, n, L_CHUNK),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, L_CHUNK, d_tile), lambda b, d, l: (b, l, d)),
+                pl.BlockSpec((1, L_CHUNK, d_tile), lambda b, d, l: (b, l, d)),
+                pl.BlockSpec((1, L_CHUNK, n), lambda b, d, l: (b, l, 0)),
+                pl.BlockSpec((1, L_CHUNK, n), lambda b, d, l: (b, l, 0)),
+                pl.BlockSpec((n, d_tile), lambda b, d, l: (0, d)),
+                pl.BlockSpec((1, d_tile), lambda b, d, l: (0, d)),
+                pl.BlockSpec((1, d_tile), lambda b, d, l: (0, d)),
+                pl.BlockSpec((1, L_CHUNK, d_tile), lambda b, d, l: (b, l, d)),
+                pl.BlockSpec((1, n, d_tile), lambda b, d, l: (b, 0, d)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, L_CHUNK, d_tile), lambda b, d, l: (b, l, d)),
+                pl.BlockSpec((1, n, d_tile), lambda b, d, l: (b, 0, d)),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((bsz, lp, dp), u.dtype),
+                jax.ShapeDtypeStruct((bsz, n, dp), jnp.float32),
+            ),
+            scratch_shapes=[pltpu.VMEM((n, d_tile), jnp.float32)],
+        )(u_p, delta_p, b_p, c_p, a_t, dtb_p, dsk, z_p, h0_t)
+        return out[:, :length, :d_in]
+
+    def k_steps(k):
+        def body(c, i):
+            uu, dd, zz, acc = c
+            o = impl(uu, dd + 1e-9 * i, zz)
+            return (uu, dd, zz, acc + jnp.sum(o[:, -1, :1])), ()
+
+        return jax.jit(lambda c: jax.lax.scan(body, c, jnp.arange(k))[0])
+
+    k1, k2 = 3, 9
+    run1, run2 = k_steps(k1), k_steps(k2)
+    carry = (u, delta, z, jnp.zeros(()))
+    t0 = time.perf_counter()
+    out = run1(carry)
+    _ = float(np.asarray(out[3]))
+    compile_s = time.perf_counter() - t0
+    out = run2(carry)
+    _ = float(np.asarray(out[3]))
+
+    def timed(run):
+        t0 = time.perf_counter()
+        o = run(carry)
+        _ = float(np.asarray(o[3]))
+        return time.perf_counter() - t0
+
+    t1 = min(timed(run1) for _ in range(3))
+    t2 = min(timed(run2) for _ in range(3))
+    per = (t2 - t1) / (k2 - k1) * 1000
+    print(f"{variant:12s} {per:7.3f} ms/op  (compile {compile_s:.0f}s)",
+          flush=True)
+    return per
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--b", type=int, default=8)
+    ap.add_argument("--t", type=int, default=376)
+    ap.add_argument("--d", type=int, default=1024)
+    ap.add_argument("--n", type=int, default=16)
+    ap.add_argument("--variants", default="base,noexp,fastexp,noscan,nodbu,noy,nosoftplus,bf16scan")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    b, t, d, n = args.b, args.t, args.d, args.n
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.normal(size=(b, t, d)) * 0.5, jnp.float32)
+    delta = jnp.asarray(rng.normal(size=(b, t, d)) * 0.3, jnp.float32)
+    A = -jnp.exp(jnp.asarray(rng.normal(size=(d, n)), jnp.float32))
+    B = jnp.asarray(rng.normal(size=(b, t, n)), jnp.float32)
+    C = jnp.asarray(rng.normal(size=(b, t, n)), jnp.float32)
+    D = jnp.asarray(rng.normal(size=(d,)), jnp.float32)
+    z = jnp.asarray(rng.normal(size=(b, t, d)), jnp.float32)
+    dtb = jnp.asarray(rng.normal(size=(d,)) * 0.1, jnp.float32)
+
+    print(f"fwd variants at (B{b} T{t} D{d} N{n}) "
+          f"[{jax.devices()[0].device_kind}]", flush=True)
+    for v in args.variants.split(","):
+        try:
+            run_variant(v, u, delta, A, B, C, D, z, dtb)
+        except Exception as e:  # noqa: BLE001
+            print(f"{v:12s} FAILED: {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -323,3 +323,52 @@ def test_pallas_bwd_kernel_interpret_h0_and_last_state_grads():
         np.testing.assert_allclose(
             np.asarray(r), np.asarray(a), rtol=3e-4, atol=3e-5, err_msg=name
         )
+
+
+def test_pallas_bwd_kernel_interpret_fwd_emitted_boundaries():
+    """Boundary-seeded adjoint: the forward kernel's per-chunk boundary
+    states (want_bounds=True) replace the XLA boundary-recompute pass in
+    the backward — grads must match jax.grad of the reference exactly as
+    the recompute path does. This is the custom_vjp path taken on TPU."""
+    from mamba_asr_tpu.ops.pallas.scan import (
+        _pallas_fwd_impl,
+        selective_scan_bwd_pallas,
+    )
+
+    u, delta, A, B, C, D, z, db = _make_inputs(
+        jax.random.PRNGKey(31), bsz=2, length=150, d=10, n=4
+    )
+    h0 = jax.random.normal(
+        jax.random.PRNGKey(32), (u.shape[0], u.shape[2], A.shape[1])
+    )
+    cot = jax.random.normal(jax.random.PRNGKey(33), u.shape)
+    cot_h = jax.random.normal(jax.random.PRNGKey(34), h0.shape)
+
+    def loss(u, delta, A, B, C, D, z, db, h0):
+        out, h_last = selective_scan_ref(
+            u, delta, A, B, C, D=D, z=z, delta_bias=db, delta_softplus=True,
+            h0=h0, return_last_state=True,
+        )
+        return jnp.sum(out * cot) + jnp.sum(h_last * cot_h)
+
+    ref_grads = jax.grad(loss, argnums=tuple(range(9)))(
+        u, delta, A, B, C, D, z, db, h0
+    )
+    _, h_last, bounds = _pallas_fwd_impl(
+        u, delta, A, B, C, D, z, db, True, h0=h0, interpret=True,
+        want_bounds=True,
+    )
+    # h_bounds[:, -1] must equal h_last (kernel layout, padded D).
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(bounds[:, -1, :, :u.shape[2]], 1, 2)),
+        np.asarray(h_last), rtol=1e-5, atol=1e-6,
+    )
+    ana_grads = selective_scan_bwd_pallas(
+        (u, delta, A, B, C, D, z, db, h0), (cot, cot_h),
+        delta_softplus=True, interpret=True, boundaries=bounds,
+    )
+    names = ["u", "delta", "A", "B", "C", "D", "z", "delta_bias", "h0"]
+    for name, r, a in zip(names, ref_grads, ana_grads):
+        np.testing.assert_allclose(
+            np.asarray(r), np.asarray(a), rtol=3e-4, atol=3e-5, err_msg=name
+        )
