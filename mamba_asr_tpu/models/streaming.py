@@ -180,7 +180,7 @@ class StreamingS2SSession:
     def _extend_with(self, fe_out) -> None:
         if fe_out is None or fe_out.shape[1] == 0:
             return
-        enc, _, self.inner.enc_state = self.inner._enc_fn(
+        enc, _, _, self.inner.enc_state = self.inner._enc_fn(
             self.params, fe_out, self.inner.enc_state
         )
         self.dec_cache = self._extend(self.params, enc, self.dec_cache)
