@@ -51,6 +51,10 @@ Array = jax.Array
 
 NEG_INF = -1e30
 
+# A/B escape hatch for the fused Pallas select-DP (benchmarks flip this
+# to time the XLA associative-scan formulation on TPU).
+USE_DP_KERNEL = True
+
 
 def _linear_log_scan(a: Array, b: Array) -> Array:
     """Solve x(t) = logaddexp(x(t-1) + a(t), b(t)) with x(-1) = -inf,
@@ -102,6 +106,11 @@ class CTCPrefixScorer:
         # reduction is a probability-space matmul against this (see
         # module docstring).
         self.p = jnp.exp(self.lp)  # (B, T, V)
+        # Token-major copy for the per-step frame-row gathers (score's
+        # last-token row, select's chosen-token row): a column gather
+        # from (T, V) is T strided reads per hypothesis; from (V, T) the
+        # row is contiguous. Costs one extra (B, T, V) f32 in HBM.
+        self.lp_t = jnp.swapaxes(self.lp, 1, 2)  # (B, V, T)
 
     def init_state(self) -> CTCPrefixState:
         """State of the empty prefix: r_b(t) = sum of blanks up to t."""
@@ -155,9 +164,9 @@ class CTCPrefixScorer:
         # Same-token correction: phi uses r_b only for c == last — exactly
         # one column per row.
         bidx = jnp.arange(n, dtype=jnp.int32) // k
-        lp_last = jax.vmap(lambda bi, c: self.lp[bi][:, c])(
-            bidx, jnp.maximum(state.last, 0)[:, None]
-        )[:, :, 0]  # (N, T)
+        lp_last = jax.vmap(lambda bi, c: self.lp_t[bi, c])(
+            bidx, jnp.maximum(state.last, 0)
+        )  # (N, T)
         phi_same_sh = jnp.concatenate(
             [boundary[:, None], state.r_b[:, :-1]], axis=1
         )
@@ -217,9 +226,9 @@ class CTCPrefixScorer:
         r_b_par = take(state.r_b)     # (N, T)
         r_nb_par = take(state.r_nb)
         last_par = take(state.last)
-        lp_tok = jax.vmap(lambda bi, c: self.lp[bi][:, c])(
-            bidx, tokens[:, None]
-        )[:, :, 0]  # (N, T)
+        lp_tok = jax.vmap(lambda bi, c: self.lp_t[bi, c])(
+            bidx, tokens
+        )  # (N, T)
         same = tokens == last_par
         phi = jnp.where(
             same[:, None], r_b_par, jnp.logaddexp(r_b_par, r_nb_par)
@@ -231,13 +240,25 @@ class CTCPrefixScorer:
         valid = self.frame_valid  # (N, T)
         grow = jnp.where(valid, phi_shift + lp_tok, NEG_INF)
         a_nb = jnp.where(valid, lp_tok, 0.0)
-        r_nb = _linear_log_scan(a_nb.T, grow.T).T  # (N, T)
-        r_nb_shift = jnp.concatenate(
-            [jnp.full((n, 1), NEG_INF), r_nb[:, :-1]], axis=1
-        )
-        a_b = self.lp_blank  # (N, T), 0 at invalid frames
-        b_b = jnp.where(valid, r_nb_shift + self.lp_blank, NEG_INF)
-        r_b = _linear_log_scan(a_b.T, b_b.T).T
+        if USE_DP_KERNEL and jax.default_backend() == "tpu":
+            # Both recurrences fused into one Pallas launch: as two XLA
+            # associative scans over T this is stage-count bound
+            # (~6 ms/step at T 1500 of pure sub-stage latency).
+            from mamba_asr_tpu.ops.pallas.log_scan import ctc_dp_pallas
+
+            r_nb_t, r_b_t = ctc_dp_pallas(
+                a_nb.T, grow.T, self.lp_blank.T,
+                valid.T.astype(jnp.float32),
+            )
+            r_nb, r_b = r_nb_t.T, r_b_t.T
+        else:
+            r_nb = _linear_log_scan(a_nb.T, grow.T).T  # (N, T)
+            r_nb_shift = jnp.concatenate(
+                [jnp.full((n, 1), NEG_INF), r_nb[:, :-1]], axis=1
+            )
+            a_b = self.lp_blank  # (N, T), 0 at invalid frames
+            b_b = jnp.where(valid, r_nb_shift + self.lp_blank, NEG_INF)
+            r_b = _linear_log_scan(a_b.T, b_b.T).T
 
         # Hypotheses that chose EOS keep their parent state.
         keep_old = (tokens == self.eos)[:, None]

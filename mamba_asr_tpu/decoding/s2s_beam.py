@@ -131,10 +131,7 @@ class S2SBeamSearcher:
             has_lm or (use_cache and dec_is_transformer)
         )
         if use_anc:
-            from mamba_asr_tpu.ops.pallas.beam_attention import (
-                J_CHUNK,
-                build_anc_mask,
-            )
+            from mamba_asr_tpu.ops.pallas.beam_attention import J_CHUNK
 
             # Round the cache length up so the Pallas chunked kernel
             # applies on TPU (it skips chunks past the current position,
@@ -261,15 +258,16 @@ class S2SBeamSearcher:
             (tokens, scores, finished, lengths, sc_state, dec_cache,
              lm_cache, anc) = carry
 
-            anc_mask = None
             if use_anc:
                 # Position s is written by each row itself this step —
-                # pin row s to the identity before rendering the mask
-                # (earlier end-of-step gathers shuffled every row).
+                # pin row s to the identity before the attention reads
+                # (earlier end-of-step gathers shuffled every row). The
+                # raw int32 table goes straight to the attention kernel,
+                # which renders the validity plane in-VMEM (rendering a
+                # (S, R, B) mask array here cost ~1.5 ms/step).
                 anc = jax.lax.dynamic_update_slice(
                     anc, jnp.arange(n, dtype=jnp.int32)[None], (s, 0)
                 )
-                anc_mask = build_anc_mask(anc, s, n, jnp.bfloat16)
 
             prev_tok = jnp.take_along_axis(
                 tokens, s[None, None].astype(jnp.int32), axis=1
@@ -280,7 +278,7 @@ class S2SBeamSearcher:
                 step_logits, dec_cache = model.apply(
                     params, prev_tok, s, dec_cache,
                     method=ASRModel.decode_step,
-                    anc_mask=anc_mask if dec_is_transformer else None,
+                    anc=anc if (use_anc and dec_is_transformer) else None,
                 )
                 lp = jax.nn.log_softmax(step_logits / self.temperature,
                                         axis=-1)
@@ -310,7 +308,7 @@ class S2SBeamSearcher:
                 # per step is what makes beam 66 x vocab 5000 infeasible).
                 lm_step, lm_cache = lm_model.apply(
                     lm_params, prev_tok, cache=lm_cache, cache_index=s,
-                    anc_mask=anc_mask,
+                    anc=anc if use_anc else None,
                 )
                 lm_lp = jax.nn.log_softmax(
                     lm_step / self.temperature_lm, axis=-1

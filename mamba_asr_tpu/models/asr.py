@@ -374,10 +374,10 @@ class ASRModel(nn.Module):
         return self.decoder.extend_cache(enc_chunk, cache)
 
     def decode_step(self, token_t: Array, pos: Array, cache,
-                    anc_mask: Optional[Array] = None):
+                    anc: Optional[Array] = None):
         """One decode step. token_t (B,) int32, pos scalar position.
 
-        Returns (raw seq-head logits (B, V), new_cache). `anc_mask`
+        Returns (raw seq-head logits (B, V), new_cache). `anc`
         (transformer decoder only) selects append-only beam-gather
         self-attention caches (attention.py)."""
         tgt = self.tgt_embed(token_t[:, None])[:, 0]
@@ -389,7 +389,7 @@ class ASRModel(nn.Module):
             dec, cache = self.decoder.step(tgt, cache)
         else:
             dec, cache = self.decoder.step(tgt, pos, cache,
-                                           anc_mask=anc_mask)
+                                           anc=anc)
         logits = self.seq_head(dec.astype(jnp.float32))
         return logits, cache
 

@@ -80,7 +80,8 @@ class MultiheadAttention(nn.Module):
         query/key/value are a single position (B, 1, D); the new K/V are
         written at position s, attention runs over positions <= s, and
         the return is (out, (new_k_buf, new_v_buf)).
-      - `cache` + `anc_mask` (S, R, B): APPEND-ONLY beam-search mode.
+      - `cache` + `anc` (S, N) int32 ancestor table: APPEND-ONLY
+        beam-search mode.
         Buffers are (H, S_max, B, dh); row i writes at [:, s, i] and is
         never reordered — attention gathers each hypothesis' prefix
         through the ancestor mask (ops/pallas/beam_attention.py). This
@@ -110,7 +111,7 @@ class MultiheadAttention(nn.Module):
         cache_index: Optional[Array] = None,
         static_kv: Optional[Tuple[Array, Array]] = None,
         precompute_kv: bool = False,
-        anc_mask: Optional[Array] = None,
+        anc: Optional[Array] = None,
     ) -> Tuple[Array, Array]:
         del pos_embs  # absolute-PE path adds encodings to inputs instead
         d_model = query.shape[-1]
@@ -128,7 +129,7 @@ class MultiheadAttention(nn.Module):
         q = proj(query, "q")  # (B, Lq, H, dh)
         new_cache = None
         heads_major = False  # k/v layout: (B, S, H, dh) vs (B, H, S, dh)
-        if cache is not None and anc_mask is not None:
+        if cache is not None and anc is not None:
             from mamba_asr_tpu.ops.pallas.beam_attention import (
                 beam_attention,
             )
@@ -145,7 +146,7 @@ class MultiheadAttention(nn.Module):
                 v_buf, v_new.astype(v_buf.dtype), cache_index, axis=1
             )
             out = beam_attention(
-                q[:, 0], k_buf, v_buf, anc_mask, cache_index
+                q[:, 0], k_buf, v_buf, anc, cache_index
             )[:, None]  # (B, 1, H, dh)
             out = out.reshape(*out.shape[:-2], d_model)
             out = nn.Dense(d_model, dtype=self.dtype, name="out")(out)

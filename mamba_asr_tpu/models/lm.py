@@ -48,7 +48,7 @@ class TransformerLM(nn.Module):
         train: bool = False,
         cache: Optional[list] = None,
         cache_index: Optional[Array] = None,
-        anc_mask: Optional[Array] = None,
+        anc: Optional[Array] = None,
     ) -> Array:
         """tokens (B, S) -> logits (B, S, vocab).
 
@@ -62,7 +62,7 @@ class TransformerLM(nn.Module):
         stepping = cache is not None
         if stepping:
             # (B, H, S, dh) heads-major or (H, S, B, dh) beam-gather.
-            s_ctx = cache[0][0].shape[1 if anc_mask is not None else 2]
+            s_ctx = cache[0][0].shape[1 if anc is not None else 2]
             x = NormalizedEmbedding(
                 self.vocab_size, self.d_model, dtype=self.dtype, name="embed"
             )(tokens[:, None])
@@ -89,7 +89,7 @@ class TransformerLM(nn.Module):
             dtype=self.dtype,
             name="encoder",
         )(x, src_mask=src_mask, src_key_padding_mask=kpm, train=train,
-          cache=cache, cache_index=cache_index, anc_mask=anc_mask)
+          cache=cache, cache_index=cache_index, anc=anc)
         logits = nn.Dense(self.vocab_size, dtype=jnp.float32, name="out")(
             out.astype(jnp.float32)
         )

@@ -129,11 +129,11 @@ class TransformerEncoderLayer(nn.Module):
         train: bool = False,
         cache: Optional[Tuple[Array, Array]] = None,
         cache_index: Optional[Array] = None,
-        anc_mask: Optional[Array] = None,
+        anc: Optional[Array] = None,
     ) -> Tuple[Array, Array]:
         """With `cache`/`cache_index` (regularMHA only), src is one
         position (B, 1, D) and the second return is the updated KV cache
-        instead of attention weights (incremental decoding). `anc_mask`
+        instead of attention weights (incremental decoding). `anc`
         switches the cache to the append-only beam-gather layout
         (attention.py)."""
         if self.attention_type == "RelPosMHAXL":
@@ -155,7 +155,7 @@ class TransformerEncoderLayer(nn.Module):
             train=train,
             cache=cache,
             cache_index=cache_index,
-            anc_mask=anc_mask,
+            anc=anc,
         )
         src = src + drop(att_out)
         if not self.normalize_before:
@@ -197,7 +197,7 @@ class TransformerEncoder(nn.Module):
         train: bool = False,
         cache: Optional[list] = None,
         cache_index: Optional[Array] = None,
-        anc_mask: Optional[Array] = None,
+        anc: Optional[Array] = None,
     ) -> Tuple[Array, Array]:
         """With `cache` (list of per-layer (k_buf, v_buf)) and
         `cache_index`, src is a single position (B, 1, D) and the second
@@ -223,7 +223,7 @@ class TransformerEncoder(nn.Module):
                 name=f"layer_{i}",
             )(out, src_mask, src_key_padding_mask, pos_embs, train=train,
               cache=None if cache is None else cache[i],
-              cache_index=cache_index, anc_mask=anc_mask)
+              cache_index=cache_index, anc=anc)
             if cache is not None:
                 new_caches.append(attn)  # attn slot carries the new cache
             if drop_keys is not None:
@@ -257,7 +257,7 @@ class TransformerDecoderLayer(nn.Module):
         cache: Optional[dict] = None,
         cache_index: Optional[Array] = None,
         compute_cross_kv: bool = False,
-        anc_mask: Optional[Array] = None,
+        anc: Optional[Array] = None,
     ) -> Tuple[Array, Array, Array]:
         """Incremental decoding:
         - `compute_cross_kv=True`: returns the cross-attention's projected
@@ -285,7 +285,7 @@ class TransformerDecoderLayer(nn.Module):
         )(x, x, x, attn_mask=tgt_mask,
           key_padding_mask=tgt_key_padding_mask, train=train,
           cache=cache["self"] if stepping else None,
-          cache_index=cache_index, anc_mask=anc_mask)
+          cache_index=cache_index, anc=anc)
         tgt = tgt + drop(sa_out)
         if not self.normalize_before:
             tgt = norm1(tgt)
@@ -395,7 +395,7 @@ class TransformerDecoder(nn.Module):
         return {"layers": layers, "mem_mask": memory_key_padding_mask}
 
     def step(self, tgt_t: Array, pos: Array, cache,
-             anc_mask: Optional[Array] = None) -> Tuple[Array, dict]:
+             anc: Optional[Array] = None) -> Tuple[Array, dict]:
         """One decode step. tgt_t (B, d_model), pos scalar int."""
         x = tgt_t[:, None]
         new_layers = []
@@ -403,7 +403,7 @@ class TransformerDecoder(nn.Module):
             x, new_c, _ = layer(
                 x, None, cache=c, cache_index=pos,
                 memory_key_padding_mask=cache["mem_mask"],
-                anc_mask=anc_mask,
+                anc=anc,
             )
             new_layers.append(new_c)
         out = self.norm(x)[:, 0]

@@ -81,13 +81,12 @@ def build_corpus(root: str, n_train=32, n_dev=8, n_test=8, seed=0):
             f.write("\n".join(lines) + "\n")
 
 
-def run_mode(mode: str, corpus: str, out: str, epochs: int) -> dict:
+def run_mode(mode: str, corpus: str, out: str, epochs: int,
+             s2s_config: str = "hparams/S2S/conmambamamba_small.yaml"
+             ) -> dict:
     """Run the real CLI; return the final test summary dict."""
     is_s2s = mode == "s2s"
-    config = (
-        "hparams/S2S/conmambamamba_small.yaml" if is_s2s
-        else "hparams/CTC/conmamba_small.yaml"
-    )
+    config = s2s_config if is_s2s else "hparams/CTC/conmamba_small.yaml"
     argv = [
         config,
         "--data.data_folder", corpus,
@@ -152,6 +151,8 @@ def main():
     ap.add_argument("--target", type=float, default=2.0,
                     help="max acceptable test WER (%)")
     ap.add_argument("--workdir", default="")
+    ap.add_argument("--s2s-config",
+                    default="hparams/S2S/conmambamamba_small.yaml")
     args = ap.parse_args()
 
     work = args.workdir or tempfile.mkdtemp(prefix="train_to_floor_")
@@ -161,7 +162,11 @@ def main():
     modes = ["ctc", "s2s"] if args.mode == "both" else [args.mode]
     ok = True
     for mode in modes:
-        res = run_mode(mode, corpus, os.path.join(work, "out"), args.epochs)
+        # The joint CTC+attention objective needs ~3x the steps of pure
+        # CTC before the decoder's autoregressive path is reliable.
+        epochs = args.epochs * (3 if mode == "s2s" else 1)
+        res = run_mode(mode, corpus, os.path.join(work, "out"), epochs,
+                       s2s_config=args.s2s_config)
         res["ok"] = res["test_wer"] <= args.target
         ok &= res["ok"]
         print("RESULT " + json.dumps(res), flush=True)

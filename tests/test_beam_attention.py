@@ -36,8 +36,9 @@ def _gather_oracle(q, k, v, anc, pos):
     return out
 
 
+@pytest.mark.parametrize("h_block", [1, 2])
 @pytest.mark.parametrize("pos", [0, 5, 63, 64, 100, 127])
-def test_beam_attention_matches_gather_oracle(pos):
+def test_beam_attention_matches_gather_oracle(pos, h_block):
     rng = np.random.default_rng(0)
     h, s, b, dh = 2, 128, 5, 8
     q = jnp.asarray(rng.normal(size=(b, h, dh)), jnp.float32)
@@ -51,10 +52,11 @@ def test_beam_attention_matches_gather_oracle(pos):
     np.testing.assert_allclose(out_xla, ref, atol=1e-5)
 
     # Pallas in interpreter mode exercises the chunked online-softmax +
-    # chunk-skip (clamped index map) logic on any backend.
+    # chunk-skip (clamped index map) + in-kernel ancestor-plane logic on
+    # any backend, at both the blocked and unblocked head paths.
     out_pl = np.asarray(
-        beam_attention_pallas(q, k, v, mask, pos, j_chunk=32,
-                              interpret=True)
+        beam_attention_pallas(q, k, v, anc, pos, j_chunk=32,
+                              h_block=h_block, interpret=True)
     )
     np.testing.assert_allclose(out_pl, ref, atol=1e-5)
 
@@ -67,12 +69,11 @@ def test_beam_attention_bf16_cache():
     k = jnp.asarray(rng.normal(size=(h, s, b, dh)), jnp.bfloat16)
     v = jnp.asarray(rng.normal(size=(h, s, b, dh)), jnp.bfloat16)
     anc = jnp.asarray(rng.integers(0, b, size=(s, b)), jnp.int32)
-    mask = build_anc_mask(anc, pos, b, jnp.bfloat16)
     ref = _gather_oracle(
         q, k.astype(jnp.float32), v.astype(jnp.float32), anc, pos
     )
     out_pl = np.asarray(
-        beam_attention_pallas(q, k, v, mask, pos, j_chunk=32,
+        beam_attention_pallas(q, k, v, anc, pos, j_chunk=32,
                               interpret=True)
     ).astype(np.float32)
     np.testing.assert_allclose(out_pl, ref, atol=3e-2)

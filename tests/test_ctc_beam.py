@@ -130,3 +130,46 @@ def test_ctc_beam_reference_shape_regime():
         beam_prune_logp=-12.0, token_prune_min_logp=-1.2,
     )
     assert got == list(want), (got[:20], list(want)[:20])
+
+
+def test_ctc_dp_pallas_matches_xla_scans():
+    """Fused Pallas select-DP kernel (interpret mode) vs the XLA
+    associative-scan formulation, including ragged lengths (carry-through
+    at invalid frames) and T not a multiple of the kernel's 128 cols."""
+    import jax.numpy as jnp
+
+    from mamba_asr_tpu.decoding.ctc_prefix_scorer import (
+        NEG_INF,
+        _linear_log_scan,
+    )
+    from mamba_asr_tpu.ops.pallas.log_scan import ctc_dp_pallas
+
+    rng = np.random.default_rng(7)
+    t, n = 300, 5
+    lens = np.array([300, 215, 300, 1, 77])
+    valid = (np.arange(t)[None, :] < lens[:, None])  # (N, T)
+    lp_tok = np.log(rng.dirichlet(np.ones(4), size=(n, t))[:, :, 0] + 1e-9)
+    phi = rng.normal(size=(n, t)) * 2 - 5
+    lpb = np.where(valid, np.log(rng.uniform(0.1, 0.9, size=(n, t))), 0.0)
+
+    grow = np.where(valid, phi + lp_tok, NEG_INF)
+    a_nb = np.where(valid, lp_tok, 0.0)
+    a_nb_j, grow_j, lpb_j = map(jnp.asarray, (a_nb, grow, lpb))
+
+    r_nb_ref = _linear_log_scan(a_nb_j.T, grow_j.T).T
+    r_nb_shift = jnp.concatenate(
+        [jnp.full((n, 1), NEG_INF), r_nb_ref[:, :-1]], axis=1
+    )
+    b_b = jnp.where(valid, r_nb_shift + lpb_j, NEG_INF)
+    r_b_ref = _linear_log_scan(lpb_j.T, b_b.T).T
+
+    r_nb_t, r_b_t = ctc_dp_pallas(
+        a_nb_j.T, grow_j.T, lpb_j.T,
+        jnp.asarray(valid.astype(np.float32)).T, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_nb_t.T), np.asarray(r_nb_ref), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_b_t.T), np.asarray(r_b_ref), rtol=1e-5, atol=1e-5
+    )
