@@ -82,7 +82,8 @@ def build_corpus(root: str, n_train=32, n_dev=8, n_test=8, seed=0):
 
 
 def run_mode(mode: str, corpus: str, out: str, epochs: int,
-             s2s_config: str = "hparams/S2S/conmambamamba_small.yaml"
+             s2s_config: str = "hparams/S2S/conmambamamba_small.yaml",
+             extra: list = (),
              ) -> dict:
     """Run the real CLI; return the final test summary dict."""
     is_s2s = mode == "s2s"
@@ -122,6 +123,7 @@ def run_mode(mode: str, corpus: str, out: str, epochs: int,
             "--decode.valid_beam_size", "4",
             "--decode.s2s_test_beam_size", "8",
         ]
+    argv += list(extra)
     entry = "train_s2s.py" if is_s2s else "train_ctc.py"
     old_argv = sys.argv
     sys.argv = [entry] + argv
@@ -153,7 +155,9 @@ def main():
     ap.add_argument("--workdir", default="")
     ap.add_argument("--s2s-config",
                     default="hparams/S2S/conmambamamba_small.yaml")
-    args = ap.parse_args()
+    # Unrecognized --key value pairs pass through as config overrides.
+    args, extra = ap.parse_known_args()
+    args.extra = extra
 
     work = args.workdir or tempfile.mkdtemp(prefix="train_to_floor_")
     corpus = os.path.join(work, "corpus")
@@ -166,7 +170,7 @@ def main():
         # CTC before the decoder's autoregressive path is reliable.
         epochs = args.epochs * (3 if mode == "s2s" else 1)
         res = run_mode(mode, corpus, os.path.join(work, "out"), epochs,
-                       s2s_config=args.s2s_config)
+                       s2s_config=args.s2s_config, extra=args.extra)
         res["ok"] = res["test_wer"] <= args.target
         ok &= res["ok"]
         print("RESULT " + json.dumps(res), flush=True)
