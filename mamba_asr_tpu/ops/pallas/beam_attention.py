@@ -146,22 +146,49 @@ def _beam_attn_kernel(s_ref, q_ref, k_ref, v_ref, anc_ref, out_ref,
 
 
 def _pick_h_block(h: int, j_chunk: int, b: int, dh: int,
-                  kv_bytes: int) -> int:
+                  kv_bytes: int) -> Optional[int]:
     """Largest head-block whose per-cell VMEM set fits a ~12 MB budget
     (headroom under the 16 MB scoped limit): double-buffered K+V chunk
     blocks, PER-ITERATION f32 scores/e (Mosaic's stack allocator does
     not observably reuse them across the unrolled head loop — measured
     19.6 MB at a shape a reuse model put at 10 MB), the validity plane,
-    and the f32 accumulators."""
+    and the f32 accumulators. Returns None when even h_block=1 cannot
+    fit — the in-kernel validity plane is O(j_chunk * n^2), so large
+    hypothesis counts (big batch x beam) must take the gather path
+    (seen: n=448 from a 56-utterance test batch x beam 8 asked 56 MB)."""
     budget = 12 * 1024 * 1024
     plane = j_chunk * b * b * 4  # valid (i32-backed bool)
-    for hb in (8, 6, 4, 3, 2):
+    for hb in (8, 6, 4, 3, 2, 1):
         kv = 2 * 2 * hb * j_chunk * b * dh * kv_bytes
         inter = hb * 2 * j_chunk * b * b * 4  # scores + e per iteration
         accs = hb * b * (dh + 2) * 4
         if h % hb == 0 and kv + inter + plane + accs <= budget:
             return hb
-    return 1
+    return None
+
+
+def beam_attention_gather(q: Array, k_buf: Array, v_buf: Array,
+                          anc: Array, pos) -> Array:
+    """Gather-at-read formulation: materialize each hypothesis's OWN
+    prefix K/V through the ancestor table (one (S, N) take_along_axis
+    per buffer), then plain masked single-query attention.
+
+    O(N*S) memory instead of the mask-plane formulations' O(S*N^2) —
+    the scalable path when batch x beam is large (short-utterance batch
+    decode); the Pallas kernel stays preferred when its VMEM set fits
+    (long caches, many heads, small N: the LM-fusion decode regime)."""
+    h, s, b, dh = k_buf.shape
+    n = anc.shape[1]
+    qh = jnp.swapaxes(q, 0, 1).astype(jnp.float32)  # (H, N, dh)
+    idx = anc[None, :, :, None]  # (1, S, N, 1) broadcasts over H, dh
+    k_sel = jnp.take_along_axis(k_buf, idx, axis=2).astype(jnp.float32)
+    v_sel = jnp.take_along_axis(v_buf, idx, axis=2).astype(jnp.float32)
+    scores = jnp.einsum("hnd,hjnd->hnj", qh, k_sel) / math.sqrt(dh)
+    j_valid = jnp.arange(s, dtype=jnp.int32) <= pos
+    scores = jnp.where(j_valid[None, None, :], scores, NEG)
+    attn = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("hnj,hjnd->nhd", attn, v_sel)
+    return out.astype(q.dtype)
 
 
 def beam_attention_pallas(q: Array, k_buf: Array, v_buf: Array,
@@ -180,6 +207,10 @@ def beam_attention_pallas(q: Array, k_buf: Array, v_buf: Array,
     nc = s // j_chunk
     if h_block is None:
         h_block = _pick_h_block(h, j_chunk, b, dh, k_buf.dtype.itemsize)
+        assert h_block is not None, (
+            f"beam_attention_pallas: no h_block fits VMEM at "
+            f"(h={h}, s={s}, n={b}, dh={dh}) — use beam_attention_gather"
+        )
     qh = jnp.swapaxes(q, 0, 1)  # (H, N, dh)
     pos_arr = jnp.asarray(pos, jnp.int32).reshape((1,))
 
@@ -228,8 +259,9 @@ def beam_attention(q: Array, k_buf: Array, v_buf: Array, anc: Array,
     """Dispatch: Pallas kernel on TPU (cache length permitting), XLA
     mask-plane formulation elsewhere. anc is the raw (S, N) int32
     ancestor table in both cases."""
-    s = k_buf.shape[1]
-    if jax.default_backend() == "tpu" and s % J_CHUNK == 0:
+    h, s, b, dh = k_buf.shape
+    if (jax.default_backend() == "tpu" and s % J_CHUNK == 0
+            and _pick_h_block(h, J_CHUNK, b, dh,
+                              k_buf.dtype.itemsize) is not None):
         return beam_attention_pallas(q, k_buf, v_buf, anc, pos)
-    mask = build_anc_mask(anc, pos, k_buf.shape[2], jnp.float32)
-    return beam_attention_xla(q, k_buf, v_buf, mask)
+    return beam_attention_gather(q, k_buf, v_buf, anc, pos)

@@ -15,6 +15,9 @@ import numpy as np
 import pytest
 
 from mamba_asr_tpu.ops.pallas.beam_attention import (
+    _pick_h_block,
+    beam_attention,
+    beam_attention_gather,
     beam_attention_pallas,
     beam_attention_xla,
     build_anc_mask,
@@ -77,6 +80,53 @@ def test_beam_attention_bf16_cache():
                               interpret=True)
     ).astype(np.float32)
     np.testing.assert_allclose(out_pl, ref, atol=3e-2)
+
+
+@pytest.mark.parametrize("pos", [0, 5, 63, 100, 127])
+def test_beam_attention_gather_matches_oracle(pos):
+    """The O(N*S) gather-at-read path (large batch x beam fallback)."""
+    rng = np.random.default_rng(2)
+    h, s, b, dh = 2, 128, 5, 8
+    q = jnp.asarray(rng.normal(size=(b, h, dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(h, s, b, dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(h, s, b, dh)), jnp.float32)
+    anc = jnp.asarray(rng.integers(0, b, size=(s, b)), jnp.int32)
+    ref = _gather_oracle(q, k, v, anc, pos)
+    out = np.asarray(beam_attention_gather(q, k, v, anc, pos))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_beam_attention_large_n_dispatch():
+    """Regression for the 56-utt x beam-8 VMEM OOM: at n = batch x beam
+    = 448 the kernel's O(j_chunk * n^2) validity plane cannot fit VMEM
+    (observed 56 MB ask vs 16 MB limit on a v5e); _pick_h_block must
+    signal no-fit and the dispatch must produce correct output through
+    the gather path at exactly that shape."""
+    assert _pick_h_block(2, 64, 448, 32, 4) is None
+    # The LM-fusion decode regime must keep the kernel.
+    assert _pick_h_block(12, 64, 66, 64, 2) is not None
+
+    rng = np.random.default_rng(4)
+    h, s, n, dh = 2, 448, 448, 32
+    pos = 37
+    q = jnp.asarray(rng.normal(size=(n, h, dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(h, s, n, dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(h, s, n, dh)), jnp.float32)
+    anc = jnp.asarray(rng.integers(0, n, size=(s, n)), jnp.int32)
+    out = np.asarray(beam_attention(q, k, v, anc, pos))
+    # Spot-check a few hypotheses against the scalar oracle (the full
+    # 448-row oracle is O(n^2 * s) python — too slow for CI).
+    q_np, k_np, v_np, anc_np = map(np.asarray, (q, k, v, anc))
+    for n_i in (0, 7, 211, 447):
+        ke = np.stack([k_np[:, j, anc_np[j, n_i]]
+                       for j in range(pos + 1)], 1)
+        ve = np.stack([v_np[:, j, anc_np[j, n_i]]
+                       for j in range(pos + 1)], 1)
+        sc = np.einsum("hd,hjd->hj", q_np[n_i], ke) / math.sqrt(dh)
+        a = np.exp(sc - sc.max(-1, keepdims=True))
+        a /= a.sum(-1, keepdims=True)
+        exp = np.einsum("hj,hjd->hd", a, ve)
+        np.testing.assert_allclose(out[n_i], exp, atol=1e-5)
 
 
 def _tiny_s2s_setup(decoder_module):
