@@ -52,6 +52,14 @@ L_CHUNK = 64
 COLS = 8  # within-row sequential width of the two-level in-chunk scan
 D_TILE_MAX = 512
 
+# The kernels take A^T pre-scaled by log2(e) and discretize with exp2:
+# exp(dt*A) = exp2(dt * (A*log2e)). The *log2e multiply moves off the
+# per-element (L, N, D) hot path onto the tiny (N, D) parameter (exp on
+# the VPU is exp2 plus that multiply). LN2 undoes the scale for the one
+# adjoint term that needs the raw A (ddt's sum over gh*A).
+LOG2E = 1.4426950408889634
+LN2 = 0.6931471805599453
+
 
 def _d_tile(d_in: int, n_state: int = 16) -> int:
     """Feature-tile width: wide tiles amortize per-cell overheads —
@@ -200,7 +208,7 @@ def _scan_kernel(
     dt = dt_ref[0].astype(jnp.float32)        # (L, D)
     bmat = bmat_ref[0].astype(jnp.float32)    # (L, N)
     cmat = cmat_ref[0].astype(jnp.float32)    # (L, N)
-    a_t = at_ref[...].astype(jnp.float32)     # (N, D)
+    a_t2 = at_ref[...].astype(jnp.float32)    # (N, D), pre-scaled by log2e
     dt_bias = dtb_ref[...].astype(jnp.float32)  # (1, D)
     d_skip = dskip_ref[...].astype(jnp.float32)  # (1, D)
     z = z_ref[0].astype(jnp.float32)          # (L, D)
@@ -210,7 +218,7 @@ def _scan_kernel(
         dt = jax.nn.softplus(dt)
 
     # (L, N, D) discretized transition / input.
-    da = jnp.exp(dt[:, None, :] * a_t[None, :, :])
+    da = jnp.exp2(dt[:, None, :] * a_t2[None, :, :])
     dbu = (dt * u)[:, None, :] * bmat[:, :, None]
 
     h_carry = h_ref[...].astype(jnp.float32)  # (N, D)
@@ -262,7 +270,7 @@ def _scan_bwd_kernel(
     dt_raw = dt_ref[0].astype(jnp.float32)
     bmat = bmat_ref[0].astype(jnp.float32)
     cmat = cmat_ref[0].astype(jnp.float32)
-    a_t = at_ref[...].astype(jnp.float32)
+    a_t2 = at_ref[...].astype(jnp.float32)  # pre-scaled by log2e
     dt_bias = dtb_ref[...].astype(jnp.float32)
     d_skip = dskip_ref[...].astype(jnp.float32)
     z = z_ref[0].astype(jnp.float32)
@@ -277,7 +285,7 @@ def _scan_bwd_kernel(
         dt = dt_b
         dsp = jnp.ones_like(dt_b)
 
-    da = jnp.exp(dt[:, None, :] * a_t[None, :, :])  # (L, N, D)
+    da = jnp.exp2(dt[:, None, :] * a_t2[None, :, :])  # (L, N, D)
     dbu = (dt * u)[:, None, :] * bmat[:, :, None]
 
     hs = _forward_chunk_scan(da, dbu, h_start, lchunk, n_state)
@@ -303,7 +311,8 @@ def _scan_bwd_kernel(
 
     gh = g * h_prev * da  # (L, N, D) — shared by dA and the a-path of ddt
     t1 = jnp.sum(g * bmat[:, :, None], axis=1)  # (L, D)
-    ddt = t1 * u + jnp.sum(gh * a_t[None], axis=1)
+    # a_t2 = A^T*log2e, so the raw-A contraction needs the LN2 unscale.
+    ddt = t1 * u + jnp.sum(gh * a_t2[None], axis=1) * LN2
     du = t1 * dt + dy * d_skip
     dbm = jnp.sum(g * (dt * u)[:, None, :], axis=2)  # (L, N)
     dcm = jnp.sum(hs * dy[:, None, :], axis=2)       # (L, N)
@@ -376,7 +385,9 @@ def _pallas_fwd_impl(u, delta, A, B, C, D, z, delta_bias, delta_softplus,
     z_p = pad_ld(z) if z is not None else jnp.zeros_like(u_p)
     b_p = pad_ln(B)
     c_p = pad_ln(C)
-    a_t = jnp.pad(A.T, ((0, 0), (0, dp - d_in)))  # (N, Dp)
+    # Kernels discretize with exp2: pre-scale A^T by log2e (see LOG2E).
+    a_t = jnp.pad(A.T.astype(jnp.float32) * LOG2E,
+                  ((0, 0), (0, dp - d_in)))  # (N, Dp)
     dsk = jnp.pad(
         D if D is not None else jnp.zeros((d_in,)), (0, dp - d_in)
     )[None, :]
@@ -480,7 +491,7 @@ def selective_scan_bwd_pallas(
     b_p = pad_ln(B)
     c_p = pad_ln(C)
     dout_p = pad_ld(dout)
-    a_t = jnp.pad(A.T, ((0, 0), (0, dp - d_in)))
+    a_t = jnp.pad(A.T.astype(jnp.float32) * LOG2E, ((0, 0), (0, dp - d_in)))
     dsk = jnp.pad(D, (0, dp - d_in))[None, :]
     h0_t = pad_nd(h0)
     dhl_t = pad_nd(dhlast)
@@ -511,7 +522,8 @@ def selective_scan_bwd_pallas(
 
         def boundary_body(h, xs):
             uu, dd, bb = xs  # (B, L, D) / (B, L, N)
-            da = jnp.exp(dd[:, :, None, :] * atf[None, None])  # (B,L,N,D)
+            # atf is the kernel-layout A^T*log2e — exp2 matches the kernel.
+            da = jnp.exp2(dd[:, :, None, :] * atf[None, None])  # (B,L,N,D)
             dbu = (dd * uu)[:, :, None, :] * bb[:, :, :, None]
             dbu = dbu.at[:, 0].add(da[:, 0] * h)
 
