@@ -96,7 +96,12 @@ def ctc_forward_score(
         return new_alpha, None
 
     ts = jnp.arange(1, t_max)
-    alpha, _ = jax.lax.scan(step, alpha0, (jnp.moveaxis(emit[:, 1:], 1, 0), ts))
+    # The body touches only (B, 2S+1) values — tiny next to the scan's
+    # per-step control overhead at T in the hundreds. Unrolling lets XLA
+    # fuse 8 steps per loop iteration (the sequential dependence stays).
+    alpha, _ = jax.lax.scan(
+        step, alpha0, (jnp.moveaxis(emit[:, 1:], 1, 0), ts), unroll=8
+    )
 
     # Final score: logsumexp of the last blank and last label positions.
     end_blank = jnp.take_along_axis(alpha, (zlen - 1)[:, None], axis=1)[:, 0]
