@@ -1,14 +1,13 @@
 #!/usr/bin/env python
-"""Ablation variants of the Pallas selective-scan FWD kernel.
+"""Ablation variants of the Pallas selective-scan kernels (fwd and bwd).
 
-The fwd kernel costs ~1.4 ms at (B8 T376 D1024 N16) vs a ~0.15 ms HBM
-floor — VPU-issue-bound. Each variant below removes ONE piece of in-cell
-work (numerically wrong on purpose); the timing delta attributes the
-cost. Run on TPU:
+Each variant removes ONE piece of in-cell work (numerically wrong on
+purpose); the timing delta attributes the cost. Run on TPU:
 
     python scripts/exp_scan_variants.py [--variants base,noexp,...]
+    python scripts/exp_scan_variants.py --bwd [--variants base,...]
 
-Variants:
+Fwd variants:
   base        the real kernel body (sanity: should match bench_scan_kernel)
   noexp       da = 1 + x instead of exp(x)
   nosoftplus  skip the softplus on dt
@@ -17,6 +16,16 @@ Variants:
   noy         skip the y = sum_n hs*C contraction
   fastexp     2^round(x*log2e) * poly(frac) manual approximation
   bf16scan    run the chunk scan arithmetic in bf16 (da/dbu/hs)
+
+Bwd variants (the bwd kernel is ~0.8 of the 1.03 ms fwd+bwd op):
+  base        the real adjoint body
+  noexp       da = 1 + x (removes the (L,N,D) exp2)
+  nosoftplus  skip softplus/sigmoid on dt
+  nofwdscan   hs = dbu (removes the forward-recompute chunk scan)
+  norevscan   g = dh (removes the reverse chunk scan)
+  noreduce_n  replace the three sum-over-N contractions with slices
+  noreduce_d  replace the two sum-over-D contractions (dbm/dcm) with slices
+  nogh        drop the gh product feeding ddt/dA
 """
 
 from __future__ import annotations
@@ -110,7 +119,7 @@ def make_kernel(variant: str, n_state: int, lchunk: int):
     return kernel
 
 
-def run_variant(variant, u, delta, A, B, C, D, z, dtb):
+def run_variant(variant, u, delta, A, B, C, D, z, dtb, interpret=False):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -159,6 +168,7 @@ def run_variant(variant, u, delta, A, B, C, D, z, dtb):
                 jax.ShapeDtypeStruct((bsz, n, dp), jnp.float32),
             ),
             scratch_shapes=[pltpu.VMEM((n, d_tile), jnp.float32)],
+            interpret=interpret,
         )(u_p, delta_p, b_p, c_p, a_t, dtb_p, dsk, z_p, h0_t)
         return out[:, :length, :d_in]
 
@@ -194,14 +204,231 @@ def run_variant(variant, u, delta, A, B, C, D, z, dtb):
     return per
 
 
+def make_bwd_kernel(variant: str, n_state: int, lchunk: int):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    from mamba_asr_tpu.ops.pallas.scan import LN2, _reverse_chunk_scan
+
+    def kernel(u_ref, dt_ref, bmat_ref, cmat_ref, at_ref, dtb_ref,
+               dskip_ref, z_ref, dout_ref, hstart_ref, dhl_ref,
+               du_ref, ddt_ref, dbm_ref, dcm_ref, dz_ref, dapart_ref,
+               dh0_ref, g_ref):
+        l_idx = pl.program_id(2)
+
+        @pl.when(l_idx == 0)
+        def _():
+            g_ref[...] = dhl_ref[0].astype(g_ref.dtype)
+            dapart_ref[...] = jnp.zeros_like(dapart_ref)
+
+        u = u_ref[0].astype(jnp.float32)
+        dt_raw = dt_ref[0].astype(jnp.float32)
+        bmat = bmat_ref[0].astype(jnp.float32)
+        cmat = cmat_ref[0].astype(jnp.float32)
+        a_t2 = at_ref[...].astype(jnp.float32)
+        dt_bias = dtb_ref[...].astype(jnp.float32)
+        d_skip = dskip_ref[...].astype(jnp.float32)
+        z = z_ref[0].astype(jnp.float32)
+        dout = dout_ref[0].astype(jnp.float32)
+        h_start = hstart_ref[0, 0].astype(jnp.float32)
+
+        dt_b = dt_raw + dt_bias
+        if variant == "nosoftplus":
+            dt = dt_b
+            dsp = jnp.ones_like(dt_b)
+        else:
+            dt = jax.nn.softplus(dt_b)
+            dsp = jax.nn.sigmoid(dt_b)
+
+        x = dt[:, None, :] * a_t2[None, :, :]
+        da = (1.0 + x) if variant == "noexp" else jnp.exp2(x)
+        dbu = (dt * u)[:, None, :] * bmat[:, :, None]
+
+        if variant == "nofwdscan":
+            hs = dbu
+        else:
+            hs = _forward_chunk_scan(da, dbu, h_start, lchunk, n_state)
+        h_prev = jnp.concatenate([h_start[None], hs[:-1]], axis=0)
+
+        sig = jax.nn.sigmoid(z)
+        silu = z * sig
+        dy = dout * silu
+
+        dh = dy[:, None, :] * cmat[:, :, None]
+        g_carry = g_ref[...].astype(jnp.float32)
+        dh = jnp.concatenate([dh[:-1], dh[-1:] + g_carry[None]], axis=0)
+        ash = jnp.concatenate([da[1:], jnp.zeros_like(da[:1])], axis=0)
+        if variant == "norevscan":
+            g = dh
+        else:
+            g = _reverse_chunk_scan(ash, dh, lchunk, n_state)
+        carry = da[0] * g[0]
+        g_ref[...] = carry
+        dh0_ref[0] = carry.astype(dh0_ref.dtype)
+
+        if variant == "nogh":
+            gh = g
+        else:
+            gh = g * h_prev * da
+        if variant == "noreduce_n":
+            t1 = g[:, 0]
+            ddt = t1 * u + gh[:, 0] * LN2
+            y_pre = hs[:, 0] + u * d_skip
+        else:
+            t1 = jnp.sum(g * bmat[:, :, None], axis=1)
+            ddt = t1 * u + jnp.sum(gh * a_t2[None], axis=1) * LN2
+            y_pre = jnp.sum(hs * cmat[:, :, None], axis=1) + u * d_skip
+        du = t1 * dt + dy * d_skip
+        if variant == "noreduce_d":
+            dbm = bmat
+            dcm = cmat
+        else:
+            dbm = jnp.sum(g * (dt * u)[:, None, :], axis=2)
+            dcm = jnp.sum(hs * dy[:, None, :], axis=2)
+        dz = dout * y_pre * (sig * (1.0 + z * (1.0 - sig)))
+
+        du_ref[0] = du.astype(du_ref.dtype)
+        ddt_ref[0] = (ddt * dsp).astype(ddt_ref.dtype)
+        dbm_ref[0, 0] = dbm.astype(dbm_ref.dtype)
+        dcm_ref[0, 0] = dcm.astype(dcm_ref.dtype)
+        dz_ref[0] = dz.astype(dz_ref.dtype)
+        dapart_ref[...] += jnp.sum(gh * dt[:, None, :], axis=0).astype(
+            dapart_ref.dtype
+        )[None]
+
+    return kernel
+
+
+def run_bwd_variant(variant, u, delta, A, B, C, D, z, dtb, interpret=False):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mamba_asr_tpu.ops.pallas.scan import LOG2E
+
+    bsz, length, d_in = u.shape
+    n = A.shape[1]
+    lp = _round_up(length, L_CHUNK)
+    d_tile = _d_tile(d_in, n)
+    dp = _round_up(d_in, d_tile)
+    nl = lp // L_CHUNK
+
+    def impl(u, delta, z, dout):
+        def pad_ld(x):
+            return jnp.pad(x, ((0, 0), (0, lp - length), (0, dp - d_in)))
+
+        u_p = pad_ld(u)
+        dtb_p = jnp.pad(dtb, (0, dp - d_in))[None, :]
+        delta_p = _pad_delta_identity(delta, dtb_p, length, lp, dp, True)
+        z_p = pad_ld(z)
+        b_p = jnp.pad(B, ((0, 0), (0, lp - length), (0, 0)))
+        c_p = jnp.pad(C, ((0, 0), (0, lp - length), (0, 0)))
+        a_t = jnp.pad(A.T * LOG2E, ((0, 0), (0, dp - d_in)))
+        dsk = jnp.pad(D, (0, dp - d_in))[None, :]
+        dout_p = pad_ld(dout)
+        # Timing harness: boundary states don't need to be correct.
+        h_starts = jnp.zeros((bsz, nl, n, dp), jnp.float32)
+        dhl_t = jnp.zeros((bsz, n, dp), jnp.float32)
+
+        grid = (bsz, dp // d_tile, nl)
+        rev = lambda b, d, l: (b, nl - 1 - l, d)
+        rev_n = lambda b, d, l: (b, nl - 1 - l, 0)
+        outs = pl.pallas_call(
+            make_bwd_kernel(variant, n, L_CHUNK),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, L_CHUNK, d_tile), rev),
+                pl.BlockSpec((1, L_CHUNK, d_tile), rev),
+                pl.BlockSpec((1, L_CHUNK, n), rev_n),
+                pl.BlockSpec((1, L_CHUNK, n), rev_n),
+                pl.BlockSpec((n, d_tile), lambda b, d, l: (0, d)),
+                pl.BlockSpec((1, d_tile), lambda b, d, l: (0, d)),
+                pl.BlockSpec((1, d_tile), lambda b, d, l: (0, d)),
+                pl.BlockSpec((1, L_CHUNK, d_tile), rev),
+                pl.BlockSpec((1, L_CHUNK, d_tile), rev),
+                pl.BlockSpec((1, 1, n, d_tile),
+                             lambda b, d, l: (b, nl - 1 - l, 0, d)),
+                pl.BlockSpec((1, n, d_tile), lambda b, d, l: (b, 0, d)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, L_CHUNK, d_tile), rev),
+                pl.BlockSpec((1, L_CHUNK, d_tile), rev),
+                pl.BlockSpec((1, 1, L_CHUNK, n),
+                             lambda b, d, l: (d, b, nl - 1 - l, 0)),
+                pl.BlockSpec((1, 1, L_CHUNK, n),
+                             lambda b, d, l: (d, b, nl - 1 - l, 0)),
+                pl.BlockSpec((1, L_CHUNK, d_tile), rev),
+                pl.BlockSpec((1, n, d_tile), lambda b, d, l: (b, 0, d)),
+                pl.BlockSpec((1, n, d_tile), lambda b, d, l: (b, 0, d)),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((bsz, lp, dp), jnp.float32),
+                jax.ShapeDtypeStruct((bsz, lp, dp), jnp.float32),
+                jax.ShapeDtypeStruct((dp // d_tile, bsz, lp, n), jnp.float32),
+                jax.ShapeDtypeStruct((dp // d_tile, bsz, lp, n), jnp.float32),
+                jax.ShapeDtypeStruct((bsz, lp, dp), jnp.float32),
+                jax.ShapeDtypeStruct((bsz, n, dp), jnp.float32),
+                jax.ShapeDtypeStruct((bsz, n, dp), jnp.float32),
+            ),
+            scratch_shapes=[pltpu.VMEM((n, d_tile), jnp.float32)],
+            interpret=interpret,
+        )(u_p, delta_p, b_p, c_p, a_t, dtb_p, dsk, z_p, dout_p, h_starts,
+          dhl_t)
+        return outs[0][:, :length, :d_in]
+
+    def k_steps(k):
+        def body(c, i):
+            uu, dd, zz, acc = c
+            o = impl(uu, dd + 1e-9 * i, zz, uu)
+            return (uu, dd, zz, acc + jnp.sum(o[:, -1, :1])), ()
+
+        return jax.jit(lambda c: jax.lax.scan(body, c, jnp.arange(k))[0])
+
+    k1, k2 = 3, 9
+    run1, run2 = k_steps(k1), k_steps(k2)
+    carry = (u, delta, z, jnp.zeros(()))
+    t0 = time.perf_counter()
+    out = run1(carry)
+    _ = float(np.asarray(out[3]))
+    compile_s = time.perf_counter() - t0
+    out = run2(carry)
+    _ = float(np.asarray(out[3]))
+
+    def timed(run):
+        t0 = time.perf_counter()
+        o = run(carry)
+        _ = float(np.asarray(o[3]))
+        return time.perf_counter() - t0
+
+    t1 = min(timed(run1) for _ in range(3))
+    t2 = min(timed(run2) for _ in range(3))
+    per = (t2 - t1) / (k2 - k1) * 1000
+    print(f"{variant:12s} {per:7.3f} ms/op  (compile {compile_s:.0f}s)",
+          flush=True)
+    return per
+
+
+BWD_VARIANTS = ("base,noexp,nosoftplus,nofwdscan,norevscan,"
+                "noreduce_n,noreduce_d,nogh")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--b", type=int, default=8)
     ap.add_argument("--t", type=int, default=376)
     ap.add_argument("--d", type=int, default=1024)
     ap.add_argument("--n", type=int, default=16)
-    ap.add_argument("--variants", default="base,noexp,fastexp,noscan,nodbu,noy,nosoftplus,bf16scan")
+    ap.add_argument("--bwd", action="store_true")
+    ap.add_argument("--interpret", action="store_true")
+    ap.add_argument("--variants", default=None)
     args = ap.parse_args()
+    if args.variants is None:
+        args.variants = (
+            BWD_VARIANTS if args.bwd
+            else "base,noexp,fastexp,noscan,nodbu,noy,nosoftplus,bf16scan"
+        )
 
     import jax
     import jax.numpy as jnp
@@ -217,11 +444,14 @@ def main():
     z = jnp.asarray(rng.normal(size=(b, t, d)), jnp.float32)
     dtb = jnp.asarray(rng.normal(size=(d,)) * 0.1, jnp.float32)
 
-    print(f"fwd variants at (B{b} T{t} D{d} N{n}) "
+    mode = "bwd" if args.bwd else "fwd"
+    runner = run_bwd_variant if args.bwd else run_variant
+    print(f"{mode} variants at (B{b} T{t} D{d} N{n}) "
           f"[{jax.devices()[0].device_kind}]", flush=True)
     for v in args.variants.split(","):
         try:
-            run_variant(v, u, delta, A, B, C, D, z, dtb)
+            runner(v, u, delta, A, B, C, D, z, dtb,
+                   interpret=args.interpret)
         except Exception as e:  # noqa: BLE001
             print(f"{v:12s} FAILED: {type(e).__name__}: {str(e)[:200]}",
                   flush=True)
