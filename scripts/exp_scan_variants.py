@@ -16,6 +16,10 @@ Fwd variants:
   noy         skip the y = sum_n hs*C contraction
   fastexp     2^round(x*log2e) * poly(frac) manual approximation
   bf16scan    run the chunk scan arithmetic in bf16 (da/dbu/hs)
+  nloop       N-outermost layout: unrolled python loop over n, all ops
+              2D (L, D); the y contraction becomes an FMA accumulator
+              instead of a cross-sublane sum (numerically CORRECT —
+              candidate production layout, not an ablation)
 
 Bwd variants (the bwd kernel is ~0.8 of the 1.03 ms fwd+bwd op):
   base        the real adjoint body
@@ -41,6 +45,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from mamba_asr_tpu.ops.pallas.scan import (  # noqa: E402
+    COLS,
     L_CHUNK,
     _d_tile,
     _forward_chunk_scan,
@@ -49,10 +54,93 @@ from mamba_asr_tpu.ops.pallas.scan import (  # noqa: E402
 )
 
 
+def _forward_chunk_scan_2d(da, dbu, h_carry, lchunk):
+    """Inclusive scan over L of 2D (L, D) arrays (one n at a time):
+    h_i = da_i h_{i-1} + dbu_i, h_{-1} = h_carry (1, D)."""
+    import jax
+    import jax.numpy as jnp
+
+    rows, cols = lchunk // COLS, COLS
+    d = da.shape[-1]
+    a_in = da.reshape(rows, cols, d)
+    b_in = dbu.reshape(rows, cols, d)
+    pa, pb = a_in[:, 0:1], b_in[:, 0:1]
+    cols_a, cols_b = [pa], [pb]
+    for c in range(1, cols):
+        cur_a = a_in[:, c : c + 1]
+        cur_b = b_in[:, c : c + 1]
+        pb = cur_a * pb + cur_b
+        pa = cur_a * pa
+        cols_a.append(pa)
+        cols_b.append(pb)
+    a = jnp.concatenate(cols_a, axis=1)
+    b = jnp.concatenate(cols_b, axis=1)
+
+    ra, rb = pa[:, 0], pb[:, 0]  # (ROWS, D)
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    off = 1
+    while off < rows:
+        sa = jnp.roll(ra, off, axis=0)
+        sb = jnp.roll(rb, off, axis=0)
+        valid = row_idx >= off
+        rb = jnp.where(valid, ra * sb + rb, rb)
+        ra = jnp.where(valid, ra * sa, ra)
+        off *= 2
+
+    ex_a = jnp.roll(ra, 1, axis=0)
+    ex_b = jnp.roll(rb, 1, axis=0)
+    first = row_idx == 0
+    ex_a = jnp.where(first, 1.0, ex_a)
+    ex_b = jnp.where(first, 0.0, ex_b)
+    pref_h = ex_a * h_carry + ex_b  # (ROWS, D)
+
+    hs = a * pref_h[:, None] + b  # (ROWS, COLS, D)
+    return hs.reshape(lchunk, d)
+
+
 def make_kernel(variant: str, n_state: int, lchunk: int):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
+
+    def nloop_kernel(u_ref, dt_ref, bmat_ref, cmat_ref, at_ref, dtb_ref,
+                     dskip_ref, z_ref, h0_ref, out_ref, hlast_ref, h_ref):
+        l_idx = pl.program_id(2)
+
+        @pl.when(l_idx == 0)
+        def _():
+            h_ref[...] = h0_ref[0].astype(h_ref.dtype)
+
+        u = u_ref[0].astype(jnp.float32)          # (L, D)
+        dt = dt_ref[0].astype(jnp.float32)        # (L, D)
+        bmat = bmat_ref[0].astype(jnp.float32)    # (L, N)
+        cmat = cmat_ref[0].astype(jnp.float32)    # (L, N)
+        a_t = at_ref[...].astype(jnp.float32)     # (N, D)
+        dt_bias = dtb_ref[...].astype(jnp.float32)
+        d_skip = dskip_ref[...].astype(jnp.float32)
+        z = z_ref[0].astype(jnp.float32)
+
+        dt = jax.nn.softplus(dt + dt_bias)
+        dtu = dt * u
+        h_carry = h_ref[...].astype(jnp.float32)  # (N, D)
+
+        y_acc = u * d_skip
+        h_rows = []
+        for nn in range(n_state):
+            da_n = jnp.exp(dt * a_t[nn : nn + 1])          # (L, D)
+            dbu_n = dtu * bmat[:, nn : nn + 1]              # (L, D)
+            hs_n = _forward_chunk_scan_2d(
+                da_n, dbu_n, h_carry[nn : nn + 1], lchunk
+            )
+            h_rows.append(hs_n[lchunk - 1 : lchunk])
+            y_acc = y_acc + hs_n * cmat[:, nn : nn + 1]
+        h_new = jnp.concatenate(h_rows, axis=0)             # (N, D)
+        h_ref[...] = h_new
+        hlast_ref[0] = h_new.astype(hlast_ref.dtype)
+        out_ref[0] = (y_acc * jax.nn.silu(z)).astype(out_ref.dtype)
+
+    if variant == "nloop":
+        return nloop_kernel
 
     def kernel(u_ref, dt_ref, bmat_ref, cmat_ref, at_ref, dtb_ref,
                dskip_ref, z_ref, h0_ref, out_ref, hlast_ref, h_ref):
