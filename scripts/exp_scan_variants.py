@@ -30,6 +30,9 @@ Bwd variants (the bwd kernel is ~0.8 of the 1.03 ms fwd+bwd op):
   noreduce_n  replace the three sum-over-N contractions with slices
   noreduce_d  replace the two sum-over-D contractions (dbm/dcm) with slices
   nogh        drop the gh product feeding ddt/dA
+  nloop       N-outermost layout (exact, like the fwd nloop): per-n 2D
+              scans; t1/ddt/y_pre become FMA accumulators; dbm/dcm are
+              per-n lane reductions
 """
 
 from __future__ import annotations
@@ -292,12 +295,140 @@ def run_variant(variant, u, delta, A, B, C, D, z, dtb, interpret=False):
     return per
 
 
+def _reverse_chunk_scan_2d(ash, d, lchunk):
+    """Reverse recurrence g_i = d_i + ash_i * g_{i+1}, g_L = 0, on 2D
+    (L, D) arrays (one n at a time)."""
+    import jax
+    import jax.numpy as jnp
+
+    rows, cols = lchunk // COLS, COLS
+    dd = ash.shape[-1]
+    a_in = ash.reshape(rows, cols, dd)
+    d_in = d.reshape(rows, cols, dd)
+
+    pg = d_in[:, cols - 1 : cols]
+    ps = a_in[:, cols - 1 : cols]
+    cols_g, cols_s = [pg], [ps]
+    for c in range(cols - 2, -1, -1):
+        cur_a = a_in[:, c : c + 1]
+        pg = d_in[:, c : c + 1] + cur_a * pg
+        ps = cur_a * ps
+        cols_g.append(pg)
+        cols_s.append(ps)
+    g_local = jnp.concatenate(cols_g[::-1], axis=1)
+    s_suffix = jnp.concatenate(cols_s[::-1], axis=1)
+
+    rg = g_local[:, 0]  # (ROWS, D)
+    rs = s_suffix[:, 0]
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    off = 1
+    while off < rows:
+        sg = jnp.roll(rg, -off, axis=0)
+        ss = jnp.roll(rs, -off, axis=0)
+        valid = row_idx <= rows - 1 - off
+        rg = jnp.where(valid, rg + rs * sg, rg)
+        rs = jnp.where(valid, rs * ss, rs)
+        off *= 2
+    b_next = jnp.roll(rg, -1, axis=0)
+    b_next = jnp.where(row_idx == rows - 1, 0.0, b_next)
+
+    g = g_local + s_suffix * b_next[:, None]
+    return g.reshape(lchunk, dd)
+
+
 def make_bwd_kernel(variant: str, n_state: int, lchunk: int):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
     from mamba_asr_tpu.ops.pallas.scan import LN2, _reverse_chunk_scan
+
+    def nloop_kernel(u_ref, dt_ref, bmat_ref, cmat_ref, at_ref, dtb_ref,
+                     dskip_ref, z_ref, dout_ref, hstart_ref, dhl_ref,
+                     du_ref, ddt_ref, dbm_ref, dcm_ref, dz_ref,
+                     dapart_ref, dh0_ref, g_ref):
+        l_idx = pl.program_id(2)
+
+        @pl.when(l_idx == 0)
+        def _():
+            g_ref[...] = dhl_ref[0].astype(g_ref.dtype)
+            dapart_ref[...] = jnp.zeros_like(dapart_ref)
+
+        u = u_ref[0].astype(jnp.float32)
+        dt_raw = dt_ref[0].astype(jnp.float32)
+        bmat = bmat_ref[0].astype(jnp.float32)
+        cmat = cmat_ref[0].astype(jnp.float32)
+        a_t2 = at_ref[...].astype(jnp.float32)
+        dt_bias = dtb_ref[...].astype(jnp.float32)
+        d_skip = dskip_ref[...].astype(jnp.float32)
+        z = z_ref[0].astype(jnp.float32)
+        dout = dout_ref[0].astype(jnp.float32)
+        h_start = hstart_ref[0, 0].astype(jnp.float32)  # (N, D)
+
+        dt_b = dt_raw + dt_bias
+        dt = jax.nn.softplus(dt_b)
+        dsp = jax.nn.sigmoid(dt_b)
+        dtu = dt * u
+        sig = jax.nn.sigmoid(z)
+        silu = z * sig
+        dy = dout * silu
+        g_carry = g_ref[...].astype(jnp.float32)  # (N, D)
+
+        t1 = jnp.zeros_like(u)
+        ddt_a = jnp.zeros_like(u)
+        y_pre = u * d_skip
+        carry_rows, dapart_rows, dbm_cols, dcm_cols = [], [], [], []
+        for nn in range(n_state):
+            a_row = a_t2[nn : nn + 1]                      # (1, D)
+            da_n = jnp.exp2(dt * a_row)                    # (L, D)
+            dbu_n = dtu * bmat[:, nn : nn + 1]
+            hs_n = _forward_chunk_scan_2d(
+                da_n, dbu_n, h_start[nn : nn + 1], lchunk
+            )
+            h_prev_n = jnp.concatenate(
+                [h_start[nn : nn + 1], hs_n[:-1]], axis=0
+            )
+            dh_n = dy * cmat[:, nn : nn + 1]
+            dh_n = jnp.concatenate(
+                [dh_n[:-1], dh_n[-1:] + g_carry[nn : nn + 1]], axis=0
+            )
+            ash_n = jnp.concatenate(
+                [da_n[1:], jnp.zeros_like(da_n[:1])], axis=0
+            )
+            g_n = _reverse_chunk_scan_2d(ash_n, dh_n, lchunk)
+            carry_rows.append(da_n[0:1] * g_n[0:1])
+            gh_n = g_n * h_prev_n * da_n
+            t1 = t1 + g_n * bmat[:, nn : nn + 1]
+            ddt_a = ddt_a + gh_n * a_row
+            y_pre = y_pre + hs_n * cmat[:, nn : nn + 1]
+            dbm_cols.append(jnp.sum(g_n * dtu, axis=1, keepdims=True))
+            dcm_cols.append(jnp.sum(hs_n * dy, axis=1, keepdims=True))
+            dapart_rows.append(
+                jnp.sum(gh_n * dt, axis=0, keepdims=True)
+            )
+        carry = jnp.concatenate(carry_rows, axis=0)  # (N, D)
+        g_ref[...] = carry
+        dh0_ref[0] = carry.astype(dh0_ref.dtype)
+
+        ddt = t1 * u + ddt_a * LN2
+        du = t1 * dt + dy * d_skip
+        dz = dout * y_pre * (sig * (1.0 + z * (1.0 - sig)))
+
+        du_ref[0] = du.astype(du_ref.dtype)
+        ddt_ref[0] = (ddt * dsp).astype(ddt_ref.dtype)
+        dbm_ref[0, 0] = jnp.concatenate(dbm_cols, axis=1).astype(
+            dbm_ref.dtype
+        )
+        dcm_ref[0, 0] = jnp.concatenate(dcm_cols, axis=1).astype(
+            dcm_ref.dtype
+        )
+        dz_ref[0] = dz.astype(dz_ref.dtype)
+        dapart_ref[...] += jnp.concatenate(dapart_rows, axis=0).astype(
+            dapart_ref.dtype
+        )[None]
+
+    if variant == "nloop":
+        return nloop_kernel
 
     def kernel(u_ref, dt_ref, bmat_ref, cmat_ref, at_ref, dtb_ref,
                dskip_ref, z_ref, dout_ref, hstart_ref, dhl_ref,
@@ -498,7 +629,7 @@ def run_bwd_variant(variant, u, delta, A, B, C, D, z, dtb, interpret=False):
     return per
 
 
-BWD_VARIANTS = ("base,noexp,nosoftplus,nofwdscan,norevscan,"
+BWD_VARIANTS = ("base,nloop,noexp,nosoftplus,nofwdscan,norevscan,"
                 "noreduce_n,noreduce_d,nogh")
 
 
