@@ -55,6 +55,13 @@ class MambaConfig:
     bias: bool = False
     # "auto" | "xla" | "pallas" | "ref" — forwarded to ops.selective_scan.
     scan_impl: str = "auto"
+    # Sequence parallelism: name of a mesh axis the TIME dimension is
+    # sharded over. When set, the block must run inside jax.shard_map
+    # with (B, L, D) activations sharded on L over that axis; the conv
+    # exchanges halos and the scan chains states across shards
+    # (parallel/sequence.py). Batch __call__ paths only — the O(1)
+    # step/streaming caches are inherently sequential and unsharded.
+    seq_axis: Optional[str] = None
 
     def resolved_dt_rank(self, d_model: int) -> int:
         return self.dt_rank or math.ceil(d_model / 16)
@@ -157,7 +164,28 @@ class _ScanHead(nn.Module):
         delta = dt @ self.dt_kernel.astype(dt.dtype)
         return delta, b_mat, c_mat
 
-    def __call__(self, x: Array, z: Array) -> Array:
+    def __call__(self, x: Array, z: Array, reverse: bool = False) -> Array:
+        """reverse=True scans global time right-to-left; only meaningful
+        under sequence parallelism (cfg.seq_axis) — the unsharded
+        BiMamba flips the data instead."""
+        if self.cfg.seq_axis is not None:
+            from mamba_asr_tpu.parallel.sequence import (
+                sp_causal_conv1d,
+                sp_selective_scan,
+            )
+
+            x = sp_causal_conv1d(
+                x, self.conv_w, self.conv_b, activation="silu",
+                axis_name=self.cfg.seq_axis, reverse=reverse,
+            )
+            delta, b_mat, c_mat = self._dt_bc(x)
+            return sp_selective_scan(
+                x, delta, -jnp.exp(self.a_log), b_mat, c_mat,
+                D=self.d_skip, z=z, delta_bias=self.dt_bias,
+                delta_softplus=True, implementation=self.cfg.scan_impl,
+                axis_name=self.cfg.seq_axis, reverse=reverse,
+            )
+        assert not reverse, "reverse scan requires cfg.seq_axis"
         x = causal_conv1d(x, self.conv_w, self.conv_b, activation="silu")
         delta, b_mat, c_mat = self._dt_bc(x)
         return selective_scan(
@@ -365,7 +393,13 @@ class BiMambaBlock(nn.Module):
         xz = self.in_proj(x)
         x_in, z = jnp.split(xz, 2, axis=-1)
         y_f = self.fwd(x_in, z)
-        y_b = self.bwd(x_in[:, ::-1], z[:, ::-1])[:, ::-1]
+        if self.cfg.seq_axis is not None:
+            # Time is sharded: the anti-causal direction runs via the
+            # ops' reverse flag (shard chain traversed last-to-first)
+            # instead of materialized global flips.
+            y_b = self.bwd(x_in, z, reverse=True)
+        else:
+            y_b = self.bwd(x_in[:, ::-1], z[:, ::-1])[:, ::-1]
         return self.out_proj(0.5 * y_f + 0.5 * y_b)
 
     def init_stream_state(self, batch: int, dtype=jnp.float32):
