@@ -92,6 +92,10 @@ class ConmambaEncoderLayer(nn.Module):
             activation=self.activation,
             dropout=self.dropout,
             causal=self.causal,
+            # Time-sharded (sequence-parallel) execution propagates from
+            # the mamba config: the conv module is the only other
+            # time-coupled op in the layer.
+            seq_axis=self.mamba_cfg.seq_axis,
             dtype=self.dtype,
         )
 

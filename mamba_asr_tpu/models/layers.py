@@ -84,6 +84,10 @@ class ConvolutionModule(nn.Module):
     causal: bool = False
     dilation: int = 1
     dtype: Any = jnp.float32
+    # Sequence parallelism: mesh axis the time dim is sharded over (run
+    # inside jax.shard_map); the depthwise conv exchanges halo frames
+    # with neighbour shards instead of zero-padding (parallel/sequence).
+    seq_axis: Optional[str] = None
 
     d_model: int = 0  # required (static, for setup-time param shapes)
 
@@ -142,7 +146,20 @@ class ConvolutionModule(nn.Module):
         train: bool = False,
     ) -> Array:
         out = self._pre(x)
-        if chunk_size is not None:
+        if self.seq_axis is not None:
+            assert chunk_size is None, (
+                "dynamic-chunk conv is incompatible with sequence "
+                "parallelism (chunk windows would straddle shards)"
+            )
+            assert self.dilation == 1
+            from mamba_asr_tpu.parallel.sequence import sp_halo_exchange
+
+            p = self.padding_amount
+            left, right = (p, 0) if self.causal else (p, p)
+            buf = sp_halo_exchange(out, left, right, self.seq_axis)
+            out = _depthwise_conv1d(buf, self.dw_kernel, self.dw_bias,
+                                    "VALID")
+        elif chunk_size is not None:
             assert not self.causal, "chunked conv incompatible with causal"
             assert self.dilation == 1
             out = self._chunked_depthwise(

@@ -63,6 +63,37 @@ def _axis_size(axis_name: str) -> int:
     return jax.lax.psum(1, axis_name)
 
 
+def sp_halo_exchange(
+    x: Array, left: int, right: int, axis_name: str = "seq"
+) -> Array:
+    """Extend a time-sharded x (B, L_local, D) with `left` frames from
+    the predecessor shard and `right` frames from the successor
+    (boundary shards zero-pad, matching an unsharded SAME/causal pad).
+    Returns (B, left + L_local + right, D)."""
+    n = _axis_size(axis_name)
+    parts = [x]
+    if n == 1:
+        if left:
+            parts.insert(0, jnp.zeros_like(x[:, :left]))
+        if right:
+            parts.append(jnp.zeros_like(x[:, :right]))
+        return jnp.concatenate(parts, axis=1) if len(parts) > 1 else x
+    idx = jax.lax.axis_index(axis_name)
+    if left:
+        tail = x[:, x.shape[1] - left:, :]
+        prev = jax.lax.ppermute(
+            tail, axis_name, [(i, i + 1) for i in range(n - 1)]
+        )
+        parts.insert(0, jnp.where(idx == 0, jnp.zeros_like(prev), prev))
+    if right:
+        head = x[:, :right, :]
+        nxt = jax.lax.ppermute(
+            head, axis_name, [(i + 1, i) for i in range(n - 1)]
+        )
+        parts.append(jnp.where(idx == n - 1, jnp.zeros_like(nxt), nxt))
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else x
+
+
 def sp_causal_conv1d(
     x: Array,
     weight: Array,

@@ -206,6 +206,69 @@ def test_bimamba_block_sequence_parallel_matches():
         )
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_conmamba_encoder_sequence_parallel_matches(causal):
+    """A full ConMamba encoder (FFN macaron + BiMamba + ConvModule + LN
+    stack) with mamba_cfg.seq_axis under shard_map == the plain encoder:
+    the conv module exchanges halos, the scans chain state."""
+    from mamba_asr_tpu.models.conmamba import ConmambaEncoder
+    from mamba_asr_tpu.models.mamba import MambaConfig
+
+    mesh = _mesh()
+    b, t, d_model = 2, 64, 8
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(b, t, d_model)), jnp.float32)
+
+    kw = dict(
+        num_layers=2, d_model=d_model, d_ffn=16, kernel_size=7,
+        dropout=0.0, causal=causal, bidirectional=not causal,
+    )
+    plain = ConmambaEncoder(
+        mamba_cfg=MambaConfig(d_state=4, scan_impl="xla"), **kw
+    )
+    sp = ConmambaEncoder(
+        mamba_cfg=MambaConfig(d_state=4, scan_impl="xla", seq_axis="seq"),
+        **kw,
+    )
+    params = plain.init(jax.random.PRNGKey(0), x)
+
+    def ref_loss(params, x):
+        y = plain.apply(params, x)
+        return jnp.sum(y * y), y
+
+    spec_t = P(None, "seq", None)
+
+    def sp_loss(params, x):
+        def body(params, x):
+            y = sp.apply(params, x)
+            return jax.lax.psum(jnp.sum(y * y), "seq"), y
+
+        return jax.shard_map(
+            body, mesh=mesh, in_specs=(P(), spec_t),
+            out_specs=(P(), spec_t),
+        )(params, x)
+
+    (v_rf, y_rf), g_rf = jax.jit(
+        jax.value_and_grad(ref_loss, has_aux=True)
+    )(params, x)
+    (v_sp, y_sp), g_sp = jax.jit(
+        jax.value_and_grad(sp_loss, has_aux=True)
+    )(params, x)
+
+    np.testing.assert_allclose(float(v_sp), float(v_rf), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(y_sp), np.asarray(y_rf), rtol=3e-4, atol=3e-5
+    )
+    for (path, gr), gs in zip(
+        jax.tree_util.tree_leaves_with_path(g_rf),
+        jax.tree_util.tree_leaves(g_sp),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(gs), np.asarray(gr), rtol=1e-3, atol=1e-4,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
 @pytest.mark.parametrize("reverse", [False, True])
 @pytest.mark.parametrize("k", [1, 4])
 def test_sp_causal_conv1d_matches_unsharded(reverse, k):
