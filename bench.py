@@ -21,6 +21,49 @@ import numpy as np
 BASELINE_RTFX = 20.0
 
 
+def _wait_for_backend(max_wait_s: float = 1800.0) -> None:
+    """Bounded retry for device acquisition.
+
+    A dead remote-backend tunnel makes the first device touch hang
+    indefinitely (observed: multi-hour axon outages); probing in a
+    killable daemon thread and retrying keeps a transient outage from
+    silently eating the benchmark run.
+    """
+    import sys
+    import threading
+
+    import jax
+
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        result = {}
+
+        def probe(out=result):
+            try:
+                out["n"] = len(jax.devices())
+            except Exception as e:  # noqa: BLE001
+                out["err"] = e
+
+        # Daemon thread: a probe stuck in backend init must neither stall
+        # this loop nor block interpreter exit (non-daemon pool threads
+        # are joined at exit).
+        th = threading.Thread(target=probe, daemon=True)
+        th.start()
+        th.join(timeout=120.0)
+        if result.get("n", 0) >= 1:
+            return
+        why = type(result["err"]).__name__ if "err" in result else "timeout"
+        print(f"# backend probe {attempt} failed: {why}",
+              file=sys.stderr, flush=True)
+        if time.time() > deadline:
+            raise RuntimeError(
+                f"no accelerator became available in {max_wait_s:.0f}s"
+            )
+        time.sleep(60.0)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -29,6 +72,8 @@ def main():
     from mamba_asr_tpu.models.asr import ASRConfig, ASRModel
     from mamba_asr_tpu.models.mamba import MambaConfig
     from mamba_asr_tpu.ops.fbank import log_mel_spectrogram
+
+    _wait_for_backend()
 
     cfg = ASRConfig(
         vocab_size=31, n_mels=80, d_model=144, nhead=4,
