@@ -71,6 +71,10 @@ def sp_halo_exchange(
     (boundary shards zero-pad, matching an unsharded SAME/causal pad).
     Returns (B, left + L_local + right, D)."""
     n = _axis_size(axis_name)
+    assert max(left, right) <= x.shape[1], (
+        f"halo ({left}/{right} frames) exceeds the local shard length "
+        f"{x.shape[1]} — use fewer shards or longer sequences"
+    )
     parts = [x]
     if n == 1:
         if left:
@@ -112,6 +116,10 @@ def sp_causal_conv1d(
     """
     k = weight.shape[0]
     n = _axis_size(axis_name)
+    assert k - 1 <= x.shape[1], (
+        f"conv halo (k-1={k-1}) exceeds the local shard length "
+        f"{x.shape[1]} — use fewer shards or longer sequences"
+    )
     if k <= 1 or n == 1:
         if reverse:
             return causal_conv1d(
