@@ -222,6 +222,41 @@ def test_pipeline_conmamba_stack_exact():
         np.testing.assert_allclose(a, b_, rtol=1e-4, atol=1e-6)
 
 
+def test_pipeline_with_remat_grads_exact():
+    """jax.checkpoint-wrapped layers (the long-sequence memory lever,
+    cf. model.remat_layers) must pipeline with exact gradients."""
+    pipe, n_micro = 4, 2
+    n_layers, d, b = 8, 8, 4
+    stacked = _toy_stack(n_layers, d, seed=8)
+    x = jnp.asarray(
+        np.random.default_rng(9).normal(size=(b, 3, d)), jnp.float32
+    )
+
+    def ref_loss(stacked, x):
+        y = _sequential(stacked, x)
+        return jnp.mean(y * y)
+
+    mesh = Mesh(np.array(jax.devices()[:pipe]), ("pipe",))
+    stage_fn = stage_from_layer_fn(jax.checkpoint(_toy_layer_fn))
+
+    def pp_loss(stacked, x):
+        def body(sp, xx):
+            y = pipeline_apply(stage_fn, sp, xx, n_micro)
+            return jnp.mean(y * y)
+
+        return jax.shard_map(
+            body, mesh=mesh, in_specs=(P("pipe"), P()), out_specs=P()
+        )(stacked, x)
+
+    v_ref, g_ref = jax.jit(jax.value_and_grad(ref_loss))(stacked, x)
+    v_pp, g_pp = jax.jit(jax.value_and_grad(pp_loss))(stacked, x)
+    np.testing.assert_allclose(float(v_pp), float(v_ref), rtol=1e-6)
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(g_pp), jax.tree_util.tree_leaves(g_ref)
+    ):
+        np.testing.assert_allclose(a, b_, rtol=1e-5, atol=1e-6)
+
+
 def test_pipeline_rejects_bad_microbatching():
     mesh = Mesh(np.array(jax.devices()[:2]), ("pipe",))
     stacked = _toy_stack(2, 4)
