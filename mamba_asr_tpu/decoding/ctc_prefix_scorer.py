@@ -156,10 +156,17 @@ class CTCPrefixScorer:
         acc = jnp.einsum(
             "bkt,btv->bkv", e_phi.reshape(b, k, t), self.p
         ).reshape(n, v)
-        psi = jnp.where(
-            acc > 0.0, m[:, None] + jnp.log(jnp.maximum(acc, 1e-38)),
-            NEG_INF,
-        )
+        # Floor, don't ban: a token whose emission prob underflows f32 at
+        # every frame (lp < ~-87) gets acc == 0; the log-space
+        # formulation would return a finite very-negative psi, and
+        # s2s_beam treats <= NEG_INF/2 as a hard ban — so clamp to
+        # m + log(TINY), an upper bound of the true psi ~69 nats below
+        # the best prefix mass, keeping such tokens selectable when the
+        # attention decoder strongly favors them. TINY must be a NORMAL
+        # f32 (1e-38 is subnormal and flushes to zero under XLA's FTZ,
+        # which is what made the previous formulation ban them).
+        psi = m[:, None] + jnp.log(jnp.maximum(acc, 1e-30))
+        psi = jnp.where(jnp.isfinite(psi), psi, NEG_INF)
 
         # Same-token correction: phi uses r_b only for c == last — exactly
         # one column per row.

@@ -72,7 +72,9 @@ def _d_tile(d_in: int, n_state: int = 16) -> int:
     not all are simultaneously live); N 32 at the same width would ask
     for 2x that, so halve the tile instead (same live bytes)."""
     cap = D_TILE_MAX if n_state <= 16 else D_TILE_MAX * 16 // _round_up(n_state, 8)
-    cap = max(128, cap)
+    # Lane alignment: tiles must stay multiples of the 128-lane group
+    # (n_state 17..24 would otherwise yield 341 and mis-tile the blocks).
+    cap = max(128, cap // 128 * 128)
     return min(cap, ((d_in + 127) // 128) * 128)
 
 
@@ -424,11 +426,21 @@ def _pallas_fwd_impl(u, delta, A, B, C, D, z, delta_bias, delta_softplus,
         ],
         out_specs=(
             pl.BlockSpec((1, L_CHUNK, d_tile), lambda b, d, l: (b, l, d)),
-            pl.BlockSpec((1, 1, n, d_tile), lambda b, d, l: (b, l, 0, d)),
+            # Inference paths don't consume per-chunk boundaries: collapse
+            # the l axis to one block (the TPU grid runs chunks in order,
+            # so the final chunk's write wins == h_last) instead of
+            # streaming nl dead (N, Dp) blocks to HBM per scan call.
+            pl.BlockSpec(
+                (1, 1, n, d_tile),
+                (lambda b, d, l: (b, l, 0, d)) if want_bounds
+                else (lambda b, d, l: (b, 0, 0, d)),
+            ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bsz, lp, dp), dtype_in),
-            jax.ShapeDtypeStruct((bsz, nl, n, dp), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (bsz, nl if want_bounds else 1, n, dp), jnp.float32
+            ),
         ),
         scratch_shapes=[pltpu.VMEM((n, d_tile), jnp.float32)],
         interpret=interpret,

@@ -53,18 +53,24 @@ def main():
             )
             return jnp.sum(out * out) * 1e-6
     else:
-        def loss(u_, delta_, A_, B_, C_):
+        def loss(u_, delta_, A_, B_, C_, D_, z_, dtb_):
             out = selective_scan_pallas(
-                u_, delta_, A_, B_, C_, D, z=z, delta_bias=dtb,
+                u_, delta_, A_, B_, C_, D_, z=z_, delta_bias=dtb_,
                 delta_softplus=True,
             )
             return jnp.sum(out * out) * 1e-6
 
-        grad_fn = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4))
+        # Differentiate w.r.t. ALL tensor inputs — exactly what the
+        # training step pays (D/z/delta_bias adjoints included).
+        grad_fn = jax.value_and_grad(loss, argnums=tuple(range(8)))
 
         def op(u_, delta_):
-            val, grads = grad_fn(u_, delta_, A, B, C)
-            return val + 1e-9 * grads[0][0, 0, 0], None
+            val, grads = grad_fn(u_, delta_, A, B, C, D, z, dtb)
+            # Consume EVERY grad leaf: anything unused is dead code XLA
+            # strips from the timed program (the dA/dB/dC reductions and
+            # the (B, L, D) dD epilogue are real training-path work).
+            gsum = sum(jnp.sum(g) * 1e-9 for g in grads)
+            return val + gsum, None
 
     def k_steps(k):
         def body(c, i):

@@ -129,14 +129,15 @@ def main():
     timed("lm.step (12L, kernel)", loop(lm_body, lambda c, t_: (c, t_)),
           cache0, toks)
 
-    # Same step with the attention forced to the XLA mask-plane
-    # formulation (dispatch keys off J_CHUNK divisibility).
+    # Same step with the attention forced to the O(N*S) gather-at-read
+    # fallback (breaking J_CHUNK divisibility makes beam_attention()
+    # dispatch to beam_attention_gather, NOT the XLA mask-plane oracle).
     import mamba_asr_tpu.ops.pallas.beam_attention as _ba
 
     old_chunk = _ba.J_CHUNK
     _ba.J_CHUNK = s_cache + 1
     try:
-        timed("lm.step (12L, xla attn)",
+        timed("lm.step (12L, gather attn)",
               loop(lm_body, lambda c, t_: (c, t_)), cache0, toks)
     finally:
         _ba.J_CHUNK = old_chunk

@@ -43,6 +43,27 @@ def test_ctc_prefix_scorer_consistency():
     np.testing.assert_allclose(total, -full_nll, rtol=1e-4, atol=1e-4)
 
 
+def test_ctc_prefix_scorer_underflow_floors_not_bans():
+    """A token whose emission prob underflows f32 at every frame must get
+    a finite (floored) score, not the NEG_INF hard ban — the joint beam
+    treats <= NEG_INF/2 as unselectable regardless of attention mass."""
+    from mamba_asr_tpu.decoding.ctc_prefix_scorer import NEG_INF
+
+    b, t, v = 1, 8, 6
+    rare = 4
+    logits = np.zeros((b, t, v), np.float32)
+    logits[:, :, rare] = -200.0  # exp(-200) == 0 in f32
+    lp = jnp.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
+    scorer = CTCPrefixScorer(lp, jnp.array([t]), beam=1, blank_id=0,
+                             eos_id=2)
+    state = scorer.init_state()
+    scores, _ = scorer.score(state)
+    s = float(scores[0, rare])
+    assert np.isfinite(s) and s > NEG_INF * 0.5, s
+    # Common tokens still score normally (and strictly better).
+    assert float(scores[0, 3]) > s
+
+
 def _make_s2s(decoder="transformer", vocab=9):
     cfg = ASRConfig(
         vocab_size=vocab, n_mels=8, d_model=16, nhead=2,
