@@ -243,7 +243,9 @@ def _scan_bwd_kernel(
     u_ref, dt_ref, bmat_ref, cmat_ref, at_ref, dtb_ref, dskip_ref, z_ref,
     dout_ref, hstart_ref, dhl_ref,
     du_ref, ddt_ref, dbm_ref, dcm_ref, dz_ref, dapart_ref, dh0_ref,
+    ddsum_ref, ddbsum_ref,
     g_ref, *, n_state: int, delta_softplus: bool, lchunk: int,
+    valid_len: int,
 ):
     """Adjoint of one (batch, d-tile, time-chunk) cell.
 
@@ -267,6 +269,8 @@ def _scan_bwd_kernel(
     def _():
         g_ref[...] = dhl_ref[0].astype(g_ref.dtype)
         dapart_ref[...] = jnp.zeros_like(dapart_ref)
+        ddsum_ref[...] = jnp.zeros_like(ddsum_ref)
+        ddbsum_ref[...] = jnp.zeros_like(ddbsum_ref)
 
     u = u_ref[0].astype(jnp.float32)
     dt_raw = dt_ref[0].astype(jnp.float32)
@@ -323,6 +327,21 @@ def _scan_bwd_kernel(
 
     du_ref[0] = du.astype(du_ref.dtype)
     ddt_ref[0] = (ddt * dsp).astype(ddt_ref.dtype)
+    # dD / ddb accumulate IN-KERNEL over the l axis (block constant in l
+    # stays VMEM-resident) — the alternative XLA epilogue re-reads
+    # dout/z/u (dD) and ddt (ddb) from HBM, ~4 (B, L, D) passes per op.
+    # dD needs no time mask (padded dout/u are zero); ddb does in the
+    # delta_softplus=False case (padded rows carry a nonzero gh term).
+    # The l grid axis is REVERSED: this cell covers time rows starting
+    # at (nl_total - 1 - l_idx) * lchunk, where nl_total = num_programs.
+    nl_total = pl.num_programs(2)
+    t0_row = (nl_total - 1 - l_idx) * lchunk
+    row = jax.lax.broadcasted_iota(jnp.int32, (lchunk, 1), 0)
+    tvalid = (t0_row + row) < valid_len
+    ddsum_ref[...] += jnp.sum(dy * u, axis=0)[None].astype(ddsum_ref.dtype)
+    ddbsum_ref[...] += jnp.sum(
+        jnp.where(tvalid, ddt * dsp, 0.0), axis=0
+    )[None].astype(ddbsum_ref.dtype)
     # dB/dC are reductions over ALL of D: each d-tile writes its partial
     # into a tile-indexed slot (summed outside) — a block indexed only by
     # (b, l) would be overwritten, not accumulated, across d-tiles.
@@ -461,6 +480,8 @@ def selective_scan_bwd_pallas(
     residuals: (u, delta, A, B, C, D, z, delta_bias) or the same + h0.
     dout: out cotangent, or a (dout, dhlast) tuple when the forward also
     returned the last state.
+    The dD and ddb reductions happen inside the kernel cells (accumulated
+    over the time-chunk grid axis); only (B, Dp) batch sums run in XLA.
     boundaries: optional per-chunk boundary states (B, nl, N, Dp) emitted
     by the forward kernel (want_bounds=True); when absent they are
     recomputed with an XLA chunk-aggregate pass.
@@ -558,6 +579,7 @@ def selective_scan_bwd_pallas(
             n_state=n,
             delta_softplus=delta_softplus,
             lchunk=L_CHUNK,
+            valid_len=length,
         ),
         grid=grid,
         in_specs=[
@@ -581,6 +603,8 @@ def selective_scan_bwd_pallas(
             pl.BlockSpec((1, L_CHUNK, d_tile), rev),
             pl.BlockSpec((1, n, d_tile), lambda b, d, l: (b, 0, d)),
             pl.BlockSpec((1, n, d_tile), lambda b, d, l: (b, 0, d)),
+            pl.BlockSpec((1, d_tile), lambda b, d, l: (b, d)),
+            pl.BlockSpec((1, d_tile), lambda b, d, l: (b, d)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bsz, lp, dp), jnp.float32),
@@ -590,12 +614,14 @@ def selective_scan_bwd_pallas(
             jax.ShapeDtypeStruct((bsz, lp, dp), jnp.float32),
             jax.ShapeDtypeStruct((bsz, n, dp), jnp.float32),
             jax.ShapeDtypeStruct((bsz, n, dp), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, dp), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, dp), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((n, d_tile), jnp.float32)],
         interpret=interpret,
     )(u_p, delta_p, b_p, c_p, a_t, dtb, dsk, z_p, dout_p, h_starts, dhl_t)
 
-    du_p, ddt_p, dbm_p, dcm_p, dz_p, dapart, dh0_p = outs
+    du_p, ddt_p, dbm_p, dcm_p, dz_p, dapart, dh0_p, ddsum, ddbsum = outs
     du = du_p[:, :length, :d_in].astype(u.dtype)
     ddt = ddt_p[:, :length, :d_in]
     dB = dbm_p.sum(axis=0)[:, :length].astype(B.dtype)
@@ -603,11 +629,10 @@ def selective_scan_bwd_pallas(
     dz = dz_p[:, :length, :d_in].astype(z.dtype)
     dA = dapart[:, :, :d_in].sum(axis=0).T.astype(A.dtype)  # (D, N)
 
-    # Host-side cheap reductions.
-    zf = z.astype(jnp.float32)
-    dy = dout.astype(jnp.float32) * (zf * jax.nn.sigmoid(zf))
-    dD = jnp.einsum("bld,bld->d", dy, u.astype(jnp.float32)).astype(D.dtype)
-    ddb = ddt.sum(axis=(0, 1)).astype(delta_bias.dtype)
+    # dD / ddb were reduced over L inside the kernel; only the tiny
+    # (B, Dp) batch sum remains here.
+    dD = ddsum[:, :d_in].sum(axis=0).astype(D.dtype)
+    ddb = ddbsum[:, :d_in].sum(axis=0).astype(delta_bias.dtype)
     grads = (du, ddt.astype(delta.dtype), dA, dB, dC, dD, dz, ddb)
     if h0 is None:
         return grads
