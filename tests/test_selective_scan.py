@@ -261,6 +261,44 @@ def test_pallas_bwd_kernel_interpret_matches_oracle():
         )
 
 
+def test_pallas_bwd_kernel_interpret_no_softplus_padded_ddb():
+    """delta_softplus=False at a non-chunk-multiple length: padded time
+    rows carry a nonzero gh term into ddt, and the in-kernel ddb
+    accumulation must exclude them via the valid-length mask (with
+    softplus the rows self-mask through dsp ~= 0)."""
+    from mamba_asr_tpu.ops.pallas.scan import selective_scan_bwd_pallas
+
+    u, delta, A, B, C, D, z, db = _make_inputs(
+        jax.random.PRNGKey(31), bsz=2, length=70, d=10, n=4
+    )
+    # Keep dt = delta + delta_bias strictly positive without softplus
+    # (negative dt with A < 0 gives da > 1, which compounds to inf over
+    # the sequence and nan-poisons the reference grads).
+    delta = jnp.abs(delta) * 0.1 + 1.05
+    cot = jax.random.normal(jax.random.PRNGKey(32), u.shape)
+
+    def loss(u, delta, A, B, C, D, z, db):
+        out = selective_scan_ref(
+            u, delta, A, B, C, D=D, z=z, delta_bias=db,
+            delta_softplus=False,
+        )
+        return jnp.sum(out * cot)
+
+    ref_grads = jax.grad(loss, argnums=tuple(range(8)))(
+        u, delta, A, B, C, D, z, db
+    )
+    ana_grads = selective_scan_bwd_pallas(
+        (u, delta, A, B, C, D, z, db), cot, delta_softplus=False,
+        interpret=True,
+    )
+    names = ["u", "delta", "A", "B", "C", "D", "z", "delta_bias"]
+    for name, r, a in zip(names, ref_grads, ana_grads):
+        np.testing.assert_allclose(
+            np.asarray(r), np.asarray(a), rtol=3e-4, atol=3e-5,
+            err_msg=name,
+        )
+
+
 def test_pallas_bwd_kernel_interpret_multi_d_tile():
     """d > D_TILE: dB/dC are reductions over ALL d-tiles — regression
     test for the d-tile overwrite bug (partials must accumulate, not
