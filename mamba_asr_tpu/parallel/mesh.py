@@ -14,6 +14,8 @@ Rank guards (`run_on_main`, /root/reference/train_CTC.py:1080) map to
 
 from __future__ import annotations
 
+import functools
+from contextlib import contextmanager
 from typing import Optional, Sequence
 
 import jax
@@ -138,18 +140,56 @@ def place_state(state, mesh: Mesh, min_elements: int = 1 << 14):
 # megatron-style: the model axis is contracted away inside each sharded
 # matmul pair). Model code calls `constrain_batch` unconditionally; it is
 # a no-op unless a mesh has been activated for the current trace.
+#
+# The active mesh is SCOPED, never ambiently set: it only applies inside an
+# `activation_mesh(mesh)` block (or a callable wrapped by `scoped_to_mesh`).
+# The constraint bakes into whatever executable is traced inside the scope,
+# so each trainer wraps its own jitted steps — two trainers with different
+# meshes in one process can no longer contaminate each other's traces
+# (the round-3 full-suite failure: an 8-device mesh leaked from an earlier
+# TrainLoop into a 4-device shard_map trace).
 
 _ACTIVE_MESH: Optional[Mesh] = None
 
 
 def set_activation_mesh(mesh: Optional[Mesh]) -> None:
     """Activate (or clear, with None) the mesh used by constrain_batch.
-    Set before tracing the train step; traced constraints bake into the
-    executable, so this is a trace-time switch, not a runtime one."""
+
+    Prefer the scoped forms (`activation_mesh` / `scoped_to_mesh`); this
+    bare setter remains for call sites that manage their own reset (the
+    dryrun harness). Meshes without a >1 "data" axis clear the state —
+    constraints are meaningless there."""
     global _ACTIVE_MESH
     _ACTIVE_MESH = (
         mesh if mesh is not None and mesh.shape.get("data", 1) > 1 else None
     )
+
+
+@contextmanager
+def activation_mesh(mesh: Optional[Mesh]):
+    """Scope constrain_batch's mesh to this block, restoring the previous
+    value on exit (exception-safe). Trace-time: wrap the *call* of a jitted
+    function so any (re)trace inside sees the right mesh."""
+    global _ACTIVE_MESH
+    prev = _ACTIVE_MESH
+    set_activation_mesh(mesh)
+    try:
+        yield
+    finally:
+        _ACTIVE_MESH = prev
+
+
+def scoped_to_mesh(fn, mesh: Optional[Mesh]):
+    """Wrap `fn` so every call (and therefore every trace it triggers)
+    runs under `activation_mesh(mesh)`. Per-call overhead is one global
+    save/restore — nothing next to a step dispatch."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with activation_mesh(mesh):
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 
 def constrain_batch(x):

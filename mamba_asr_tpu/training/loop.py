@@ -31,10 +31,11 @@ from mamba_asr_tpu.data.dataset import BucketedLoader
 from mamba_asr_tpu.decoding.ctc_greedy import ctc_greedy_decode, tokens_to_lists
 from mamba_asr_tpu.models.asr import ASRModel
 from mamba_asr_tpu.parallel.mesh import (
+    activation_mesh,
     is_main_process,
     make_mesh,
     place_state,
-    set_activation_mesh,
+    scoped_to_mesh,
     shard_batch,
 )
 from mamba_asr_tpu.training.checkpoint import CheckpointManager
@@ -58,15 +59,21 @@ class Trainer:
         self.tp = tp.tensor_parallel if tp else 1
         self.min_shard_elements = tp.min_shard_elements if tp else 1 << 14
         self.mesh = mesh or make_mesh(model=self.tp)
-        # Activate layer-boundary activation sharding constraints for
-        # everything traced by this trainer (no-op on 1-device meshes).
-        set_activation_mesh(self.mesh)
         self.model = ASRModel(cfg.model)
         self.tx = make_optimizer(cfg.train)
-        self.train_step = make_train_step(
-            self.model, self.tx, cfg.frontend, cfg.train, cfg.specaug
+        # Layer-boundary activation sharding constraints are scoped to this
+        # trainer's mesh at each step call (trace-time; no-op on 1-device
+        # meshes) — no global state survives between trainers, so two
+        # differently-meshed trainers in one process trace independently.
+        self.train_step = scoped_to_mesh(
+            make_train_step(
+                self.model, self.tx, cfg.frontend, cfg.train, cfg.specaug
+            ),
+            self.mesh,
         )
-        self.eval_step = make_eval_step(self.model, cfg.frontend)
+        self.eval_step = scoped_to_mesh(
+            make_eval_step(self.model, cfg.frontend), self.mesh
+        )
         out_dir = cfg.output_folder
         self.ckpt = CheckpointManager(
             os.path.join(out_dir, "save"), keep=cfg.train.keep_checkpoints
@@ -135,7 +142,7 @@ class Trainer:
             )
             return tokens_to_lists(np.array(toks), np.array(lens))
 
-        return decode
+        return scoped_to_mesh(decode, self.mesh)
 
     def s2s_decoder(self, test: bool = True):
         """Decoder hook for evaluate(): joint beam search."""
@@ -153,15 +160,16 @@ class Trainer:
             )
             return strip_special(np.array(toks), np.array(lens))
 
-        return decode
+        return scoped_to_mesh(decode, self.mesh)
 
     # -- state ---------------------------------------------------------------
 
     def init_state(self, example_batch: Dict[str, np.ndarray]) -> None:
         rng = jax.random.PRNGKey(self.cfg.seed)
-        self.state = init_train_state(
-            self.model, self.tx, self.cfg.frontend, rng, example_batch
-        )
+        with activation_mesh(self.mesh):
+            self.state = init_train_state(
+                self.model, self.tx, self.cfg.frontend, rng, example_batch
+            )
         # Auto-resume (reference Brain recovers latest at fit start).
         # Resume from the max-epoch TRAINING checkpoint — averaged
         # checkpoints (written by evaluate()) carry no epoch and must

@@ -23,3 +23,19 @@ jax.config.update("jax_enable_x64", False)
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8, jax.devices()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _no_activation_mesh_leaks():
+    """Defense in depth for the scoped activation mesh: no test may leave
+    a global mesh behind (the round-3 full-suite failure was exactly such
+    a leak poisoning a later differently-meshed shard_map trace)."""
+    yield
+    from mamba_asr_tpu.parallel import mesh as _mesh
+
+    assert _mesh._ACTIVE_MESH is None, (
+        "test leaked a global activation mesh: "
+        f"{_mesh._ACTIVE_MESH}"
+    )

@@ -71,6 +71,72 @@ def test_tp_through_run_training(tmp_path):
     )
 
 
+def test_activation_mesh_scoped_per_trainer(tmp_path):
+    """Round-3 regression: the activation mesh must be scoped to each
+    trainer's step calls, never left in module-global state. Build an
+    8-device-mesh trainer, run a step, then (a) verify no global mesh
+    remains, (b) trace a 4-device shard_map that calls constrain_batch
+    (the exact round-3 full-suite failure: the leaked 8-device mesh made
+    this die with 'incompatible devices'), and (c) build + step a second
+    trainer on a 4-device mesh."""
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from mamba_asr_tpu.configs.loader import load_config
+    from mamba_asr_tpu.parallel import mesh as meshmod
+    from mamba_asr_tpu.parallel.mesh import make_mesh, shard_batch
+    from mamba_asr_tpu.training.loop import Trainer
+    from tests.test_e2e_train import _synthetic_batch
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tiny = {
+        "model": {
+            "d_model": 16, "num_encoder_layers": 1, "d_ffn": 16,
+            "compute_dtype": "float32", "n_mels": 20,
+            "mamba": {"d_state": 4},
+        },
+        "frontend": {"n_mels": 20},
+        "train": {"grad_accumulation_factor": 1},
+    }
+    yaml = os.path.join(REPO, "hparams", "CTC", "conmamba_small.yaml")
+
+    def step_once(trainer, batch):
+        trainer.init_state(batch)
+        sharded = shard_batch(batch, trainer.mesh)
+        trainer.state, metrics = trainer.train_step(
+            trainer.state, sharded, jax.random.PRNGKey(0), jnp.asarray(False)
+        )
+        assert np.isfinite(float(metrics["loss"]))
+
+    cfg8 = load_config(
+        yaml, {**tiny, "data": {"output_folder": str(tmp_path / "m8")}}
+    )
+    t8 = Trainer(cfg8, tokenizer=None, mesh=make_mesh(data=8, model=1))
+    step_once(t8, _synthetic_batch(np.random.default_rng(0), bsz=8))
+    assert meshmod._ACTIVE_MESH is None
+
+    mesh4 = Mesh(np.array(jax.devices()[:4]), ("pipe",))
+    f4 = jax.jit(
+        shard_map(
+            lambda x: meshmod.constrain_batch(x) + 1.0,
+            mesh=mesh4, in_specs=P("pipe"), out_specs=P("pipe"),
+        )
+    )
+    np.testing.assert_allclose(np.asarray(f4(jnp.zeros((8, 3)))), 1.0)
+
+    cfg4 = load_config(
+        yaml, {**tiny, "data": {"output_folder": str(tmp_path / "m4")}}
+    )
+    t4 = Trainer(
+        cfg4, tokenizer=None,
+        mesh=make_mesh(data=4, model=1, devices=jax.devices()[:4]),
+    )
+    step_once(t4, _synthetic_batch(np.random.default_rng(1), bsz=4))
+    assert meshmod._ACTIVE_MESH is None
+
+
 def test_infer_param_shardings_rules():
     import jax.numpy as jnp
 
