@@ -153,8 +153,15 @@ class CTCPrefixScorer:
         # (B, T, V) matmul on the MXU, p read once per step.
         m = jnp.max(phi_sh, axis=1)  # (N,)
         e_phi = jnp.exp(phi_sh - m[:, None])  # in [0, 1], 0 at -inf
+        # HIGHEST precision: on TPU a default-precision f32 einsum
+        # lowers to bf16 MXU passes (~2^-9 relative error), which would
+        # silently degrade the "EXACT over the full vocab" contract by
+        # ~1e-3 nat in psi — enough to flip near-tied beam hypotheses.
         acc = jnp.einsum(
-            "bkt,btv->bkv", e_phi.reshape(b, k, t), self.p
+            "bkt,btv->bkv",
+            e_phi.reshape(b, k, t),
+            self.p,
+            precision=jax.lax.Precision.HIGHEST,
         ).reshape(n, v)
         # Floor, don't ban: a token whose emission prob underflows f32 at
         # every frame (lp < ~-87) gets acc == 0; the log-space

@@ -144,13 +144,25 @@ class S2SBeamSearcher:
             # Cast decode-time weights to the compute dtype ONCE per
             # search (outside the step loop): every beam step re-reads
             # all decoder/LM parameters, so fp32 storage would double
-            # that HBM traffic for bf16-compute models.
+            # that HBM traffic for bf16-compute models. The fp32 output
+            # heads (ASRModel.seq_head/ctc_head, TransformerLM's "out")
+            # are excluded: those modules compute logits in fp32 by
+            # design, and quantizing their weights to bf16 would break
+            # train/decode score parity for near-tied hypotheses.
+            FP32_HEADS = ("seq_head", "ctc_head", "out")
+
             def cast_tree(tree, dt):
-                return jax.tree_util.tree_map(
-                    lambda x: x.astype(dt)
-                    if jnp.issubdtype(x.dtype, jnp.floating) else x,
-                    tree,
-                )
+                def cast(path, x):
+                    if any(
+                        getattr(p, "key", None) in FP32_HEADS
+                        for p in path
+                    ):
+                        return x
+                    if jnp.issubdtype(x.dtype, jnp.floating):
+                        return x.astype(dt)
+                    return x
+
+                return jax.tree_util.tree_map_with_path(cast, tree)
 
             if model.cfg.dtype == jnp.bfloat16:
                 params = cast_tree(params, jnp.bfloat16)
