@@ -338,10 +338,12 @@ def _scan_bwd_kernel(
     t0_row = (nl_total - 1 - l_idx) * lchunk
     row = jax.lax.broadcasted_iota(jnp.int32, (lchunk, 1), 0)
     tvalid = (t0_row + row) < valid_len
-    ddsum_ref[...] += jnp.sum(dy * u, axis=0)[None].astype(ddsum_ref.dtype)
+    ddsum_ref[...] += jnp.sum(dy * u, axis=0)[None, None].astype(
+        ddsum_ref.dtype
+    )
     ddbsum_ref[...] += jnp.sum(
         jnp.where(tvalid, ddt * dsp, 0.0), axis=0
-    )[None].astype(ddbsum_ref.dtype)
+    )[None, None].astype(ddbsum_ref.dtype)
     # dB/dC are reductions over ALL of D: each d-tile writes its partial
     # into a tile-indexed slot (summed outside) — a block indexed only by
     # (b, l) would be overwritten, not accumulated, across d-tiles.
@@ -603,8 +605,11 @@ def selective_scan_bwd_pallas(
             pl.BlockSpec((1, L_CHUNK, d_tile), rev),
             pl.BlockSpec((1, n, d_tile), lambda b, d, l: (b, 0, d)),
             pl.BlockSpec((1, n, d_tile), lambda b, d, l: (b, 0, d)),
-            pl.BlockSpec((1, d_tile), lambda b, d, l: (b, d)),
-            pl.BlockSpec((1, d_tile), lambda b, d, l: (b, d)),
+            # (B, 1, Dp) with a unit middle axis: Mosaic requires the
+            # block's second-to-last dim to divide 8 or equal the array
+            # dim — a (1, d_tile) block on (B, Dp) violates that.
+            pl.BlockSpec((1, 1, d_tile), lambda b, d, l: (b, 0, d)),
+            pl.BlockSpec((1, 1, d_tile), lambda b, d, l: (b, 0, d)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bsz, lp, dp), jnp.float32),
@@ -614,8 +619,8 @@ def selective_scan_bwd_pallas(
             jax.ShapeDtypeStruct((bsz, lp, dp), jnp.float32),
             jax.ShapeDtypeStruct((bsz, n, dp), jnp.float32),
             jax.ShapeDtypeStruct((bsz, n, dp), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, dp), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, dp), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 1, dp), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 1, dp), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((n, d_tile), jnp.float32)],
         interpret=interpret,
@@ -631,8 +636,8 @@ def selective_scan_bwd_pallas(
 
     # dD / ddb were reduced over L inside the kernel; only the tiny
     # (B, Dp) batch sum remains here.
-    dD = ddsum[:, :d_in].sum(axis=0).astype(D.dtype)
-    ddb = ddbsum[:, :d_in].sum(axis=0).astype(delta_bias.dtype)
+    dD = ddsum[:, 0, :d_in].sum(axis=0).astype(D.dtype)
+    ddb = ddbsum[:, 0, :d_in].sum(axis=0).astype(delta_bias.dtype)
     grads = (du, ddt.astype(delta.dtype), dA, dB, dC, dD, dz, ddb)
     if h0 is None:
         return grads
@@ -641,6 +646,14 @@ def selective_scan_bwd_pallas(
 
 
 def _fwd(u, delta, A, B, C, D, z, delta_bias, h0, delta_softplus):
+    # NOTE: _fwd/_bwd branch on jax.default_backend() at TRACE time (the
+    # repo-wide convention: one backend per process; tests force CPU via
+    # jax.config before any device use). Jitting this op with an explicit
+    # non-default backend=/device= override is therefore unsupported — it
+    # would pick the wrong branch (e.g. the TPU-only Pallas adjoint traced
+    # for a CPU executable). There is no public jit(backend=...) usage in
+    # this repo, and committed-device derivation is impossible here: the
+    # inputs are abstract tracers at this point.
     if jax.default_backend() == "tpu":
         out, h_last, bounds = _pallas_fwd_impl(
             u, delta, A, B, C, D, z, delta_bias, delta_softplus, h0=h0,
