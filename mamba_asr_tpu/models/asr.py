@@ -47,8 +47,15 @@ from mamba_asr_tpu.models.attention import rel_pos_encoding
 
 Array = jax.Array
 
+def _gelu_exact(x: Array) -> Array:
+    """Exact (erf) GELU — torch.nn.GELU's default, which every reference
+    config uses (activation: !name:torch.nn.GELU); flax's default is the
+    tanh approximation, which would break imported-checkpoint parity."""
+    return nn.gelu(x, approximate=False)
+
+
 _ACTIVATIONS = {
-    "gelu": nn.gelu,
+    "gelu": _gelu_exact,
     "relu": nn.relu,
     "swish": swish,
     "silu": swish,
@@ -190,6 +197,11 @@ class ASRModel(nn.Module):
             self.tgt_embed = NormalizedEmbedding(
                 cfg.vocab_size, cfg.d_model, dtype=dtype, name="tgt_embed"
             )
+            # Every reference S2S config builds its decoder pre-LN
+            # (normalize_before: True, e.g.
+            # /root/reference/hparams/S2S/conmamba_large.yaml:281 ->
+            # Transformer.py:765-789), with the stack's final LN applied
+            # unconditionally (Transformer.py:1644, Conmamba.py:1028).
             if cfg.decoder_module == "mamba":
                 self.decoder = MambaDecoder(
                     num_layers=cfg.num_decoder_layers,
@@ -197,7 +209,7 @@ class ASRModel(nn.Module):
                     d_ffn=cfg.d_ffn,
                     activation=act,
                     dropout=cfg.dropout,
-                    normalize_before=False,
+                    normalize_before=True,
                     mamba_cfg=cfg.mamba,
                     dtype=dtype,
                     name="decoder",
@@ -209,7 +221,7 @@ class ASRModel(nn.Module):
                     nhead=cfg.nhead,
                     dropout=cfg.dropout,
                     activation=act,
-                    normalize_before=False,
+                    normalize_before=True,
                     dtype=dtype,
                     name="decoder",
                 )

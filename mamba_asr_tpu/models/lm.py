@@ -38,6 +38,11 @@ class TransformerLM(nn.Module):
     num_layers: int = 12
     d_ffn: int = 3072
     dropout: float = 0.0
+    # The reference LM is post-LN (normalize_before: False,
+    # /root/reference/hparams/S2S/conmamba_large.yaml:298) — imported
+    # reference checkpoints require False. Pre-LN remains available for
+    # natively trained LMs.
+    normalize_before: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -83,8 +88,9 @@ class TransformerLM(nn.Module):
             d_ffn=self.d_ffn,
             nhead=self.nhead,
             dropout=self.dropout,
-            activation=nn.gelu,
-            normalize_before=True,
+            # Exact GELU: the reference LM uses torch.nn.GELU (erf).
+            activation=lambda x: nn.gelu(x, approximate=False),
+            normalize_before=self.normalize_before,
             attention_type="regularMHA",
             dtype=self.dtype,
             name="encoder",

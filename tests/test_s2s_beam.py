@@ -83,6 +83,14 @@ def _make_s2s(decoder="transformer", vocab=9):
 @pytest.mark.parametrize("decoder", ["transformer", "mamba"])
 def test_beam1_matches_stepwise_argmax(decoder):
     model, params, out = _make_s2s(decoder)
+    # Suppress EOS so the random-init argmax never terminates within the
+    # window: the equality below then exercises every step (the beam pads
+    # 0 after EOS while the manual buffer repeats 2, so an immediate EOS
+    # would collapse the test to a single-token check).
+    params = jax.tree_util.tree_map(lambda x: x, params)
+    params["params"]["seq_head"]["bias"] = (
+        params["params"]["seq_head"]["bias"].at[2].add(-30.0)
+    )
     searcher = S2SBeamSearcher(model, beam_size=1, max_steps_cap=6,
                                length_normalization=False)
     toks, lens, scores = searcher(params, out["enc_out"], out["enc_lengths"])
