@@ -94,10 +94,13 @@ def main():
         num_decoder_layers=0, d_ffn=1024, encoder_module="conmamba",
         compute_dtype="bfloat16", mamba=MambaConfig(), scan_layers=True,
     )
+    # scan_layers=True for BOTH: remat_layers only takes effect through
+    # the scanned stack (the unrolled path silently ignores it), and the
+    # trainer's default config is scan_layers=true anyway.
     conformer = ASRConfig(
         vocab_size=31, d_model=256, nhead=4, num_encoder_layers=18,
         num_decoder_layers=0, d_ffn=1024, encoder_module="conformer",
-        compute_dtype="bfloat16",
+        compute_dtype="bfloat16", scan_layers=True,
     )
 
     for seconds in args.seconds:
@@ -105,11 +108,10 @@ def main():
         batch = args.batch if seconds <= 30 else max(args.batch // 2, 1)
         for name, cfg in (("conmamba_large_ctc", conmamba),
                           ("conformer_large_ctc", conformer)):
-            variants = [("", cfg)]
-            if seconds > 30:
-                variants.append(
-                    ("+remat", dataclasses.replace(cfg, remat_layers=True))
-                )
+            variants = [
+                ("", cfg),
+                ("+remat", dataclasses.replace(cfg, remat_layers=True)),
+            ]
             for tag, vcfg in variants:
                 try:
                     ma, dt = peak_bytes(vcfg, frontend, batch, seconds)

@@ -172,7 +172,7 @@ def main():
         lp, acc = c
         def lf(x):
             logp = jax.nn.log_softmax(x * (1.0 + 1e-6 * i), axis=-1)
-            return ctc_loss(logp, llens, jb["tokens"],
+            return ctc_loss(logp, jb["tokens"], llens,
                             jb["token_lens"]).mean()
         v, g = jax.value_and_grad(lf)(lp)
         return (lp, acc + v + g.sum())
