@@ -197,9 +197,13 @@ def _reverse_chunk_scan(ash, d, lchunk, n_state):
 
 def _scan_kernel(
     u_ref, dt_ref, bmat_ref, cmat_ref, at_ref, dtb_ref, dskip_ref, z_ref,
-    h0_ref, out_ref, hb_ref, h_ref,
-    *, n_state: int, delta_softplus: bool, lchunk: int,
+    h0_ref, out_ref, hb_ref, *rest,
+    n_state: int, delta_softplus: bool, lchunk: int, emit_dt: bool,
 ):
+    if emit_dt:
+        dtp_ref, h_ref = rest
+    else:
+        (h_ref,) = rest
     l_idx = pl.program_id(2)
 
     @pl.when(l_idx == 0)
@@ -218,6 +222,12 @@ def _scan_kernel(
     dt = dt + dt_bias
     if delta_softplus:
         dt = jax.nn.softplus(dt)
+    if emit_dt:
+        # Post-bias(+softplus) dt saved as a residual for the adjoint:
+        # softplus (log1p+exp) + sigmoid on the (L, D) hot path cost the
+        # backward ~0.30 of its 0.76 ms/op (ablation 2026-08-18) — an
+        # extra f32 write here (+ one read there) is ~0.03 ms of HBM.
+        dtp_ref[0] = dt.astype(dtp_ref.dtype)
 
     # (L, N, D) discretized transition / input.
     da = jnp.exp2(dt[:, None, :] * a_t2[None, :, :])
@@ -240,7 +250,7 @@ def _scan_kernel(
 
 
 def _scan_bwd_kernel(
-    u_ref, dt_ref, bmat_ref, cmat_ref, at_ref, dtb_ref, dskip_ref, z_ref,
+    u_ref, dt_ref, bmat_ref, cmat_ref, at_ref, dskip_ref, z_ref,
     dout_ref, hstart_ref, dhl_ref,
     du_ref, ddt_ref, dbm_ref, dcm_ref, dz_ref, dapart_ref, dh0_ref,
     ddsum_ref, ddbsum_ref,
@@ -273,23 +283,24 @@ def _scan_bwd_kernel(
         ddbsum_ref[...] = jnp.zeros_like(ddbsum_ref)
 
     u = u_ref[0].astype(jnp.float32)
-    dt_raw = dt_ref[0].astype(jnp.float32)
+    # dt_ref carries the POST-bias(+softplus) dt the forward emitted (or
+    # an XLA precompute on the direct-call path) — padded rows are 0.
+    dt = dt_ref[0].astype(jnp.float32)
     bmat = bmat_ref[0].astype(jnp.float32)
     cmat = cmat_ref[0].astype(jnp.float32)
     a_t2 = at_ref[...].astype(jnp.float32)  # pre-scaled by log2e
-    dt_bias = dtb_ref[...].astype(jnp.float32)
     d_skip = dskip_ref[...].astype(jnp.float32)
     z = z_ref[0].astype(jnp.float32)
     dout = dout_ref[0].astype(jnp.float32)
     h_start = hstart_ref[0, 0].astype(jnp.float32)  # (N, D)
 
-    dt_b = dt_raw + dt_bias
     if delta_softplus:
-        dt = jax.nn.softplus(dt_b)
-        dsp = jax.nn.sigmoid(dt_b)
+        # sigmoid(x) recovered from softplus(x) without the raw x:
+        # d softplus/dx = sigmoid(x) = 1 - exp(-softplus(x)); expm1 keeps
+        # it exact as dt -> 0 (where 1 - exp(-dt) would cancel).
+        dsp = -jnp.expm1(-dt)
     else:
-        dt = dt_b
-        dsp = jnp.ones_like(dt_b)
+        dsp = jnp.ones_like(dt)
 
     da = jnp.exp2(dt[:, None, :] * a_t2[None, :, :])  # (L, N, D)
     dbu = (dt * u)[:, None, :] * bmat[:, :, None]
@@ -383,8 +394,10 @@ def _pallas_fwd_impl(u, delta, A, B, C, D, z, delta_bias, delta_softplus,
                      h0=None, interpret: bool = False,
                      want_bounds: bool = False):
     """Returns (out (B, L, D) in u.dtype, h_last (B, D, N) float32), plus
-    the per-chunk boundary states (B, n_chunks, N, Dp) float32 in kernel
-    layout when `want_bounds` (consumed by the analytic adjoint)."""
+    — when `want_bounds` (the training path) — the per-chunk boundary
+    states (B, n_chunks, N, Dp) float32 and the post-softplus dt
+    (B, Lp, Dp) float32, both in kernel layout (consumed by the analytic
+    adjoint, which then needs no softplus/sigmoid recompute)."""
     bsz, length, d_in = u.shape
     n = A.shape[1]
     dtype_in = u.dtype
@@ -426,12 +439,37 @@ def _pallas_fwd_impl(u, delta, A, B, C, D, z, delta_bias, delta_softplus,
     nl = lp // L_CHUNK
     grid = (bsz, dp // d_tile, nl)
 
-    out, h_bounds = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, L_CHUNK, d_tile), lambda b, d, l: (b, l, d)),
+        # Inference paths don't consume per-chunk boundaries: collapse
+        # the l axis to one block (the TPU grid runs chunks in order,
+        # so the final chunk's write wins == h_last) instead of
+        # streaming nl dead (N, Dp) blocks to HBM per scan call.
+        pl.BlockSpec(
+            (1, 1, n, d_tile),
+            (lambda b, d, l: (b, l, 0, d)) if want_bounds
+            else (lambda b, d, l: (b, 0, 0, d)),
+        ),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((bsz, lp, dp), dtype_in),
+        jax.ShapeDtypeStruct(
+            (bsz, nl if want_bounds else 1, n, dp), jnp.float32
+        ),
+    ]
+    if want_bounds:  # training: also emit post-softplus dt for the bwd
+        out_specs.append(
+            pl.BlockSpec((1, L_CHUNK, d_tile), lambda b, d, l: (b, l, d))
+        )
+        out_shapes.append(jax.ShapeDtypeStruct((bsz, lp, dp), jnp.float32))
+
+    outs = pl.pallas_call(
         functools.partial(
             _scan_kernel,
             n_state=n,
             delta_softplus=delta_softplus,
             lchunk=L_CHUNK,
+            emit_dt=want_bounds,
         ),
         grid=grid,
         in_specs=[
@@ -445,36 +483,21 @@ def _pallas_fwd_impl(u, delta, A, B, C, D, z, delta_bias, delta_softplus,
             pl.BlockSpec((1, L_CHUNK, d_tile), lambda b, d, l: (b, l, d)),
             pl.BlockSpec((1, n, d_tile), lambda b, d, l: (b, 0, d)),
         ],
-        out_specs=(
-            pl.BlockSpec((1, L_CHUNK, d_tile), lambda b, d, l: (b, l, d)),
-            # Inference paths don't consume per-chunk boundaries: collapse
-            # the l axis to one block (the TPU grid runs chunks in order,
-            # so the final chunk's write wins == h_last) instead of
-            # streaming nl dead (N, Dp) blocks to HBM per scan call.
-            pl.BlockSpec(
-                (1, 1, n, d_tile),
-                (lambda b, d, l: (b, l, 0, d)) if want_bounds
-                else (lambda b, d, l: (b, 0, 0, d)),
-            ),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((bsz, lp, dp), dtype_in),
-            jax.ShapeDtypeStruct(
-                (bsz, nl if want_bounds else 1, n, dp), jnp.float32
-            ),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
         scratch_shapes=[pltpu.VMEM((n, d_tile), jnp.float32)],
         interpret=interpret,
     )(u_p, delta_p, b_p, c_p, a_t, dtb, dsk, z_p, h0_t)
+    out, h_bounds = outs[0], outs[1]
     h_last = jnp.swapaxes(h_bounds[:, -1, :, :d_in], 1, 2)  # (B, D, N)
     if want_bounds:
-        return out[:, :length, :d_in], h_last, h_bounds
+        return out[:, :length, :d_in], h_last, h_bounds, outs[2]
     return out[:, :length, :d_in], h_last
 
 
 def selective_scan_bwd_pallas(
     residuals, dout, delta_softplus: bool, interpret: bool = False,
-    boundaries=None,
+    boundaries=None, dt_post=None,
 ):
     """Pallas adjoint: per-cell VMEM-resident backward (see
     _scan_bwd_kernel).
@@ -487,6 +510,10 @@ def selective_scan_bwd_pallas(
     boundaries: optional per-chunk boundary states (B, nl, N, Dp) emitted
     by the forward kernel (want_bounds=True); when absent they are
     recomputed with an XLA chunk-aggregate pass.
+    dt_post: optional post-bias(+softplus) dt (B, Lp, Dp) f32 in kernel
+    layout, as emitted by the forward (padded rows 0); when absent it is
+    computed here in XLA. Either way the kernel itself runs no
+    softplus/sigmoid (~0.30 of its 0.76 ms/op at the heavy shape).
     Returns grads matching the residuals' arity.
     """
     if len(residuals) == 9:
@@ -520,8 +547,13 @@ def selective_scan_bwd_pallas(
         )
 
     u_p = pad_ld(u)
-    dtb = jnp.pad(delta_bias, (0, dp - d_in))[None, :]
-    delta_p = _pad_delta_identity(delta, dtb, length, lp, dp, delta_softplus)
+    if dt_post is None:
+        dtb = jnp.pad(delta_bias, (0, dp - d_in))[None, :]
+        delta_p = _pad_delta_identity(
+            delta, dtb, length, lp, dp, delta_softplus
+        )
+        dtf = delta_p.astype(jnp.float32) + dtb.astype(jnp.float32)
+        dt_post = jax.nn.softplus(dtf) if delta_softplus else dtf
     z_p = pad_ld(z)
     b_p = pad_ln(B)
     c_p = pad_ln(C)
@@ -540,9 +572,7 @@ def selective_scan_bwd_pallas(
     else:
         # Chunk-boundary states (XLA forward over chunk aggregates) —
         # only for direct calls; the custom_vjp path passes `boundaries`.
-        dtf = delta_p.astype(jnp.float32) + dtb.astype(jnp.float32)
-        if delta_softplus:
-            dtf = jax.nn.softplus(dtf)
+        dtf = dt_post.astype(jnp.float32)
         uf = u_p.astype(jnp.float32)
         atf = a_t.astype(jnp.float32)
 
@@ -591,7 +621,6 @@ def selective_scan_bwd_pallas(
             pl.BlockSpec((1, L_CHUNK, n), rev_n),
             pl.BlockSpec((n, d_tile), lambda b, d, l: (0, d)),
             pl.BlockSpec((1, d_tile), lambda b, d, l: (0, d)),
-            pl.BlockSpec((1, d_tile), lambda b, d, l: (0, d)),
             pl.BlockSpec((1, L_CHUNK, d_tile), rev),
             pl.BlockSpec((1, L_CHUNK, d_tile), rev),
             pl.BlockSpec((1, 1, n, d_tile), lambda b, d, l: (b, nl - 1 - l, 0, d)),
@@ -624,7 +653,7 @@ def selective_scan_bwd_pallas(
         ),
         scratch_shapes=[pltpu.VMEM((n, d_tile), jnp.float32)],
         interpret=interpret,
-    )(u_p, delta_p, b_p, c_p, a_t, dtb, dsk, z_p, dout_p, h_starts, dhl_t)
+    )(u_p, dt_post, b_p, c_p, a_t, dsk, z_p, dout_p, h_starts, dhl_t)
 
     du_p, ddt_p, dbm_p, dcm_p, dz_p, dapart, dh0_p, ddsum, ddbsum = outs
     du = du_p[:, :length, :d_in].astype(u.dtype)
@@ -655,7 +684,7 @@ def _fwd(u, delta, A, B, C, D, z, delta_bias, h0, delta_softplus):
     # this repo, and committed-device derivation is impossible here: the
     # inputs are abstract tracers at this point.
     if jax.default_backend() == "tpu":
-        out, h_last, bounds = _pallas_fwd_impl(
+        out, h_last, bounds, dt_post = _pallas_fwd_impl(
             u, delta, A, B, C, D, z, delta_bias, delta_softplus, h0=h0,
             want_bounds=True,
         )
@@ -663,8 +692,9 @@ def _fwd(u, delta, A, B, C, D, z, delta_bias, h0, delta_softplus):
         out, h_last = _pallas_fwd_impl(
             u, delta, A, B, C, D, z, delta_bias, delta_softplus, h0=h0
         )
-        bounds = None
-    return (out, h_last), (u, delta, A, B, C, D, z, delta_bias, h0, bounds)
+        bounds = dt_post = None
+    return (out, h_last), (u, delta, A, B, C, D, z, delta_bias, h0, bounds,
+                           dt_post)
 
 
 def _bwd(delta_softplus, residuals, g):
@@ -673,10 +703,10 @@ def _bwd(delta_softplus, residuals, g):
     kernel's recompute strategy, selective_scan_interface.py bwd), seeded
     with the forward kernel's chunk-boundary states; autodiff of the
     chunked XLA scan is the non-TPU fallback."""
-    *res, bounds = residuals
+    *res, bounds, dt_post = residuals
     if jax.default_backend() == "tpu":
         return selective_scan_bwd_pallas(tuple(res), g, delta_softplus,
-                                         boundaries=bounds)
+                                         boundaries=bounds, dt_post=dt_post)
     from mamba_asr_tpu.ops.selective_scan import selective_scan_chunked
 
     def f(u, delta, A, B, C, D, z, delta_bias, h0):

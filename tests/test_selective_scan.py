@@ -392,10 +392,16 @@ def test_pallas_bwd_kernel_interpret_fwd_emitted_boundaries():
     ref_grads = jax.grad(loss, argnums=tuple(range(9)))(
         u, delta, A, B, C, D, z, db, h0
     )
-    _, h_last, bounds = _pallas_fwd_impl(
+    _, h_last, bounds, dt_post = _pallas_fwd_impl(
         u, delta, A, B, C, D, z, db, True, h0=h0, interpret=True,
         want_bounds=True,
     )
+    # Emitted dt must equal softplus(delta + bias) on valid rows, 0 on pad.
+    np.testing.assert_allclose(
+        np.asarray(dt_post[:, : u.shape[1], : u.shape[2]]),
+        np.asarray(jax.nn.softplus(delta + db)), rtol=1e-6, atol=1e-6,
+    )
+    assert float(jnp.abs(dt_post[:, u.shape[1]:]).max()) == 0.0
     # h_bounds[:, -1] must equal h_last (kernel layout, padded D).
     np.testing.assert_allclose(
         np.asarray(jnp.swapaxes(bounds[:, -1, :, :u.shape[2]], 1, 2)),
@@ -404,6 +410,7 @@ def test_pallas_bwd_kernel_interpret_fwd_emitted_boundaries():
     ana_grads = selective_scan_bwd_pallas(
         (u, delta, A, B, C, D, z, db, h0), (cot, cot_h),
         delta_softplus=True, interpret=True, boundaries=bounds,
+        dt_post=dt_post,
     )
     names = ["u", "delta", "A", "B", "C", "D", "z", "delta_bias", "h0"]
     for name, r, a in zip(names, ref_grads, ana_grads):
