@@ -104,6 +104,18 @@ class ParallelConfig:
     # Leaves smaller than this stay replicated (sharding tiny kernels
     # costs more in collectives than it saves in memory/compute).
     min_shard_elements: int = 16384
+    # Shard the encoder's time axis over a "seq" mesh axis (long-audio
+    # scaling): the train step runs the ConMamba stack inside shard_map
+    # with the SSM recurrence chained across shards
+    # (parallel/sequence.py). ConMamba encoders only.
+    sequence_parallel: int = 1
+    # Shard the (scanned) encoder layer stack over a "pipe" mesh axis
+    # and run the GPipe microbatch schedule (parallel/pipeline.py).
+    # Requires model.scan_layers=true; ConMamba encoders only.
+    pipeline_stages: int = 1
+    # Microbatches per pipeline round; the per-data-shard batch must be
+    # divisible by this. Bubble fraction = (S-1)/(M+S-1).
+    pipeline_microbatches: int = 4
 
 
 @dataclasses.dataclass(frozen=True)

@@ -237,6 +237,32 @@ class ASRModel(nn.Module):
 
     # -- encoder ----------------------------------------------------------
 
+    def encode_pre(
+        self,
+        feats: Array,
+        feat_lengths: Optional[Array] = None,
+        train: bool = False,
+    ) -> Tuple[Array, Array]:
+        """Frontend + projection only: feats (B, T, n_mels) ->
+        (x (B, T', d_model), enc_lengths). The split point for running
+        the encoder stack under sequence/pipeline parallelism
+        (parallel/encoder_parallel.py); `encode` == encode_pre + the
+        stack dispatch below."""
+        cfg = self.cfg
+        x = self.frontend(feats, train=train)  # (B, T', F', C)
+        b, t, f, c = x.shape
+        x = x.reshape(b, t, f * c)
+        x = self.src_proj(x)
+        x = self.src_drop(x, deterministic=not train)
+        from mamba_asr_tpu.parallel.mesh import constrain_batch
+
+        x = constrain_batch(x)
+        if feat_lengths is not None:
+            enc_lengths = -(-feat_lengths // cfg.downsample)  # ceil div
+        else:
+            enc_lengths = jnp.full((b,), t, jnp.int32)
+        return x, enc_lengths
+
     def encode(
         self,
         feats: Array,
@@ -247,19 +273,8 @@ class ASRModel(nn.Module):
     ) -> Tuple[Array, Array]:
         """feats (B, T, n_mels) -> (enc_out (B, T', d_model), enc_lengths)."""
         cfg = self.cfg
-        x = self.frontend(feats, train=train)  # (B, T', F', C)
-        b, t, f, c = x.shape
-        x = x.reshape(b, t, f * c)
-        x = self.src_proj(x)
-        x = self.src_drop(x, deterministic=not train)
-        from mamba_asr_tpu.parallel.mesh import constrain_batch
-
-        x = constrain_batch(x)
-
-        if feat_lengths is not None:
-            enc_lengths = -(-feat_lengths // cfg.downsample)  # ceil div
-        else:
-            enc_lengths = jnp.full((b,), t, jnp.int32)
+        x, enc_lengths = self.encode_pre(feats, feat_lengths, train=train)
+        b, t = x.shape[0], x.shape[1]
         pad_mask = lengths_to_padding_mask(enc_lengths, t)
 
         src_mask = None
@@ -422,6 +437,21 @@ class ASRModel(nn.Module):
         enc, enc_lengths = self.encode(
             feats, feat_lengths, chunk_size, left_context_chunks, train=train
         )
+        return self.forward_from_enc(
+            enc, enc_lengths, tokens_bos, pad_idx=pad_idx, train=train
+        )
+
+    def forward_from_enc(
+        self,
+        enc: Array,
+        enc_lengths: Array,
+        tokens_bos: Optional[Array] = None,
+        pad_idx: int = 0,
+        train: bool = False,
+    ):
+        """Heads (+ decoder) given encoder output — the tail of the full
+        forward, callable on its own when the encoder stack ran outside
+        the module (sequence/pipeline-parallel training)."""
         ctc_logits = self.ctc_head(enc.astype(jnp.float32))
         out = {
             "enc_out": enc,

@@ -26,16 +26,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(
     data: Optional[int] = None,
     model: int = 1,
+    seq: int = 1,
+    pipe: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """Build a ("data", "model") mesh over the available devices."""
+    """Build a ("data", "model", "seq", "pipe") mesh over the available
+    devices. Unused axes have size 1 and cost nothing; the axis ORDER
+    puts "data" outermost so batch shards ride the slowest links and the
+    tp/sp/pp collectives stay within the innermost (fastest) ICI
+    neighbourhoods."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data is None:
-        data = n // model
-    assert data * model == n, f"{data}x{model} != {n} devices"
-    dev_array = np.array(devices).reshape(data, model)
-    return Mesh(dev_array, ("data", "model"))
+        data = n // (model * seq * pipe)
+    assert data * model * seq * pipe == n, (
+        f"{data}x{model}x{seq}x{pipe} != {n} devices"
+    )
+    dev_array = np.array(devices).reshape(data, model, seq, pipe)
+    return Mesh(dev_array, ("data", "model", "seq", "pipe"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -107,7 +115,8 @@ def shard_params(params, mesh: Mesh, min_elements: int = 1 << 14):
     )
 
 
-def place_state(state, mesh: Mesh, min_elements: int = 1 << 14):
+def place_state(state, mesh: Mesh, min_elements: int = 1 << 14,
+                pipeline_layers: int = 0):
     """Place a full TrainState onto the mesh.
 
     The tensor-parallel placement rule depends only on leaf shape, so it
@@ -116,22 +125,42 @@ def place_state(state, mesh: Mesh, min_elements: int = 1 << 14):
     shard identically or every update step would reshuffle them).
     Scalars / 1-D leaves (counters, normalizer stats, LN params)
     replicate. With model axis size 1 this is plain replication.
+
+    pipeline_layers > 0 (with a >1 "pipe" mesh axis) additionally shards
+    the LEADING axis of every stacked per-layer leaf (the nn.scan
+    encoder layout: leading dim == num_encoder_layers) over "pipe" —
+    each stage then holds only its own layers' params and optimizer
+    mirrors, which is the point of pipeline parallelism.
     """
     model_size = mesh.shape.get("model", 1)
+    pipe_size = mesh.shape.get("pipe", 1)
 
-    def rule(leaf):
+    def rule(path, leaf):
+        nd = getattr(leaf, "ndim", 0)
+        in_stack = any(
+            getattr(p, "key", None) == "stack" for p in path
+        )
         if (
+            pipe_size > 1
+            and pipeline_layers > 0
+            and in_stack
+            and nd >= 1
+            and leaf.shape[0] == pipeline_layers
+            and pipeline_layers % pipe_size == 0
+        ):
+            spec = P(*(["pipe"] + [None] * (nd - 1)))
+        elif (
             model_size > 1
-            and getattr(leaf, "ndim", 0) >= 2
+            and nd >= 2
             and leaf.size >= min_elements
             and leaf.shape[-1] % model_size == 0
         ):
-            spec = P(*([None] * (leaf.ndim - 1) + ["model"]))
+            spec = P(*([None] * (nd - 1) + ["model"]))
         else:
             spec = P()
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
-    return jax.tree_util.tree_map(rule, state)
+    return jax.tree_util.tree_map_with_path(rule, state)
 
 
 # --- activation sharding constraints ---------------------------------------

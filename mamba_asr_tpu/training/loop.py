@@ -57,8 +57,11 @@ class Trainer:
         self.tokenizer = tokenizer
         tp = getattr(cfg, "parallel", None)
         self.tp = tp.tensor_parallel if tp else 1
+        self.sp = getattr(tp, "sequence_parallel", 1) if tp else 1
+        self.pp = getattr(tp, "pipeline_stages", 1) if tp else 1
         self.min_shard_elements = tp.min_shard_elements if tp else 1 << 14
-        self.mesh = mesh or make_mesh(model=self.tp)
+        self.mesh = mesh or make_mesh(model=self.tp, seq=self.sp,
+                                      pipe=self.pp)
         self.model = ASRModel(cfg.model)
         self.tx = make_optimizer(cfg.train)
         # Layer-boundary activation sharding constraints are scoped to this
@@ -67,7 +70,8 @@ class Trainer:
         # differently-meshed trainers in one process trace independently.
         self.train_step = scoped_to_mesh(
             make_train_step(
-                self.model, self.tx, cfg.frontend, cfg.train, cfg.specaug
+                self.model, self.tx, cfg.frontend, cfg.train, cfg.specaug,
+                parallel=tp, mesh=self.mesh,
             ),
             self.mesh,
         )
@@ -189,7 +193,10 @@ class Trainer:
         # optimizer-state mirrors) shard over "model"; everything else
         # replicates. Plain replication when tensor_parallel == 1.
         self.state = place_state(
-            self.state, self.mesh, self.min_shard_elements
+            self.state, self.mesh, self.min_shard_elements,
+            pipeline_layers=(
+                self.cfg.model.num_encoder_layers if self.pp > 1 else 0
+            ),
         )
 
     # -- training -------------------------------------------------------------
@@ -359,6 +366,10 @@ class Trainer:
                 state = place_state(
                     full.replace(params=avg_params),
                     self.mesh, self.min_shard_elements,
+                    pipeline_layers=(
+                        self.cfg.model.num_encoder_layers
+                        if self.pp > 1 else 0
+                    ),
                 )
 
         wer = ErrorRateStats()

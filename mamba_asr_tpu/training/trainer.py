@@ -176,8 +176,68 @@ def make_train_step(
     frontend: FrontendConfig,
     train_cfg: TrainConfig,
     specaug: SpecAugmentConfig,
+    parallel=None,
+    mesh=None,
 ):
-    """Returns jitted (state, batch, rng, update_norm) -> (state, metrics)."""
+    """Returns jitted (state, batch, rng, update_norm) -> (state, metrics).
+
+    parallel (configs.loader.ParallelConfig) + mesh activate the
+    sequence-/pipeline-parallel encoder path: the step splits at
+    ASRModel.encode_pre, runs the ConMamba stack under shard_map over the
+    mesh's "seq" or "pipe" axis (parallel/encoder_parallel.py), and
+    rejoins at forward_from_enc. Everything else — dp batch sharding, tp
+    param sharding, the optimizer — is the ordinary jit/GSPMD path.
+    """
+    use_sp = (
+        parallel is not None
+        and getattr(parallel, "sequence_parallel", 1) > 1
+    )
+    use_pp = (
+        parallel is not None
+        and getattr(parallel, "pipeline_stages", 1) > 1
+    )
+    assert not (use_sp and use_pp), (
+        "sequence_parallel and pipeline_stages cannot combine (yet): "
+        "both re-wire the same encoder stack"
+    )
+    if use_sp or use_pp:
+        assert mesh is not None, "sp/pp training needs the trainer mesh"
+        assert train_cfg.dynchunk_size is None, (
+            "dynamic-chunk training is not wired through the sp/pp "
+            "encoder path"
+        )
+
+    def parallel_forward(params, feats, flens, batch, rng):
+        """Full forward with the encoder stack under shard_map."""
+        from mamba_asr_tpu.parallel.encoder_parallel import (
+            pp_encoder_apply,
+            sp_encoder_apply,
+        )
+
+        variables = {"params": params}
+        drop = {"dropout": jax.random.fold_in(rng, 1)}
+        x, enc_lengths = model.apply(
+            variables, feats, flens, train=True,
+            method=ASRModel.encode_pre, rngs=drop,
+        )
+        rng_enc = jax.random.fold_in(rng, 2)
+        if use_sp:
+            enc = sp_encoder_apply(
+                model.cfg, params["encoder"], x, mesh,
+                rng=rng_enc, train=True,
+            )
+        else:
+            enc = pp_encoder_apply(
+                model.cfg, params["encoder"], x, mesh,
+                parallel.pipeline_microbatches, rng=rng_enc, train=True,
+            )
+        use_decoder = model.cfg.num_decoder_layers > 0
+        return model.apply(
+            variables, enc, enc_lengths,
+            batch["tokens_bos"] if use_decoder else None,
+            train=True, method=ASRModel.forward_from_enc,
+            rngs={"dropout": jax.random.fold_in(rng, 3)},
+        )
 
     def loss_fn(params, normalizer, batch, rng):
         feats = compute_features(frontend, batch["wav"])
@@ -219,16 +279,19 @@ def make_train_step(
             else:
                 feats = aug(feats, rng)
         use_decoder = model.cfg.num_decoder_layers > 0
-        out = model.apply(
-            {"params": params},
-            feats,
-            flens,
-            batch["tokens_bos"] if use_decoder else None,
-            chunk_size=train_cfg.dynchunk_size,
-            left_context_chunks=train_cfg.dynchunk_left_context,
-            train=True,
-            rngs={"dropout": jax.random.fold_in(rng, 1)},
-        )
+        if use_sp or use_pp:
+            out = parallel_forward(params, feats, flens, batch, rng)
+        else:
+            out = model.apply(
+                {"params": params},
+                feats,
+                flens,
+                batch["tokens_bos"] if use_decoder else None,
+                chunk_size=train_cfg.dynchunk_size,
+                left_context_chunks=train_cfg.dynchunk_left_context,
+                train=True,
+                rngs={"dropout": jax.random.fold_in(rng, 1)},
+            )
         weight = batch["weight"]
         loss_ctc = ctc_loss(
             out["ctc_log_probs"],

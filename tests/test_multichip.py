@@ -50,7 +50,8 @@ def test_tp_through_run_training(tmp_path):
         "--parallel.min_shard_elements", "64",
     ]
     trainer = run_training(argv)
-    assert trainer.mesh.shape == {"data": 4, "model": 2}
+    assert trainer.mesh.shape["data"] == 4
+    assert trainer.mesh.shape["model"] == 2
     assert int(trainer.state.step) > 0
     # At least one param leaf must actually be sharded over "model".
     from jax.sharding import PartitionSpec as P
