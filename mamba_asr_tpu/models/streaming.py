@@ -186,9 +186,13 @@ class StreamingS2SSession:
         self.dec_cache = self._extend(self.params, enc, self.dec_cache)
 
     def finish(self) -> None:
-        """Flush remaining frames + the frontend lookahead into the
-        encoder/decoder state."""
+        """Flush remaining frames, canonical-pad to a downsample multiple
+        (see StreamingASRSession._canonical_pad_frames), and flush the
+        frontend lookahead into the encoder/decoder state."""
         self._extend_with(self.inner._flush_frames())
+        pad = self.inner._canonical_pad_frames()
+        if pad is not None:
+            self._extend_with(self.inner.fe_stream.feed(pad))
         self._extend_with(self.inner.fe_stream.finish())
 
     def decode_greedy(self, max_new: int = 32) -> List[List[int]]:
@@ -363,9 +367,35 @@ class StreamingASRSession:
         feats = self._feats_fn(self.params, jnp.asarray(window))
         return self.fe_stream.feed(feats)
 
+    def _canonical_pad_frames(self):
+        """Zero feature-frames (post-normalization domain) that round the
+        total frame count up to a multiple of the frontend downsample
+        factor. SAME padding's split depends on each level's count parity
+        (odd counts get a LEADING zero — unknowable mid-stream), so the
+        session canonicalizes: with the count a multiple of the total
+        stride product, every level is even, where the per-level trailing
+        flush in StreamingFrontend.finish reproduces offline SAME
+        exactly. The offline equal is the same canonical padding: feats
+        -> normalize -> zero-pad to the multiple -> model."""
+        mult = self.model.cfg.downsample
+        extra = (-self._frames_done) % mult
+        if extra == 0:
+            return None
+        self._frames_done += extra
+        return jnp.zeros(
+            (self.batch, extra, self.frontend.n_mels), jnp.float32
+        )
+
     def finish(self) -> List[List[int]]:
-        """End of stream: emit the remaining center-framing frames, flush
-        the frontend's conv lookahead, and return the final tokens."""
+        """End of stream: emit the remaining center-framing frames,
+        canonical-pad to a downsample multiple, flush the frontend's conv
+        lookahead, and return the final tokens. Streamed output ==
+        offline greedy decode on the canonically padded feats for ALL
+        frame counts (see _canonical_pad_frames)."""
         out = self._collapse(self._advance(self._flush_frames()))
+        pad = self._canonical_pad_frames()
+        if pad is not None:
+            more = self._collapse(self._advance(self.fe_stream.feed(pad)))
+            out = [a + b for a, b in zip(out, more)]
         tail = self._collapse(self._advance(self.fe_stream.finish()))
         return [a + b for a, b in zip(out, tail)]

@@ -99,13 +99,12 @@ def main():
             step = args.chunk_frames * cfg.frontend.hop
             for off in range(0, len(wav), step):
                 ids += sess.feed(wav[None, off : off + step])[0]
-            # Flush the remaining center-framing frames + the conv
-            # frontend's lookahead: with it the streamed transcript
-            # equals the offline greedy decode exactly (causal config)
-            # when the frame count is even at every frontend level —
-            # odd counts diverge by one boundary frame because offline
-            # SAME-pads (1,1) while the flush supplies only the trailing
-            # zero (StreamingFrontend.finish docstring).
+            # Flush the remaining center-framing frames, canonical-pad
+            # the feature stream to a downsample multiple, and flush the
+            # conv frontend's lookahead: the streamed transcript equals
+            # the offline greedy decode on the canonically padded feats
+            # for ALL frame counts (causal config) — see
+            # StreamingASRSession._canonical_pad_frames.
             ids += sess.finish()[0]
             print(f"{path}\t{tokenizer.decode(ids)}")
         return
