@@ -31,12 +31,23 @@ Array = jax.Array
 SPEED_FACTORS = (0.95, 1.0, 1.05)
 
 
+SINC_WIDTH = 6  # speechbrain Resample lowpass_filter_width default
+
+
 def speed_perturb(
-    wav: np.ndarray, factor: float, rng: Optional[np.random.Generator] = None
+    wav: np.ndarray, factor: float,
+    rng: Optional[np.random.Generator] = None,
+    quality: str = "sinc",
 ) -> np.ndarray:
-    """Resample a waveform by `factor` (host-side, linear interpolation).
+    """Resample a waveform by `factor` (host-side).
 
     factor > 1 -> faster playback -> shorter output.
+
+    quality="sinc" (default) is a Kaldi-style windowed-sinc lowpass
+    resample — the quality class of the reference's SpeedPerturb
+    (speechbrain Resample, /root/reference/hparams/CTC/
+    conmamba_large.yaml:260-264); "linear" keeps the cheap interpolation
+    (aliases content above half-Nyquist).
     """
     if factor == 1.0 or len(wav) == 0:
         return wav
@@ -48,13 +59,49 @@ def speed_perturb(
         src = np.ascontiguousarray(wav)
         out = np.empty(n_out, np.float32)
         fp = ctypes.POINTER(ctypes.c_float)
-        n = lib.linear_resample(
-            src.ctypes.data_as(fp), len(src), float(factor),
-            out.ctypes.data_as(fp), n_out,
-        )
+        if quality == "sinc":
+            n = lib.sinc_resample(
+                src.ctypes.data_as(fp), len(src), float(factor),
+                out.ctypes.data_as(fp), n_out, SINC_WIDTH,
+            )
+        else:
+            n = lib.linear_resample(
+                src.ctypes.data_as(fp), len(src), float(factor),
+                out.ctypes.data_as(fp), n_out,
+            )
         return out[:n]
+    if quality == "sinc":
+        return sinc_resample_np(wav, factor).astype(wav.dtype)
     src_pos = np.arange(n_out, dtype=np.float64) * factor
     return np.interp(src_pos, np.arange(len(wav)), wav).astype(wav.dtype)
+
+
+def sinc_resample_np(
+    wav: np.ndarray, factor: float, width: int = SINC_WIDTH
+) -> np.ndarray:
+    """Vectorized numpy restatement of native sinc_resample (compiler-less
+    fallback AND the test oracle for the C++ kernel)."""
+    n_in = len(wav)
+    n_out = int(round(n_in / factor))
+    fc = 0.99 * 0.5 * min(1.0, 1.0 / factor)
+    support = width / (2.0 * fc)
+    half = int(np.ceil(support))
+    t = np.arange(n_out, dtype=np.float64) * factor  # (n_out,)
+    j0 = np.floor(t).astype(np.int64) - half
+    k = np.arange(2 * half + 1)  # (taps,)
+    j = j0[:, None] + k[None, :]  # (n_out, taps)
+    x = j.astype(np.float64) - t[:, None]
+    window = np.where(
+        np.abs(x) < support, 0.5 * (1.0 + np.cos(np.pi * x / support)), 0.0
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        s = np.where(
+            x == 0.0, 2.0 * fc, np.sin(2.0 * np.pi * fc * x) / (np.pi * x)
+        )
+    h = s * window
+    valid = (j >= 0) & (j < n_in)
+    samples = np.where(valid, wav[np.clip(j, 0, n_in - 1)], 0.0)
+    return (h * samples * valid).sum(axis=1)
 
 
 _RESAMPLE_LIB = None

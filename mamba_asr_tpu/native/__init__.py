@@ -80,5 +80,12 @@ def flac_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_double,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ]
+        lib.sinc_resample.restype = ctypes.c_int64
+        lib.sinc_resample.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.c_double,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.c_int32,
+        ]
         lib._configured = True
     return lib

