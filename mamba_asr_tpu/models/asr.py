@@ -225,6 +225,25 @@ class ASRModel(nn.Module):
                     dtype=dtype,
                     name="decoder",
                 )
+            elif cfg.decoder_module == "conformer":
+                # Cross-attention + causal-conv decoder
+                # (/root/reference/modules/Conformer.py:2178-2479 —
+                # unreachable from the reference's own configs; wired
+                # here as a first-class option).
+                from mamba_asr_tpu.models.conformer import ConformerDecoder
+
+                self.decoder = ConformerDecoder(
+                    num_layers=cfg.num_decoder_layers,
+                    d_model=cfg.d_model,
+                    d_ffn=cfg.d_ffn,
+                    nhead=cfg.nhead,
+                    kernel_size=cfg.kernel_size,
+                    activation=act,
+                    bias=cfg.bias,
+                    dropout=cfg.dropout,
+                    dtype=dtype,
+                    name="decoder",
+                )
             else:
                 raise ValueError(f"unknown decoder_module {cfg.decoder_module}")
             self.seq_head = nn.Dense(
@@ -323,6 +342,16 @@ class ASRModel(nn.Module):
         tgt = tgt + sinusoidal_position_encoding(s, cfg.d_model, tgt.dtype)
         if cfg.decoder_module == "mamba":
             return self.decoder(tgt, enc_out, train=train)
+        if cfg.decoder_module == "conformer":
+            mem_kpm = (
+                lengths_to_padding_mask(enc_lengths, enc_out.shape[1])
+                if enc_lengths is not None
+                else None
+            )
+            dec, _ = self.decoder(
+                tgt, enc_out, memory_key_padding_mask=mem_kpm, train=train
+            )
+            return dec
         tgt_mask = get_lookahead_mask(s)
         tgt_kpm = get_key_padding_mask(tokens, pad_idx) if train else None
         mem_kpm = (

@@ -292,3 +292,135 @@ class ConformerEncoder(nn.Module):
             x, s2 = layer.forward_chunk(x, s)
             new_state.append(s2)
         return self.norm(x), new_state
+
+
+class ConformerDecoderLayer(nn.Module):
+    """Conformer *decoder* layer (/root/reference/modules/Conformer.py:
+    2178-2442): the Macaron skeleton with CROSS-attention over the
+    encoder memory in the MHA slot and a causal ConvModule providing the
+    target-side (autoregressive) mixing — there is NO target
+    self-attention in this design:
+
+        tgt = tgt + 0.5 * ffn1(tgt)
+        x = tgt + MHA(LN(tgt), memory, memory)      # cross-attn only
+        x = x + CausalConvModule(x)
+        x = LN(x + 0.5 * ffn2(x))
+
+    The reference class is unreachable from its own configs
+    (Transformer.py:764-788 only builds transformer/mamba decoders);
+    ported for component parity, and — unlike the reference — wired as a
+    selectable `decoder_module: conformer` in ASRModel. Cross-attention
+    is regularMHA (the reference forces regularMHA in every decoder it
+    actually builds, Transformer.py:773)."""
+
+    d_model: int
+    d_ffn: int
+    nhead: int
+    kernel_size: int = 31
+    activation: Callable[[Array], Array] = swish
+    bias: bool = True
+    dropout: float = 0.0
+    causal: bool = True
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        assert self.causal, (
+            "ConformerDecoderLayer must be causal (the conv is the only "
+            "autoregressive mixer; the reference warns on non-causal too)"
+        )
+        self.ffn1_norm = nn.LayerNorm(dtype=self.dtype)
+        self.ffn1 = PositionalwiseFeedForward(
+            self.d_ffn, self.activation, self.dropout, dtype=self.dtype
+        )
+        self.ffn2_norm = nn.LayerNorm(dtype=self.dtype)
+        self.ffn2 = PositionalwiseFeedForward(
+            self.d_ffn, self.activation, self.dropout, dtype=self.dtype
+        )
+        self.norm1 = nn.LayerNorm(dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(dtype=self.dtype)
+        self.drop = nn.Dropout(self.dropout)
+        self.mha = MultiheadAttention(
+            self.nhead, self.dropout, dtype=self.dtype
+        )
+        self.conv = ConvolutionModule(
+            d_model=self.d_model,
+            kernel_size=self.kernel_size,
+            bias=self.bias,
+            activation=self.activation,
+            dropout=self.dropout,
+            causal=True,
+            dtype=self.dtype,
+        )
+
+    def _ffn(self, which: int, x: Array, train: bool) -> Array:
+        norm = self.ffn1_norm if which == 1 else self.ffn2_norm
+        ffn = self.ffn1 if which == 1 else self.ffn2
+        return self.drop(ffn(norm(x), train=train), deterministic=not train)
+
+    def __call__(
+        self,
+        tgt: Array,
+        memory: Array,
+        memory_key_padding_mask: Optional[Array] = None,
+        train: bool = False,
+    ) -> Tuple[Array, Array]:
+        tgt = tgt + MACARON_FFN_SCALE * self._ffn(1, tgt, train)
+        att_out, attn = self.mha(
+            self.norm1(tgt), memory, memory,
+            key_padding_mask=memory_key_padding_mask,
+            train=train,
+        )
+        x = att_out + tgt
+        x = x + self.conv(x, None, train=train)
+        x = self.norm2(x + MACARON_FFN_SCALE * self._ffn(2, x, train))
+        return x, attn
+
+
+class ConformerDecoder(nn.Module):
+    """Layer stack + final LN (/root/reference/modules/Conformer.py:
+    2444-2479)."""
+
+    num_layers: int
+    d_model: int
+    d_ffn: int
+    nhead: int
+    kernel_size: int = 31
+    activation: Callable[[Array], Array] = swish
+    bias: bool = True
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.layers = [
+            ConformerDecoderLayer(
+                d_model=self.d_model,
+                d_ffn=self.d_ffn,
+                nhead=self.nhead,
+                kernel_size=self.kernel_size,
+                activation=self.activation,
+                bias=self.bias,
+                dropout=self.dropout,
+                dtype=self.dtype,
+                name=f"layer_{i}",
+            )
+            for i in range(self.num_layers)
+        ]
+        self.norm = nn.LayerNorm(dtype=self.dtype, name="norm")
+
+    def __call__(
+        self,
+        tgt: Array,
+        memory: Array,
+        memory_key_padding_mask: Optional[Array] = None,
+        train: bool = False,
+    ) -> Tuple[Array, list]:
+        attns = []
+        out = tgt
+        for layer in self.layers:
+            out, attn = layer(
+                out, memory,
+                memory_key_padding_mask=memory_key_padding_mask,
+                train=train,
+            )
+            attns.append(attn)
+        return self.norm(out), attns

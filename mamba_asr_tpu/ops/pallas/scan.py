@@ -296,9 +296,12 @@ def _scan_bwd_kernel(
 
     if delta_softplus:
         # sigmoid(x) recovered from softplus(x) without the raw x:
-        # d softplus/dx = sigmoid(x) = 1 - exp(-softplus(x)); expm1 keeps
-        # it exact as dt -> 0 (where 1 - exp(-dt) would cancel).
-        dsp = -jnp.expm1(-dt)
+        # d softplus/dx = sigmoid(x) = 1 - exp(-softplus(x)). Mosaic has
+        # no expm1, so the subtraction form is used; for dt < ~1e-7 it
+        # cancels to ~dt with ~1e-7 ABSOLUTE error — a perturbation of a
+        # gradient that is itself vanishing there, measured invisible at
+        # f32 test tolerances.
+        dsp = 1.0 - jnp.exp2(-LOG2E * dt)
     else:
         dsp = jnp.ones_like(dt)
 

@@ -96,6 +96,26 @@ def test_decoder_causality():
     np.testing.assert_allclose(y1[:, :4], y2[:, :4], rtol=1e-4, atol=1e-5)
 
 
+def test_conformer_decoder_causality_and_memory():
+    """ConformerDecoder (/root/reference/modules/Conformer.py:2178-2479,
+    unreachable from reference configs — ported + wired here): the
+    causal ConvModule is the only target-side mixer, so position t must
+    not see tgt positions > t; the cross-attention must see memory."""
+    from mamba_asr_tpu.models.conformer import ConformerDecoder
+
+    dec = ConformerDecoder(num_layers=2, d_model=8, d_ffn=16, nhead=2,
+                           kernel_size=5, dropout=0.0)
+    mem = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8))
+    tgt = jax.random.normal(jax.random.PRNGKey(1), (1, 6, 8))
+    p = dec.init(jax.random.PRNGKey(2), tgt, mem)
+    y1, attns = dec.apply(p, tgt, mem)
+    assert y1.shape == (1, 6, 8) and len(attns) == 2
+    y2, _ = dec.apply(p, tgt.at[:, 4:].set(3.0), mem)
+    np.testing.assert_allclose(y1[:, :4], y2[:, :4], rtol=1e-4, atol=1e-5)
+    y3, _ = dec.apply(p, tgt, mem * 2.0)
+    assert not np.allclose(np.array(y1), np.array(y3), atol=1e-6)
+
+
 def test_mamba_decoder_cross_scan():
     dec = MambaDecoder(num_layers=1, d_model=8, d_ffn=16, mamba_cfg=MCFG)
     mem = jax.random.normal(jax.random.PRNGKey(0), (2, 9, 8))
@@ -121,6 +141,7 @@ def test_chunked_mask():
     [("conmamba", 0, "transformer"),
      ("conmamba", 2, "transformer"),
      ("conmamba", 2, "mamba"),
+     ("conmamba", 2, "conformer"),
      ("conformer", 0, "transformer")],
 )
 def test_asr_model_forward(enc_mod, dec_layers, dec_mod):

@@ -80,7 +80,7 @@ def _make_s2s(decoder="transformer", vocab=9):
     return model, params, out
 
 
-@pytest.mark.parametrize("decoder", ["transformer", "mamba"])
+@pytest.mark.parametrize("decoder", ["transformer", "mamba", "conformer"])
 def test_beam1_matches_stepwise_argmax(decoder):
     model, params, out = _make_s2s(decoder)
     # Suppress EOS so the random-init argmax never terminates within the
