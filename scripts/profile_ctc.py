@@ -58,6 +58,12 @@ def main():
     p.add_argument("--seconds", type=float, default=15.0)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--tgt", type=int, default=48)
+    p.add_argument("--ablate", action="store_true",
+                   help="encoder-variant attribution: re-measure encoder "
+                        "fwd+bwd with one component cheapened at a time "
+                        "(conv k31->k1, unidirectional scan, d_ffn/4, "
+                        "fp32->bf16 LNs) — the deltas attribute the "
+                        "non-scan-kernel share of the backward")
     args = p.parse_args()
 
     import jax
@@ -147,6 +153,48 @@ def main():
     print(f"encoder fwd+bwd: {results['encoder_fwd_bwd']*1000:.1f} ms",
           flush=True)
 
+    if args.ablate:
+        import dataclasses
+
+        def enc_fb_time(tag, mcfg):
+            m = ASRModel(mcfg)
+            prm = m.init(
+                jax.random.PRNGKey(0), feats[:1], flens[:1]
+            )["params"]
+
+            def lf(params, f):
+                enc, _ = m.apply({"params": params}, f, flens,
+                                 method=ASRModel.encode)
+                return enc.mean().astype(jnp.float32)
+
+            g = jax.grad(lf)
+
+            def fb(c, i):
+                params, acc = c
+                gr = g(params, feats * (1.0 + 1e-6 * i))
+                tot = jax.tree_util.tree_reduce(
+                    lambda a, x: a + x.sum().astype(jnp.float32), gr,
+                    jnp.zeros(()))
+                return (params, acc + tot)
+
+            t = device_time(fb, (prm, jnp.zeros(())))
+            print(f"encoder fwd+bwd [{tag}]: {t*1000:.1f} ms", flush=True)
+            return t
+
+        base_cfg = cfg.model
+        enc_fb_time("base", base_cfg)
+        enc_fb_time("conv k31->k1",
+                    dataclasses.replace(base_cfg, kernel_size=1))
+        enc_fb_time("unidirectional",
+                    dataclasses.replace(base_cfg, bidirectional=False))
+        enc_fb_time("d_ffn/4",
+                    dataclasses.replace(base_cfg, d_ffn=base_cfg.d_ffn // 4))
+        enc_fb_time("d_state 16->4", dataclasses.replace(
+            base_cfg,
+            mamba=dataclasses.replace(base_cfg.mamba, d_state=4),
+        ))
+        return
+
     # Frontend only (fbank; the in-step normalize/specaug are elementwise).
     def fb_only(acc, i):
         f = log_mel_spectrogram(
@@ -196,6 +244,45 @@ def main():
         opt_only, (state.params, state.opt_state, jnp.zeros(())))
     print(f"optimizer: {results['opt']*1000:.1f} ms", flush=True)
 
+    # The small in-step services (candidates for the unattributed gap).
+    from mamba_asr_tpu.data.augment import spec_augment
+    from mamba_asr_tpu.training.normalizer import update_normalizer
+    import optax
+
+    def sa_only(acc, i):
+        f = spec_augment(
+            feats * (1.0 + 1e-6 * i),
+            jax.random.fold_in(jax.random.PRNGKey(2), i),
+            num_time_drops=4, time_drop_width=20,
+            num_freq_drops=4, freq_drop_width=10,
+        )
+        return acc + f.mean()
+
+    results["specaug"] = device_time(sa_only, jnp.zeros(()))
+    print(f"specaug: {results['specaug']*1000:.1f} ms", flush=True)
+
+    fmask = jnp.ones(feats.shape[:2], bool)
+
+    def norm_only(c, i):
+        st, acc = c
+        st2 = update_normalizer(st, feats * (1.0 + 1e-6 * i), fmask)
+        return (st2, acc + st2.mean.sum())
+
+    results["norm_update"] = device_time(
+        norm_only, (state.normalizer, jnp.zeros(())))
+    print(f"normalizer update: {results['norm_update']*1000:.1f} ms",
+          flush=True)
+
+    def gn_only(c, i):
+        params, acc = c
+        g = jax.tree_util.tree_map(lambda p: p * (1e-9 * i), params)
+        return (params, acc + optax.global_norm(g))
+
+    results["grad_norm"] = device_time(
+        gn_only, (state.params, jnp.zeros(())))
+    print(f"extra grad_norm: {results['grad_norm']*1000:.1f} ms",
+          flush=True)
+
     # Full train step.
     def full_step(s, i):
         s2, _ = step(s, jb, jax.random.fold_in(jax.random.PRNGKey(1), i),
@@ -206,13 +293,18 @@ def main():
     print(f"full step: {results['full_step']*1000:.1f} ms", flush=True)
 
     rest = (results["full_step"] - results["encoder_fwd_bwd"]
-            - results["fbank"] - results["ctc_fwd_bwd"] - results["opt"])
+            - results["fbank"] - results["ctc_fwd_bwd"] - results["opt"]
+            - results["specaug"] - results["norm_update"]
+            - results["grad_norm"])
     print(
         f"\nbreakdown: encoder fwd {results['fwd_encoder']*1000:.1f} ms, "
         f"encoder bwd {1000*(results['encoder_fwd_bwd']-results['fwd_encoder']):.1f} ms, "
         f"fbank {results['fbank']*1000:.1f} ms, "
         f"ctc {results['ctc_fwd_bwd']*1000:.1f} ms, "
         f"opt {results['opt']*1000:.1f} ms, "
+        f"specaug {results['specaug']*1000:.1f} ms, "
+        f"norm {results['norm_update']*1000:.1f} ms, "
+        f"gradnorm {results['grad_norm']*1000:.1f} ms, "
         f"unattributed {rest*1000:.1f} ms",
         flush=True,
     )
