@@ -209,7 +209,11 @@ class Trainer:
     ) -> None:
         cfg = self.cfg
         epochs = epochs or cfg.train.number_of_epochs
-        base_rng = jax.random.PRNGKey(cfg.seed + 1)
+        # Typed key so train.rng_impl can route dropout/specaug mask
+        # bit-gen through the TPU hardware RngBitGenerator
+        # (impl="unsafe_rbg"); the default threefry impl produces the
+        # same bits as the legacy PRNGKey path.
+        base_rng = jax.random.key(cfg.seed + 1, impl=cfg.train.rng_impl)
 
         from mamba_asr_tpu.data.dataset import prefetch_iterator
 

@@ -113,6 +113,13 @@ class TrainConfig:
     # package is absent.
     use_wandb: bool = False
     wandb_project: str = "mamba-asr-tpu"
+    # PRNG implementation for the in-step dropout/SpecAugment keys.
+    # "threefry2x32" (default) is deterministic across mesh shapes;
+    # "unsafe_rbg" routes mask bit-gen through the TPU hardware
+    # RngBitGenerator (measured on the ConMamba Large CTC step — see
+    # docs/DESIGN.md §8c; weaker split/fold_in guarantees, fine for
+    # dropout masks).
+    rng_impl: str = "threefry2x32"
 
 
 class TrainState(struct.PyTreeNode):

@@ -112,9 +112,14 @@ def bench_config(name, asr_cfg, frontend, batch, seconds, steps=30,
     # (lax.scan over the step body, state carried on device) and
     # difference two K values to cancel the fixed per-call dispatch cost
     # (~hundreds of ms over the tunnel; ~50 us on a local chip).
+    # Timed loop uses the shipped recipes' PRNG (train.rng_impl:
+    # unsafe_rbg — TPU hardware RngBitGenerator; threefry mask bit-gen
+    # costs +15.9 ms/step on ConMamba Large, docs/DESIGN.md §8c).
+    bench_key = jax.random.key(2, impl="unsafe_rbg")
+
     def k_steps(k):
         def body(s, i):
-            s, mm = step(s, jb, jax.random.fold_in(jax.random.PRNGKey(2), i),
+            s, mm = step(s, jb, jax.random.fold_in(bench_key, i),
                          jnp.asarray(True))
             return s, mm["loss"]
 

@@ -55,6 +55,9 @@ def device_time(fn, arg, k1=4, k2=12, reps=3):
 
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--config", default="hparams/CTC/conmamba_large.yaml",
+                   help="recipe yaml (conformer_large.yaml for the "
+                        "same-flags comparison row)")
     p.add_argument("--seconds", type=float, default=15.0)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--tgt", type=int, default=48)
@@ -64,6 +67,24 @@ def main():
                         "(conv k31->k1, unidirectional scan, d_ffn/4, "
                         "fp32->bf16 LNs) — the deltas attribute the "
                         "non-scan-kernel share of the backward")
+    p.add_argument("--ablate-acts", action="store_true",
+                   help="encoder fwd+bwd with activation gelu (erf) vs "
+                        "gelu_tanh vs swish — quantifies the erf tax "
+                        "in-graph (standalone probe: 219.8 vs 21.7 vs "
+                        "9.5 us/op)")
+    p.add_argument("--full-only", action="store_true",
+                   help="measure only the full train step (for dropout/"
+                        "rng-impl attribution runs)")
+    p.add_argument("--gelu-tanh", action="store_true",
+                   help="override model.activation=gelu_tanh (the "
+                        "erf-free FFN activation)")
+    p.add_argument("--dropout0", action="store_true",
+                   help="override model.dropout=0 — attributes the "
+                        "dropout-mask (threefry bit-gen) share of the step")
+    p.add_argument("--rng-impl", default="threefry2x32",
+                   choices=["threefry2x32", "rbg", "unsafe_rbg"],
+                   help="PRNG impl for the in-step dropout/specaug keys; "
+                        "rbg/unsafe_rbg use the TPU hardware RngBitGenerator")
     args = p.parse_args()
 
     import jax
@@ -79,10 +100,13 @@ def main():
         make_train_step,
     )
 
-    cfg = load_config(
-        "hparams/CTC/conmamba_large.yaml",
-        {"model.scan_layers": True, "train.grad_accumulation_factor": 1},
-    )
+    overrides = {"model.scan_layers": True,
+                 "train.grad_accumulation_factor": 1}
+    if args.dropout0:
+        overrides["model.dropout"] = 0.0
+    if args.gelu_tanh:
+        overrides["model.activation"] = "gelu_tanh"
+    cfg = load_config(args.config, overrides)
     frontend = cfg.frontend
     tcfg = cfg.train
 
@@ -106,7 +130,7 @@ def main():
                              batch)
     step = make_train_step(model, tx, frontend, tcfg, SpecAugmentConfig())
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
-    print(f"ConMamba Large CTC ({n_params/1e6:.1f}M params), "
+    print(f"{cfg.name} ({n_params/1e6:.1f}M params), "
           f"batch {b} x {args.seconds:.0f}s", flush=True)
 
     feats = log_mel_spectrogram(
@@ -119,41 +143,45 @@ def main():
 
     results = {}
 
-    # Encoder forward only.
-    def enc_only(c, i):
-        params, acc = c
-        enc, _ = model.apply({"params": params},
-                             feats * (1.0 + 1e-6 * i), flens,
-                             method=ASRModel.encode)
-        return (params, acc + enc.mean().astype(jnp.float32))
+    if not (args.full_only or args.ablate_acts):
+        # Encoder forward only.
+        def enc_only(c, i):
+            params, acc = c
+            enc, _ = model.apply({"params": params},
+                                 feats * (1.0 + 1e-6 * i), flens,
+                                 method=ASRModel.encode)
+            return (params, acc + enc.mean().astype(jnp.float32))
 
-    results["fwd_encoder"] = device_time(
-        enc_only, (state.params, jnp.zeros(())))
-    print(f"encoder fwd: {results['fwd_encoder']*1000:.1f} ms", flush=True)
+        results["fwd_encoder"] = device_time(
+            enc_only, (state.params, jnp.zeros(())))
+        print(f"encoder fwd: {results['fwd_encoder']*1000:.1f} ms",
+              flush=True)
 
-    # Encoder fwd+bwd (grad wrt params of a scalar over encoder out).
-    def enc_loss(params, f):
-        enc, _ = model.apply({"params": params}, f, flens,
-                             method=ASRModel.encode)
-        return enc.mean().astype(jnp.float32)
+        # Encoder fwd+bwd (grad wrt params of a scalar over encoder out).
+        def enc_loss(params, f):
+            enc, _ = model.apply({"params": params}, f, flens,
+                                 method=ASRModel.encode)
+            return enc.mean().astype(jnp.float32)
 
-    enc_grad = jax.grad(enc_loss)
+        enc_grad = jax.grad(enc_loss)
 
-    def enc_fb(c, i):
-        params, acc = c
-        g = enc_grad(params, feats * (1.0 + 1e-6 * i))
-        # Consume EVERY grad leaf — reading one leaf lets XLA dead-code
-        # eliminate the rest of the backward (measured 0.5 ms "fwd+bwd").
-        tot = jax.tree_util.tree_reduce(
-            lambda a, x: a + x.sum().astype(jnp.float32), g, jnp.zeros(()))
-        return (params, acc + tot)
+        def enc_fb(c, i):
+            params, acc = c
+            g = enc_grad(params, feats * (1.0 + 1e-6 * i))
+            # Consume EVERY grad leaf — reading one leaf lets XLA
+            # dead-code eliminate the rest of the backward (measured
+            # 0.5 ms "fwd+bwd").
+            tot = jax.tree_util.tree_reduce(
+                lambda a, x: a + x.sum().astype(jnp.float32), g,
+                jnp.zeros(()))
+            return (params, acc + tot)
 
-    results["encoder_fwd_bwd"] = device_time(
-        enc_fb, (state.params, jnp.zeros(())))
-    print(f"encoder fwd+bwd: {results['encoder_fwd_bwd']*1000:.1f} ms",
-          flush=True)
+        results["encoder_fwd_bwd"] = device_time(
+            enc_fb, (state.params, jnp.zeros(())))
+        print(f"encoder fwd+bwd: {results['encoder_fwd_bwd']*1000:.1f} ms",
+              flush=True)
 
-    if args.ablate:
+    if args.ablate or args.ablate_acts:
         import dataclasses
 
         def enc_fb_time(tag, mcfg):
@@ -182,6 +210,13 @@ def main():
             return t
 
         base_cfg = cfg.model
+        if args.ablate_acts:
+            enc_fb_time("gelu (erf)", base_cfg)
+            enc_fb_time("gelu_tanh", dataclasses.replace(
+                base_cfg, activation="gelu_tanh"))
+            enc_fb_time("swish", dataclasses.replace(
+                base_cfg, activation="swish"))
+            return
         enc_fb_time("base", base_cfg)
         enc_fb_time("conv k31->k1",
                     dataclasses.replace(base_cfg, kernel_size=1))
@@ -193,6 +228,24 @@ def main():
             base_cfg,
             mamba=dataclasses.replace(base_cfg.mamba, d_state=4),
         ))
+        return
+
+    # Full-step closure (also used by --full-only attribution runs).
+    # The in-step dropout/specaug keys derive from this key, so
+    # --rng-impl rbg/unsafe_rbg routes the mask bit-gen through the TPU
+    # hardware RngBitGenerator instead of threefry's VPU shuffle net.
+    step_key = jax.random.key(1, impl=args.rng_impl)
+
+    def full_step(s, i):
+        s2, _ = step(s, jb, jax.random.fold_in(step_key, i),
+                     jnp.asarray(True))
+        return s2
+
+    if args.full_only:
+        t = device_time(full_step, state)
+        print(f"full step [dropout0={args.dropout0}, "
+              f"rng={args.rng_impl}, act={cfg.model.activation}]: "
+              f"{t*1000:.1f} ms", flush=True)
         return
 
     # Frontend only (fbank; the in-step normalize/specaug are elementwise).
@@ -284,11 +337,6 @@ def main():
           flush=True)
 
     # Full train step.
-    def full_step(s, i):
-        s2, _ = step(s, jb, jax.random.fold_in(jax.random.PRNGKey(1), i),
-                     jnp.asarray(True))
-        return s2
-
     results["full_step"] = device_time(full_step, state)
     print(f"full step: {results['full_step']*1000:.1f} ms", flush=True)
 

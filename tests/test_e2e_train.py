@@ -288,3 +288,39 @@ def test_grad_accumulation_matches_single_step():
     flatk = jax.tree_util.tree_leaves(results[k])
     for a, b in zip(flat1, flatk):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_train_step_typed_rng_keys():
+    """train.rng_impl plumbing: the step accepts typed PRNG keys —
+    threefry typed keys reproduce the legacy raw-PRNGKey bits exactly,
+    and unsafe_rbg (TPU hardware RngBitGenerator; see DESIGN.md §8c)
+    runs and learns the same step with different-but-valid masks."""
+    cfg = ASRConfig(
+        vocab_size=8, n_mels=20, d_model=32, num_encoder_layers=1,
+        num_decoder_layers=0, d_ffn=32, dropout=0.1,
+        encoder_module="conmamba", kernel_size=7,
+        mamba=MambaConfig(d_state=4, scan_impl="xla"),
+    )
+    model = ASRModel(cfg)
+    frontend = FrontendConfig(n_mels=20, n_fft=256, win_length_ms=16.0)
+    tcfg = TrainConfig(lr=1e-3, warmup_steps=10, grad_accumulation_factor=1)
+    tx = make_optimizer(tcfg)
+    batch = _synthetic_batch(np.random.default_rng(2))
+    state0 = init_train_state(
+        model, tx, frontend, jax.random.PRNGKey(0), batch)
+    step = make_train_step(
+        model, tx, frontend, tcfg, SpecAugmentConfig(enabled=True))
+
+    def fresh():  # the jitted step donates the state buffers
+        return jax.tree_util.tree_map(jnp.copy, state0)
+
+    _, m_raw = step(fresh(), batch, jax.random.PRNGKey(5),
+                    jnp.asarray(True))
+    _, m_tf = step(fresh(), batch,
+                   jax.random.key(5, impl="threefry2x32"), jnp.asarray(True))
+    np.testing.assert_allclose(
+        float(m_raw["loss"]), float(m_tf["loss"]), rtol=0, atol=0)
+
+    _, m_rbg = step(fresh(), batch,
+                    jax.random.key(5, impl="unsafe_rbg"), jnp.asarray(True))
+    assert np.isfinite(float(m_rbg["loss"]))
