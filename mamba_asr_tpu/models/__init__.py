@@ -1,7 +1,7 @@
 """Model layer: SSM blocks, encoders, decoders, ASR assembly."""
 
 from mamba_asr_tpu.models.mamba import MambaBlock, BiMambaBlock, MambaConfig
-from mamba_asr_tpu.models.asr import ASRConfig, ASRModel
+from mamba_asr_tpu.models.asr import ASRConfig, ASRModel, EncoderWrapper
 from mamba_asr_tpu.models.conformer import ConformerEncoder, ConformerEncoderLayer
 from mamba_asr_tpu.models.conmamba import (
     ConmambaEncoder,

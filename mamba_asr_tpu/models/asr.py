@@ -504,3 +504,32 @@ class ASRModel(nn.Module):
             seq_logits = self.seq_head(dec.astype(jnp.float32))
             out["seq_log_probs"] = jax.nn.log_softmax(seq_logits, axis=-1)
         return out
+
+
+class EncoderWrapper(nn.Module):
+    """Encoder-only adapter: `__call__` IS `encode`, mirroring the
+    reference's EncoderWrapper
+    (/root/reference/modules/TransformerASR.py:1056-1105), whose forward
+    delegates to `transformer.encode` and whose `forward_streaming` /
+    `make_streaming_context` delegate to the streaming surface. Useful
+    when a downstream pipeline wants a module whose plain application is
+    the encoder (e.g. feature extraction / SSL-style probing)."""
+
+    asr: ASRModel
+
+    def __call__(
+        self,
+        feats: Array,
+        feat_lengths: Optional[Array] = None,
+        **kwargs,
+    ) -> Tuple[Array, Array]:
+        return self.asr.encode(feats, feat_lengths, **kwargs)
+
+    def forward_streaming(self, feats: Array, state):
+        """One normalized feature chunk through the streaming encoder,
+        carrying `state` (TransformerASR.py:1092-1096)."""
+        return self.asr.encode_chunk(feats, state)
+
+    def make_streaming_context(self, batch: int):
+        """Fresh per-layer streaming state (TransformerASR.py:1098-1105)."""
+        return self.asr.init_streaming_state(batch)

@@ -47,6 +47,29 @@ class PositionalwiseFeedForward(nn.Module):
         return nn.Dense(d_model, dtype=self.dtype)(h)
 
 
+class CNNFeedForward(nn.Module):
+    """1d-CNN positionwise FFN: Conv1d(d_ffn, k0) -> ReLU -> Conv1d(d_model,
+    k1) — the reference's `ffn_type: 1dcnn` encoder-layer option
+    (/root/reference/modules/Transformer.py:1115-1130), with causal
+    left-padding when `causal` (padding="causal" there)."""
+
+    d_ffn: int
+    kernel_sizes: Tuple[int, int] = (3, 3)
+    causal: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        del train  # the reference's 1dcnn branch has no dropout inside
+        d_model = x.shape[-1]
+        pad = "CAUSAL" if self.causal else "SAME"
+        h = nn.Conv(self.d_ffn, (self.kernel_sizes[0],), padding=pad,
+                    dtype=self.dtype, name="conv1")(x)
+        h = nn.relu(h)
+        return nn.Conv(d_model, (self.kernel_sizes[1],), padding=pad,
+                       dtype=self.dtype, name="conv2")(h)
+
+
 def _depthwise_conv1d(
     x: Array, kernel: Array, bias: Optional[Array], padding
 ) -> Array:

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mamba_asr_tpu.models.attention import MultiheadAttention, RelPosMHAXL
-from mamba_asr_tpu.models.layers import PositionalwiseFeedForward
+from mamba_asr_tpu.models.layers import CNNFeedForward, PositionalwiseFeedForward
 
 Array = jax.Array
 
@@ -117,6 +117,11 @@ class TransformerEncoderLayer(nn.Module):
     activation: Callable[[Array], Array] = nn.relu
     normalize_before: bool = False
     attention_type: str = "regularMHA"
+    # "regularFFN" | "1dcnn" (Transformer.py:1107-1130); the CNN variant
+    # uses `ffn_cnn_kernel_sizes` and causal padding when `causal`.
+    ffn_type: str = "regularFFN"
+    ffn_cnn_kernel_sizes: Tuple[int, int] = (3, 3)
+    causal: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -162,10 +167,16 @@ class TransformerEncoderLayer(nn.Module):
             src = norm1(src)
 
         x = norm2(src) if self.normalize_before else src
-        ffn_out = PositionalwiseFeedForward(
-            self.d_ffn, self.activation, self.dropout, dtype=self.dtype,
-            name="ffn",
-        )(x, train=train)
+        if self.ffn_type == "1dcnn":
+            ffn_out = CNNFeedForward(
+                self.d_ffn, self.ffn_cnn_kernel_sizes, causal=self.causal,
+                dtype=self.dtype, name="ffn",
+            )(x, train=train)
+        else:
+            ffn_out = PositionalwiseFeedForward(
+                self.d_ffn, self.activation, self.dropout, dtype=self.dtype,
+                name="ffn",
+            )(x, train=train)
         src = src + drop(ffn_out)
         if not self.normalize_before:
             src = norm2(src)
@@ -184,6 +195,9 @@ class TransformerEncoder(nn.Module):
     activation: Callable[[Array], Array] = nn.relu
     normalize_before: bool = False
     attention_type: str = "regularMHA"
+    ffn_type: str = "regularFFN"
+    ffn_cnn_kernel_sizes: Tuple[int, int] = (3, 3)
+    causal: bool = False
     layerdrop: float = 0.0
     dtype: Any = jnp.float32
 
@@ -219,6 +233,9 @@ class TransformerEncoder(nn.Module):
                 activation=self.activation,
                 normalize_before=self.normalize_before,
                 attention_type=self.attention_type,
+                ffn_type=self.ffn_type,
+                ffn_cnn_kernel_sizes=self.ffn_cnn_kernel_sizes,
+                causal=self.causal,
                 dtype=self.dtype,
                 name=f"layer_{i}",
             )(out, src_mask, src_key_padding_mask, pos_embs, train=train,

@@ -299,3 +299,59 @@ def test_remat_layers_matches_plain_grads():
         for x, y in zip(a, b):
             np.testing.assert_allclose(np.array(x), np.array(y),
                                        rtol=3e-4, atol=1e-5)
+
+
+def test_cnn_ffn_variant():
+    """ffn_type="1dcnn" (Transformer.py:1115-1130): conv FFN replaces the
+    dense FFN; the causal variant never sees future frames."""
+    enc = TransformerEncoder(num_layers=2, d_ffn=16, nhead=2,
+                             ffn_type="1dcnn", ffn_cnn_kernel_sizes=(3, 3))
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 8))
+    p = enc.init(jax.random.PRNGKey(1), x)
+    flat = jax.tree_util.tree_leaves_with_path(p)
+    names = {jax.tree_util.keystr(k) for k, _ in flat}
+    assert any("conv1" in n for n in names) and not any(
+        "ffn']['Dense" in n for n in names
+    )
+    y, _ = enc.apply(p, x)
+    assert y.shape == (2, 10, 8)
+
+    # Causal: position t output independent of inputs > t when the
+    # attention is causal-masked and the conv FFN left-pads.
+    enc_c = TransformerEncoder(num_layers=2, d_ffn=16, nhead=2,
+                               ffn_type="1dcnn", causal=True, dropout=0.0)
+    p = enc_c.init(jax.random.PRNGKey(1), x)
+    mask = get_lookahead_mask(10)
+    y1, _ = enc_c.apply(p, x, mask)
+    y2, _ = enc_c.apply(p, x.at[:, 6:].set(5.0), mask)
+    np.testing.assert_allclose(y1[:, :6], y2[:, :6], rtol=1e-4, atol=1e-5)
+
+
+def test_encoder_wrapper_matches_encode():
+    """EncoderWrapper (TransformerASR.py:1056-1105): plain application ==
+    ASRModel.encode; forward_streaming == encode_chunk."""
+    from mamba_asr_tpu.models.asr import EncoderWrapper
+
+    cfg = ASRConfig(
+        vocab_size=11, n_mels=16, d_model=8, nhead=2,
+        num_encoder_layers=1, num_decoder_layers=0, d_ffn=16,
+        dropout=0.0, encoder_module="conmamba", kernel_size=7, mamba=MCFG,
+    )
+    model = ASRModel(cfg)
+    wrapper = EncoderWrapper(asr=model)
+    feats = jax.random.normal(jax.random.PRNGKey(0), (2, 24, 16))
+    lens = jnp.array([24, 17])
+    wp = wrapper.init(jax.random.PRNGKey(1), feats, lens)
+    enc_w, len_w = wrapper.apply(wp, feats, lens)
+    enc_m, len_m = model.apply({"params": wp["params"]["asr"]},
+                               feats, lens, method=ASRModel.encode)
+    np.testing.assert_allclose(np.array(enc_w), np.array(enc_m), rtol=1e-6)
+    np.testing.assert_array_equal(np.array(len_w), np.array(len_m))
+
+    state = wrapper.apply(wp, 2, method=EncoderWrapper.make_streaming_context)
+    chunk = feats[:, :8]
+    out_w, _ = wrapper.apply(wp, chunk, state,
+                             method=EncoderWrapper.forward_streaming)
+    out_m, _ = model.apply({"params": wp["params"]["asr"]}, chunk, state,
+                           method=ASRModel.encode_chunk)
+    np.testing.assert_allclose(np.array(out_w), np.array(out_m), rtol=1e-6)
