@@ -226,3 +226,50 @@ def test_wandb_flag_reaches_trainer(tmp_path):
     assert trainer.wandb_logger is not None
     # Degrades to no-op (wandb not in the image); log_stats must not raise.
     trainer.wandb_logger.log_stats({"epoch": 1}, train_stats={"loss": 1.0})
+
+
+def test_cond_multi_steps_matches_optax_multisteps():
+    """cond_multi_steps is trajectory-exact vs optax.MultiSteps: same
+    updates and same params at EVERY micro step over 2 full cycles —
+    but runs the inner clip+AdamW only on emit steps (lax.cond) instead
+    of computing-and-discarding it every micro step."""
+    import optax
+    from mamba_asr_tpu.training.trainer import cond_multi_steps
+
+    k = 4
+    rng = np.random.default_rng(0)
+    params = {
+        "w": jnp.asarray(rng.standard_normal((8, 8)), jnp.float32),
+        "b": jnp.asarray(rng.standard_normal((8,)), jnp.float32),
+    }
+    inner = optax.chain(
+        optax.clip_by_global_norm(5.0),
+        optax.adamw(1e-2, weight_decay=0.01),
+    )
+    tx_ref = optax.MultiSteps(inner, every_k_schedule=k)
+    tx_new = cond_multi_steps(inner, k)
+
+    p_ref, p_new = params, params
+    s_ref, s_new = tx_ref.init(params), tx_new.init(params)
+    upd_ref = jax.jit(tx_ref.update)
+    upd_new = jax.jit(tx_new.update)
+    for step in range(2 * k):
+        g = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(
+                rng.standard_normal(p.shape) * (step + 1), jnp.float32
+            ),
+            params,
+        )
+        u_ref, s_ref = upd_ref(g, s_ref, p_ref)
+        u_new, s_new = upd_new(g, s_new, p_new)
+        for a, b in zip(jax.tree_util.tree_leaves(u_ref),
+                        jax.tree_util.tree_leaves(u_new)):
+            np.testing.assert_allclose(np.array(a), np.array(b),
+                                       rtol=1e-6, atol=1e-7)
+        p_ref = optax.apply_updates(p_ref, u_ref)
+        p_new = optax.apply_updates(p_new, u_new)
+        assert int(s_new.mini_step) == (step + 1) % k
+        assert int(s_new.gradient_step) == (step + 1) // k
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                    jax.tree_util.tree_leaves(p_new)):
+        np.testing.assert_allclose(np.array(a), np.array(b), rtol=1e-6)
