@@ -195,6 +195,92 @@ def _reverse_chunk_scan(ash, d, lchunk, n_state):
     return g.reshape(lchunk, n_state, g.shape[-1])
 
 
+def _merged_chunk_scans(da, dbu, h_carry, ash, dh, lchunk, n_state):
+    """The bwd cell's two independent chunk scans — forward h recompute
+    (h_i = da_i h_{i-1} + dbu_i) and reverse g recurrence
+    (g_i = dh_i + ash_i g_{i+1}) — interleaved statement-by-statement in
+    ONE pass so Mosaic can overlap their dependency chains (each scan
+    alone is a serial multiply-add chain; interleaving doubles the
+    instruction-level parallelism of the sequential within-row phase).
+    Bitwise-identical results to running _forward_chunk_scan +
+    _reverse_chunk_scan separately (same expression trees, just
+    reordered independent statements). Returns (hs, g).
+
+    MEASURED PERF-NEUTRAL on v5e (0.677 vs 0.680 ms/op at B8 T376 D1024
+    N16, 2026-08-19): Mosaic's scheduler already extracts the available
+    ILP — the bwd cell is VPU-throughput/VMEM-bound, not dependency-
+    latency-bound. Kept (off by default) as the recorded ablation that
+    rules out latency-oriented restructuring of the chunk scans; it also
+    rules out the analogous dual-direction forward kernel idea."""
+    rows, cols = lchunk // COLS, COLS
+    d_lane = da.shape[-1]
+    a_in = da.reshape(rows, cols, n_state, d_lane)
+    b_in = dbu.reshape(rows, cols, n_state, d_lane)
+    ra_in = ash.reshape(rows, cols, n_state, d_lane)
+    rd_in = dh.reshape(rows, cols, n_state, d_lane)
+
+    # Interleaved within-row sequential passes: fwd col c ascending,
+    # rev col cols-1-c descending.
+    pa, pb = a_in[:, 0:1], b_in[:, 0:1]
+    pg, ps = rd_in[:, cols - 1 : cols], ra_in[:, cols - 1 : cols]
+    cols_a, cols_b = [pa], [pb]
+    cols_g, cols_s = [pg], [ps]
+    for c in range(1, cols):
+        cur_a = a_in[:, c : c + 1]
+        cur_b = b_in[:, c : c + 1]
+        rc = cols - 1 - c
+        cur_ra = ra_in[:, rc : rc + 1]
+        pb = cur_a * pb + cur_b
+        pg = rd_in[:, rc : rc + 1] + cur_ra * pg
+        pa = cur_a * pa
+        ps = cur_ra * ps
+        cols_a.append(pa)
+        cols_b.append(pb)
+        cols_g.append(pg)
+        cols_s.append(ps)
+    a = jnp.concatenate(cols_a, axis=1)
+    b = jnp.concatenate(cols_b, axis=1)
+    g_local = jnp.concatenate(cols_g[::-1], axis=1)
+    s_suffix = jnp.concatenate(cols_s[::-1], axis=1)
+
+    # Interleaved row-aggregate scans (fwd Hillis down, rev up).
+    fra, frb = a[:, cols - 1], b[:, cols - 1]
+    rg, rs = g_local[:, 0], s_suffix[:, 0]
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0)
+    off = 1
+    while off < rows:
+        sa = jnp.roll(fra, off, axis=0)
+        sb = jnp.roll(frb, off, axis=0)
+        sg = jnp.roll(rg, -off, axis=0)
+        ss = jnp.roll(rs, -off, axis=0)
+        fvalid = row_idx >= off
+        rvalid = row_idx <= rows - 1 - off
+        frb = jnp.where(fvalid, fra * sb + frb, frb)
+        rg = jnp.where(rvalid, rg + rs * sg, rg)
+        fra = jnp.where(fvalid, fra * sa, fra)
+        rs = jnp.where(rvalid, rs * ss, rs)
+        off *= 2
+
+    # Fwd combine: exclusive row prefixes with the carried state.
+    ex_a = jnp.roll(fra, 1, axis=0)
+    ex_b = jnp.roll(frb, 1, axis=0)
+    first = row_idx == 0
+    ex_a = jnp.where(first, 1.0, ex_a)
+    ex_b = jnp.where(first, 0.0, ex_b)
+    pref_h = ex_a * h_carry[None] + ex_b
+    hs = a * pref_h[:, None] + b
+
+    # Rev combine: next-row boundary, 0 past the last row.
+    b_next = jnp.roll(rg, -1, axis=0)
+    b_next = jnp.where(row_idx == rows - 1, 0.0, b_next)
+    g = g_local + s_suffix * b_next[:, None]
+
+    return (
+        hs.reshape(lchunk, n_state, d_lane),
+        g.reshape(lchunk, n_state, d_lane),
+    )
+
+
 def _scan_kernel(
     u_ref, dt_ref, bmat_ref, cmat_ref, at_ref, dtb_ref, dskip_ref, z_ref,
     h0_ref, out_ref, hb_ref, *rest,
@@ -255,7 +341,7 @@ def _scan_bwd_kernel(
     du_ref, ddt_ref, dbm_ref, dcm_ref, dz_ref, dapart_ref, dh0_ref,
     ddsum_ref, ddbsum_ref,
     g_ref, *, n_state: int, delta_softplus: bool, lchunk: int,
-    valid_len: int,
+    valid_len: int, merged: bool = False,
 ):
     """Adjoint of one (batch, d-tile, time-chunk) cell.
 
@@ -308,9 +394,6 @@ def _scan_bwd_kernel(
     da = jnp.exp2(dt[:, None, :] * a_t2[None, :, :])  # (L, N, D)
     dbu = (dt * u)[:, None, :] * bmat[:, :, None]
 
-    hs = _forward_chunk_scan(da, dbu, h_start, lchunk, n_state)
-    h_prev = jnp.concatenate([h_start[None], hs[:-1]], axis=0)
-
     sig = jax.nn.sigmoid(z)
     silu = z * sig
     dy = dout * silu  # (L, D)
@@ -323,7 +406,16 @@ def _scan_bwd_kernel(
     # ash_i = a_{i+1} within the chunk; the cross-chunk term lives in the
     # folded carry, so ash at the last position is 0.
     ash = jnp.concatenate([da[1:], jnp.zeros_like(da[:1])], axis=0)
-    g = _reverse_chunk_scan(ash, dh, lchunk, n_state)
+    if merged:
+        # One interleaved pass over both serial chains (see
+        # _merged_chunk_scans) — bitwise-identical, higher ILP.
+        hs, g = _merged_chunk_scans(
+            da, dbu, h_start, ash, dh, lchunk, n_state
+        )
+    else:
+        hs = _forward_chunk_scan(da, dbu, h_start, lchunk, n_state)
+        g = _reverse_chunk_scan(ash, dh, lchunk, n_state)
+    h_prev = jnp.concatenate([h_start[None], hs[:-1]], axis=0)
     carry = da[0] * g[0]
     g_ref[...] = carry
     # dh0 block is constant across l: final (temporally-first) write wins.
@@ -500,7 +592,7 @@ def _pallas_fwd_impl(u, delta, A, B, C, D, z, delta_bias, delta_softplus,
 
 def selective_scan_bwd_pallas(
     residuals, dout, delta_softplus: bool, interpret: bool = False,
-    boundaries=None, dt_post=None,
+    boundaries=None, dt_post=None, merged: bool = False,
 ):
     """Pallas adjoint: per-cell VMEM-resident backward (see
     _scan_bwd_kernel).
@@ -615,6 +707,7 @@ def selective_scan_bwd_pallas(
             delta_softplus=delta_softplus,
             lchunk=L_CHUNK,
             valid_len=length,
+            merged=merged,
         ),
         grid=grid,
         in_specs=[

@@ -14,8 +14,10 @@ TPU-first deltas from the reference:
   recompilation during training;
 - data parallelism: batches arrive sharded over the mesh "data" axis,
   params replicated; XLA inserts the gradient all-reduce (SURVEY.md §5.8);
-- gradient accumulation via optax.MultiSteps (the reference's factor 4/8,
-  /root/reference/hparams/CTC/conmamba_large.yaml:90);
+- gradient accumulation via cond_multi_steps (the reference's factor 4/8,
+  /root/reference/hparams/CTC/conmamba_large.yaml:90) — trajectory-exact
+  optax.MultiSteps semantics, but the inner clip+AdamW runs under the
+  emit lax.cond so skip micro-steps pay only the accumulate traffic;
 - bf16 compute with fp32 params/optimizer (precision: bf16, yaml:84).
 """
 
@@ -462,7 +464,7 @@ def make_train_step(
         # NOTE: no division by grad_accumulation_factor here. The reference
         # divides the loss by k and then SUMS micro-grads via backward
         # accumulation (sb.Brain fit_batch) — which equals the MEAN of
-        # unscaled micro-grads. optax.MultiSteps (use_grad_mean=True)
+        # unscaled micro-grads. cond_multi_steps (MultiSteps semantics)
         # already takes that mean, so dividing here would shrink effective
         # gradients k× and make clip_by_global_norm fire at 5·k in
         # reference units.

@@ -49,7 +49,7 @@ def _device_peak():
 
 
 def bench_config(name, asr_cfg, frontend, batch, seconds, steps=30,
-                 tgt_len=64):
+                 tgt_len=64, accum=1):
     import jax
     import jax.numpy as jnp
 
@@ -66,7 +66,7 @@ def bench_config(name, asr_cfg, frontend, batch, seconds, steps=30,
     model = ASRModel(asr_cfg)
     is_s2s = asr_cfg.num_decoder_layers > 0
     tcfg = TrainConfig(
-        grad_accumulation_factor=1,
+        grad_accumulation_factor=accum,
         ctc_weight=0.3 if is_s2s else 1.0,
         label_smoothing=0.1 if is_s2s else 0.0,
     )
@@ -168,6 +168,9 @@ def main():
                    help="substring filter on config name")
     p.add_argument("--remat", action="store_true",
                    help="recompute layer activations in bwd (long seqs)")
+    p.add_argument("--accum", type=int, default=1,
+                   help="grad_accumulation_factor (recipe-true micro-step "
+                        "cost; skip micro-steps run under the emit cond)")
     args = p.parse_args()
 
     from mamba_asr_tpu.models.asr import ASRConfig
@@ -211,7 +214,7 @@ def main():
             cfg = _dc.replace(cfg, remat_layers=True)
         times[name] = bench_config(name, cfg, frontend, batch,
                                    args.seconds, steps=args.steps,
-                                   tgt_len=tgt)
+                                   tgt_len=tgt, accum=args.accum)
     if "conformer_large_ctc" in times and "conmamba_large_ctc" in times:
         dt_cl, dt_ml = times["conformer_large_ctc"], times["conmamba_large_ctc"]
         print(f"conmamba_large vs conformer_large at {args.seconds:.0f}s "

@@ -228,6 +228,13 @@ def main():
             base_cfg,
             mamba=dataclasses.replace(base_cfg.mamba, d_state=4),
         ))
+        # The scan heads' k=4 causal convs (2 per layer + adjoints) ride
+        # XLA's depthwise conv, whose bwd lowering can be disproportionate
+        # on TPU — k=1 makes them pointwise and attributes the cost.
+        enc_fb_time("mamba d_conv 4->1", dataclasses.replace(
+            base_cfg,
+            mamba=dataclasses.replace(base_cfg.mamba, d_conv=1),
+        ))
         return
 
     # Full-step closure (also used by --full-only attribution runs).

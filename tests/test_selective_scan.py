@@ -417,3 +417,25 @@ def test_pallas_bwd_kernel_interpret_fwd_emitted_boundaries():
         np.testing.assert_allclose(
             np.asarray(r), np.asarray(a), rtol=3e-4, atol=3e-5, err_msg=name
         )
+
+
+def test_pallas_bwd_merged_scans_bitwise_equal_separate():
+    """The interleaved fwd+rev chunk-scan pass (_merged_chunk_scans) is a
+    pure statement reorder of independent expression trees — grads must be
+    BITWISE identical to the separate-scans kernel."""
+    from mamba_asr_tpu.ops.pallas.scan import selective_scan_bwd_pallas
+
+    u, delta, A, B, C, D, z, db = _make_inputs(
+        jax.random.PRNGKey(23), bsz=2, length=200, d=12, n=4
+    )
+    cot = jax.random.normal(jax.random.PRNGKey(24), u.shape)
+    g_merged = selective_scan_bwd_pallas(
+        (u, delta, A, B, C, D, z, db), cot, delta_softplus=True,
+        interpret=True, merged=True,
+    )
+    g_sep = selective_scan_bwd_pallas(
+        (u, delta, A, B, C, D, z, db), cot, delta_softplus=True,
+        interpret=True, merged=False,
+    )
+    for a, b in zip(g_merged, g_sep):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
