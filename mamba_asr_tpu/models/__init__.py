@@ -2,6 +2,10 @@
 
 from mamba_asr_tpu.models.mamba import MambaBlock, BiMambaBlock, MambaConfig
 from mamba_asr_tpu.models.asr import ASRConfig, ASRModel, EncoderWrapper
+from mamba_asr_tpu.models.branchformer import (
+    BranchformerEncoder,
+    BranchformerEncoderLayer,
+)
 from mamba_asr_tpu.models.conformer import ConformerEncoder, ConformerEncoderLayer
 from mamba_asr_tpu.models.conmamba import (
     ConmambaEncoder,
@@ -21,6 +25,8 @@ __all__ = [
     "MambaConfig",
     "ASRConfig",
     "ASRModel",
+    "BranchformerEncoder",
+    "BranchformerEncoderLayer",
     "ConformerEncoder",
     "ConformerEncoderLayer",
     "ConmambaEncoder",

@@ -85,8 +85,15 @@ class ASRConfig:
     d_ffn: int = 1024
     dropout: float = 0.1
     activation: str = "gelu"
-    encoder_module: str = "conmamba"  # transformer | conformer | conmamba
+    # transformer | conformer | conmamba | branchformer
+    encoder_module: str = "conmamba"
     decoder_module: str = "transformer"  # transformer | mamba
+    # Branchformer cgMLP surface (TransformerASR.py:700-702 defaults;
+    # the reference's branchformer path is aspirational — see
+    # models/branchformer.py).
+    csgu_linear_units: int = 3072
+    gate_activation: str = "identity"
+    use_linear_after_conv: bool = False
     attention_type: str = "RelPosMHAXL"  # RelPosMHAXL | regularMHA
     positional_encoding: str = "fixed_abs_sine"
     kernel_size: int = 31
@@ -180,6 +187,26 @@ class ASRModel(nn.Module):
                 kernel_size=cfg.kernel_size,
                 activation=act,
                 bias=cfg.bias,
+                dropout=cfg.dropout,
+                causal=cfg.causal,
+                attention_type=cfg.attention_type,
+                scan_layers=cfg.scan_layers,
+                remat_layers=cfg.remat_layers,
+                dtype=dtype,
+                name="encoder",
+            )
+        elif cfg.encoder_module == "branchformer":
+            from mamba_asr_tpu.models.branchformer import BranchformerEncoder
+
+            self.encoder = BranchformerEncoder(
+                num_layers=cfg.num_encoder_layers,
+                d_model=cfg.d_model,
+                nhead=cfg.nhead,
+                kernel_size=cfg.kernel_size,
+                csgu_linear_units=cfg.csgu_linear_units,
+                use_linear_after_conv=cfg.use_linear_after_conv,
+                gate_activation=cfg.gate_activation,
+                activation=act,
                 dropout=cfg.dropout,
                 causal=cfg.causal,
                 attention_type=cfg.attention_type,
@@ -321,12 +348,16 @@ class ASRModel(nn.Module):
                 x, src_mask=src_mask, src_key_padding_mask=pad_mask,
                 pos_embs=pos, chunk_size=chunk_size, train=train,
             )
-        else:  # transformer
+        else:  # transformer | branchformer
             if cfg.attention_type == "RelPosMHAXL":
                 pos = rel_pos_encoding(t, cfg.d_model, dtype=x.dtype)
             else:
                 x = x + sinusoidal_position_encoding(t, cfg.d_model, x.dtype)
                 pos = None
+            # Dynamic-chunk training reaches the branchformer through
+            # src_mask only (chunked attention); its cgMLP conv stays
+            # global — the reference has no branchformer streaming (or
+            # branchformer at all) to match.
             enc, _ = self.encoder(
                 x, src_mask=src_mask, src_key_padding_mask=pad_mask,
                 pos_embs=pos, train=train,

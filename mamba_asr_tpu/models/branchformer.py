@@ -1,0 +1,324 @@
+"""Branchformer encoder (parallel attention + cgMLP branches).
+
+The reference ADVERTISES this encoder — `encoder_module="branchformer"`
+is a documented option of its model factory
+(/root/reference/modules/TransformerASR.py:571-572, with the cgMLP
+hyperparameters `csgu_linear_units`/`gate_activation`/
+`use_linear_after_conv` threaded at :700-702,
+/root/reference/modules/Transformer.py:*) — but its selection branch
+references an undefined `BranchformerEncoder`
+(/root/reference/modules/Transformer.py:728) and raises NameError: the
+path is aspirational, dead in every reference config. PARITY.md records
+it as such; this module CLOSES that config space with a working
+implementation of the published architecture (Peng et al. 2022,
+"Branchformer: Parallel MLP-Attention Architectures to Capture Local
+and Global Context", arXiv 2207.02971), built TPU-first in this repo's
+idiom.
+
+Per layer, two branches read the SAME input in parallel and merge:
+
+    xa = Dropout(MHA(LN(x)))                        # global context
+    xb = Dropout(cgMLP(LN(x)))                      # local context
+    x  = x + Dropout(Dense_{2d->d}(concat[xa, xb]))
+
+cgMLP (gMLP with a Convolutional Spatial Gating Unit):
+
+    u = act(Dense_{d->U}(x))           # U = csgu_linear_units
+    r, g = split(u, 2)                 # each U/2
+    g = DepthwiseConv1d(LN(g), K)      # spatial (time) mixing
+    g = gate_act(g)                    # Identity by default
+    y = Dropout(r * g); out = Dense_{U/2->d}(y)
+
+Init follows the paper: the depthwise-conv kernel starts near zero with
+bias 1 so each CSGU begins as the identity gate (g ~= 1, y ~= r) and the
+network learns where to mix time.
+
+TPU mapping: both branches are matmul-shaped (MXU) except the depthwise
+conv (XLA depthwise, fp32-pinned like the Conformer ConvModule) and run
+from one shared residual read; the merge concat is fused into the output
+projection by XLA. Mask convention: True = padded/disallowed. The gate
+branch is zeroed on padded rows BEFORE the conv so valid frames near the
+boundary see exactly the zeros a shorter batch would give them
+(padding-invariant outputs; tested).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mamba_asr_tpu.models.attention import MultiheadAttention, RelPosMHAXL
+from mamba_asr_tpu.models.layers import _depthwise_conv1d
+
+Array = jax.Array
+
+_GATE_ACTIVATIONS = {
+    "identity": lambda x: x,
+    "gelu": nn.gelu,
+    "tanh": jnp.tanh,
+    "silu": nn.silu,
+    "swish": nn.silu,
+}
+
+
+class ConvolutionalSpatialGatingUnit(nn.Module):
+    """CSGU: gate half the channels with a depthwise-conv'd view of the
+    other half (arXiv 2207.02971 §3.2; hyperparameter surface
+    /root/reference/modules/TransformerASR.py:700-702)."""
+
+    kernel_size: int = 31
+    causal: bool = False
+    use_linear_after_conv: bool = False
+    gate_activation: str = "identity"
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        pad_mask: Optional[Array] = None,
+        train: bool = False,
+    ) -> Array:
+        """x (B, L, U) -> (B, L, U//2); pad_mask (B, L) True = padded."""
+        half = x.shape[-1] // 2
+        r, g = x[..., :half], x[..., half:]
+        g = nn.LayerNorm(dtype=self.dtype, name="norm")(g)
+        if pad_mask is not None:
+            # Zero padded rows BEFORE the conv: boundary-adjacent valid
+            # frames then see the same zeros a shorter batch would.
+            g = jnp.where(pad_mask[..., None], 0.0, g)
+        # Identity-at-init gating: kernel ~ 0, bias = 1 -> g ~= 1.
+        kernel = self.param(
+            "dw_kernel",
+            nn.initializers.normal(stddev=1e-6),
+            (self.kernel_size, half),
+            jnp.float32,
+        )
+        bias = self.param("dw_bias", nn.initializers.ones, (half,), jnp.float32)
+        if self.causal:
+            padding = [(self.kernel_size - 1, 0)]
+        else:
+            pad = (self.kernel_size - 1) // 2
+            padding = [(pad, self.kernel_size - 1 - pad)]
+        g = _depthwise_conv1d(g, kernel, bias, padding)
+        if self.use_linear_after_conv:
+            g = nn.Dense(
+                half,
+                dtype=self.dtype,
+                kernel_init=nn.initializers.normal(stddev=1e-6),
+                bias_init=nn.initializers.ones,
+                name="linear_after_conv",
+            )(g)
+        g = _GATE_ACTIVATIONS[self.gate_activation](g)
+        out = r * g
+        return nn.Dropout(self.dropout)(out, deterministic=not train)
+
+
+class CgMLP(nn.Module):
+    """Channel proj up -> activation -> CSGU -> channel proj down."""
+
+    csgu_linear_units: int = 3072
+    kernel_size: int = 31
+    causal: bool = False
+    use_linear_after_conv: bool = False
+    gate_activation: str = "identity"
+    activation: Callable[[Array], Array] = nn.gelu
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        pad_mask: Optional[Array] = None,
+        train: bool = False,
+    ) -> Array:
+        d_model = x.shape[-1]
+        x = nn.Dense(
+            self.csgu_linear_units, dtype=self.dtype, name="channel_proj1"
+        )(x)
+        x = self.activation(x)
+        x = ConvolutionalSpatialGatingUnit(
+            kernel_size=self.kernel_size,
+            causal=self.causal,
+            use_linear_after_conv=self.use_linear_after_conv,
+            gate_activation=self.gate_activation,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            name="csgu",
+        )(x, pad_mask=pad_mask, train=train)
+        return nn.Dense(d_model, dtype=self.dtype, name="channel_proj2")(x)
+
+
+class BranchformerEncoderLayer(nn.Module):
+    d_model: int
+    nhead: int
+    kernel_size: int = 31
+    csgu_linear_units: int = 3072
+    use_linear_after_conv: bool = False
+    gate_activation: str = "identity"
+    activation: Callable[[Array], Array] = nn.gelu
+    dropout: float = 0.0
+    causal: bool = False
+    attention_type: str = "RelPosMHAXL"
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.norm_mha = nn.LayerNorm(dtype=self.dtype)
+        self.norm_mlp = nn.LayerNorm(dtype=self.dtype)
+        if self.attention_type == "RelPosMHAXL":
+            self.mha = RelPosMHAXL(
+                self.nhead, self.dropout, mask_pos_future=self.causal,
+                dtype=self.dtype,
+            )
+        else:
+            self.mha = MultiheadAttention(
+                self.nhead, self.dropout, dtype=self.dtype
+            )
+        self.cgmlp = CgMLP(
+            csgu_linear_units=self.csgu_linear_units,
+            kernel_size=self.kernel_size,
+            causal=self.causal,
+            use_linear_after_conv=self.use_linear_after_conv,
+            gate_activation=self.gate_activation,
+            activation=self.activation,
+            dropout=self.dropout,
+            dtype=self.dtype,
+        )
+        self.merge_proj = nn.Dense(self.d_model, dtype=self.dtype)
+        self.drop = nn.Dropout(self.dropout)
+
+    def __call__(
+        self,
+        x: Array,
+        src_mask: Optional[Array] = None,
+        src_key_padding_mask: Optional[Array] = None,
+        pos_embs: Optional[Array] = None,
+        train: bool = False,
+    ) -> Tuple[Array, Array]:
+        deterministic = not train
+
+        xa = self.norm_mha(x)
+        xa, attn = self.mha(
+            xa, xa, xa,
+            attn_mask=src_mask,
+            key_padding_mask=src_key_padding_mask,
+            pos_embs=pos_embs,
+            train=train,
+        )
+        xa = self.drop(xa, deterministic=deterministic)
+
+        xb = self.norm_mlp(x)
+        xb = self.cgmlp(xb, pad_mask=src_key_padding_mask, train=train)
+        xb = self.drop(xb, deterministic=deterministic)
+
+        merged = self.merge_proj(jnp.concatenate([xa, xb], axis=-1))
+        x = x + self.drop(merged, deterministic=deterministic)
+        from mamba_asr_tpu.parallel.mesh import constrain_batch
+
+        return constrain_batch(x), attn
+
+
+class _ScannedBranchformerStack(nn.Module):
+    """nn.scan over identical Branchformer layers (O(1)-depth compile)."""
+
+    num_layers: int
+    layer_kwargs: dict
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, src_mask, kpm, pos_embs, train):
+        class Body(nn.Module):
+            layer_kwargs: dict
+
+            @nn.compact
+            def __call__(self, carry, _):
+                y, _attn = BranchformerEncoderLayer(**self.layer_kwargs)(
+                    carry, src_mask, kpm, pos_embs, train=train,
+                )
+                return y, None
+
+        body = nn.remat(Body, prevent_cse=False) if self.remat else Body
+        scan = nn.scan(
+            body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=self.num_layers,
+        )
+        out, _ = scan(self.layer_kwargs, name="layers")(x, None)
+        return out
+
+
+class BranchformerEncoder(nn.Module):
+    """Stack of Branchformer layers + final LN (the repo's encoder-stack
+    convention, matching ConformerEncoder)."""
+
+    num_layers: int
+    d_model: int
+    nhead: int
+    kernel_size: int = 31
+    csgu_linear_units: int = 3072
+    use_linear_after_conv: bool = False
+    gate_activation: str = "identity"
+    activation: Callable[[Array], Array] = nn.gelu
+    dropout: float = 0.0
+    causal: bool = False
+    attention_type: str = "RelPosMHAXL"
+    scan_layers: bool = False
+    remat_layers: bool = False
+    dtype: Any = jnp.float32
+
+    def _layer_kwargs(self) -> dict:
+        return dict(
+            d_model=self.d_model,
+            nhead=self.nhead,
+            kernel_size=self.kernel_size,
+            csgu_linear_units=self.csgu_linear_units,
+            use_linear_after_conv=self.use_linear_after_conv,
+            gate_activation=self.gate_activation,
+            activation=self.activation,
+            dropout=self.dropout,
+            causal=self.causal,
+            attention_type=self.attention_type,
+            dtype=self.dtype,
+        )
+
+    def setup(self):
+        if self.scan_layers:
+            self.stack = _ScannedBranchformerStack(
+                num_layers=self.num_layers,
+                layer_kwargs=self._layer_kwargs(),
+                remat=self.remat_layers,
+                name="stack",
+            )
+            self.layers = ()
+        else:
+            self.layers = [
+                BranchformerEncoderLayer(**self._layer_kwargs(),
+                                         name=f"layer_{i}")
+                for i in range(self.num_layers)
+            ]
+        self.norm = nn.LayerNorm(dtype=self.dtype, name="norm")
+
+    def __call__(
+        self,
+        src: Array,
+        src_mask: Optional[Array] = None,
+        src_key_padding_mask: Optional[Array] = None,
+        pos_embs: Optional[Array] = None,
+        train: bool = False,
+    ) -> Tuple[Array, Array]:
+        out = src
+        attn = None
+        if self.scan_layers:
+            out = self.stack(out, src_mask, src_key_padding_mask, pos_embs,
+                             train)
+        else:
+            for layer in self.layers:
+                out, attn = layer(out, src_mask, src_key_padding_mask,
+                                  pos_embs, train=train)
+        return self.norm(out), attn

@@ -352,7 +352,14 @@ def import_asr_params(state_dict: Mapping[str, Any], cfg) -> Dict[str, Any]:
         elif cfg.encoder_module == "transformer":
             enc[f"layer_{i}"] = _transformer_encoder_layer(sd, lp)
         else:
-            raise ValueError(cfg.encoder_module)
+            # branchformer: the reference cannot CONSTRUCT this encoder
+            # (NameError at /root/reference/modules/Transformer.py:728),
+            # so no reference checkpoint with branchformer weights can
+            # exist to import.
+            raise ValueError(
+                f"no torch checkpoint layout exists for encoder_module="
+                f"{cfg.encoder_module!r}"
+            )
     enc["norm"] = sd.sb_layer_norm("1.encoder.norm")
     params["encoder"] = enc
 

@@ -190,6 +190,13 @@ def main():
             num_decoder_layers=0, d_ffn=1024, encoder_module="conformer",
             compute_dtype="bfloat16",
         ), args.batch, 64),
+        # Beyond-reference encoder family (the reference's branchformer
+        # path is a NameError; hparams/CTC/branchformer_large.yaml).
+        ("branchformer_large_ctc", ASRConfig(
+            vocab_size=31, d_model=256, nhead=4, num_encoder_layers=18,
+            num_decoder_layers=0, encoder_module="branchformer",
+            csgu_linear_units=2048, compute_dtype="bfloat16",
+        ), args.batch, 64),
         ("conmamba_large_ctc", ASRConfig(
             vocab_size=31, d_model=256, nhead=4, num_encoder_layers=18,
             num_decoder_layers=0, d_ffn=1024, encoder_module="conmamba",
