@@ -52,12 +52,21 @@ from flax import linen as nn
 
 from mamba_asr_tpu.models.attention import MultiheadAttention, RelPosMHAXL
 from mamba_asr_tpu.models.layers import _depthwise_conv1d
+from mamba_asr_tpu.models.stacking import ScannedStack
 
 Array = jax.Array
 
+
+def _gelu_exact(x: Array) -> Array:
+    # Repo convention (models/asr.py::_ACTIVATIONS): the string "gelu"
+    # means ERF-exact; flax's tanh default is exposed only as the
+    # explicit opt-in "gelu_tanh".
+    return nn.gelu(x, approximate=False)
+
+
 _GATE_ACTIVATIONS = {
     "identity": lambda x: x,
-    "gelu": nn.gelu,
+    "gelu": _gelu_exact,
     "tanh": jnp.tanh,
     "silu": nn.silu,
     "swish": nn.silu,
@@ -126,7 +135,7 @@ class CgMLP(nn.Module):
     causal: bool = False
     use_linear_after_conv: bool = False
     gate_activation: str = "identity"
-    activation: Callable[[Array], Array] = nn.gelu
+    activation: Callable[[Array], Array] = _gelu_exact
     dropout: float = 0.0
     dtype: Any = jnp.float32
 
@@ -161,7 +170,7 @@ class BranchformerEncoderLayer(nn.Module):
     csgu_linear_units: int = 3072
     use_linear_after_conv: bool = False
     gate_activation: str = "identity"
-    activation: Callable[[Array], Array] = nn.gelu
+    activation: Callable[[Array], Array] = _gelu_exact
     dropout: float = 0.0
     causal: bool = False
     attention_type: str = "RelPosMHAXL"
@@ -202,6 +211,15 @@ class BranchformerEncoderLayer(nn.Module):
     ) -> Tuple[Array, Array]:
         deterministic = not train
 
+        if self.causal and self.attention_type != "RelPosMHAXL":
+            # RelPosMHAXL masks the future itself (mask_pos_future);
+            # regularMHA needs an explicit lookahead mask or a "causal"
+            # layer would silently attend forward.
+            from mamba_asr_tpu.models.transformer import get_lookahead_mask
+
+            la = get_lookahead_mask(x.shape[1])
+            src_mask = la if src_mask is None else (src_mask | la)
+
         xa = self.norm_mha(x)
         xa, attn = self.mha(
             xa, xa, xa,
@@ -223,36 +241,6 @@ class BranchformerEncoderLayer(nn.Module):
         return constrain_batch(x), attn
 
 
-class _ScannedBranchformerStack(nn.Module):
-    """nn.scan over identical Branchformer layers (O(1)-depth compile)."""
-
-    num_layers: int
-    layer_kwargs: dict
-    remat: bool = False
-
-    @nn.compact
-    def __call__(self, x, src_mask, kpm, pos_embs, train):
-        class Body(nn.Module):
-            layer_kwargs: dict
-
-            @nn.compact
-            def __call__(self, carry, _):
-                y, _attn = BranchformerEncoderLayer(**self.layer_kwargs)(
-                    carry, src_mask, kpm, pos_embs, train=train,
-                )
-                return y, None
-
-        body = nn.remat(Body, prevent_cse=False) if self.remat else Body
-        scan = nn.scan(
-            body,
-            variable_axes={"params": 0},
-            split_rngs={"params": True, "dropout": True},
-            length=self.num_layers,
-        )
-        out, _ = scan(self.layer_kwargs, name="layers")(x, None)
-        return out
-
-
 class BranchformerEncoder(nn.Module):
     """Stack of Branchformer layers + final LN (the repo's encoder-stack
     convention, matching ConformerEncoder)."""
@@ -264,7 +252,7 @@ class BranchformerEncoder(nn.Module):
     csgu_linear_units: int = 3072
     use_linear_after_conv: bool = False
     gate_activation: str = "identity"
-    activation: Callable[[Array], Array] = nn.gelu
+    activation: Callable[[Array], Array] = _gelu_exact
     dropout: float = 0.0
     causal: bool = False
     attention_type: str = "RelPosMHAXL"
@@ -289,7 +277,8 @@ class BranchformerEncoder(nn.Module):
 
     def setup(self):
         if self.scan_layers:
-            self.stack = _ScannedBranchformerStack(
+            self.stack = ScannedStack(
+                layer_cls=BranchformerEncoderLayer,
                 num_layers=self.num_layers,
                 layer_kwargs=self._layer_kwargs(),
                 remat=self.remat_layers,
@@ -316,7 +305,7 @@ class BranchformerEncoder(nn.Module):
         attn = None
         if self.scan_layers:
             out = self.stack(out, src_mask, src_key_padding_mask, pos_embs,
-                             train)
+                             train=train)
         else:
             for layer in self.layers:
                 out, attn = layer(out, src_mask, src_key_padding_mask,

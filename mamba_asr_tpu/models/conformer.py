@@ -34,6 +34,7 @@ from mamba_asr_tpu.models.layers import (
     PositionalwiseFeedForward,
     swish,
 )
+from mamba_asr_tpu.models.stacking import ScannedStack
 
 Array = jax.Array
 
@@ -178,37 +179,6 @@ class ConformerEncoderLayer(nn.Module):
         }
 
 
-class _ScannedConformerStack(nn.Module):
-    """nn.scan over identical Conformer layers (O(1)-depth compile)."""
-
-    num_layers: int
-    layer_kwargs: dict
-    remat: bool = False
-
-    @nn.compact
-    def __call__(self, x, src_mask, kpm, pos_embs, chunk_size, train):
-        class Body(nn.Module):
-            layer_kwargs: dict
-
-            @nn.compact
-            def __call__(self, carry, _):
-                y, _attn = ConformerEncoderLayer(**self.layer_kwargs)(
-                    carry, src_mask, kpm, pos_embs,
-                    chunk_size=chunk_size, train=train,
-                )
-                return y, None
-
-        body = nn.remat(Body, prevent_cse=False) if self.remat else Body
-        scan = nn.scan(
-            body,
-            variable_axes={"params": 0},
-            split_rngs={"params": True, "dropout": True},
-            length=self.num_layers,
-        )
-        out, _ = scan(self.layer_kwargs, name="layers")(x, None)
-        return out
-
-
 class ConformerEncoder(nn.Module):
     num_layers: int
     d_model: int
@@ -243,7 +213,8 @@ class ConformerEncoder(nn.Module):
 
     def setup(self):
         if self.scan_layers:
-            self.stack = _ScannedConformerStack(
+            self.stack = ScannedStack(
+                layer_cls=ConformerEncoderLayer,
                 num_layers=self.num_layers,
                 layer_kwargs=self._layer_kwargs(),
                 remat=self.remat_layers,
@@ -271,7 +242,7 @@ class ConformerEncoder(nn.Module):
         attn = None
         if self.scan_layers:
             out = self.stack(out, src_mask, src_key_padding_mask, pos_embs,
-                             chunk_size, train)
+                             chunk_size=chunk_size, train=train)
         else:
             for layer in self.layers:
                 out, attn = layer(out, src_mask, src_key_padding_mask,

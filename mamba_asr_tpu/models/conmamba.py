@@ -48,6 +48,7 @@ from mamba_asr_tpu.models.layers import (
     PositionalwiseFeedForward,
     swish,
 )
+from mamba_asr_tpu.models.stacking import ScannedStack
 from mamba_asr_tpu.models.mamba import BiMambaBlock, MambaBlock, MambaConfig
 
 Array = jax.Array
@@ -138,42 +139,6 @@ class ConmambaEncoderLayer(nn.Module):
         return x, {"mamba": mamba_state, "conv": conv_tail}
 
 
-class _ScannedConmambaStack(nn.Module):
-    """nn.scan wrapper: one traced layer body, `num_layers` stacked
-    parameter slices — compile time O(1) in depth (vs O(depth) for the
-    unrolled stack; deep SSM encoders compile 10x+ faster)."""
-
-    num_layers: int
-    layer_kwargs: dict
-    remat: bool = False
-
-    @nn.compact
-    def __call__(self, x: Array, chunk_size, train: bool) -> Array:
-        class Body(nn.Module):
-            layer_kwargs: dict
-
-            @nn.compact
-            def __call__(self, carry, _):
-                y = ConmambaEncoderLayer(**self.layer_kwargs)(
-                    carry, None, chunk_size=chunk_size, train=train
-                )
-                return y, None
-
-        # remat: recompute layer activations in the backward instead of
-        # saving them — nn.scan otherwise keeps every layer's residuals
-        # live, which OOMs long sequences (ConMamba Large at batch
-        # 8 x 60 s asks 18.7 GB without it).
-        body = nn.remat(Body, prevent_cse=False) if self.remat else Body
-        scan = nn.scan(
-            body,
-            variable_axes={"params": 0},
-            split_rngs={"params": True, "dropout": True},
-            length=self.num_layers,
-        )
-        out, _ = scan(self.layer_kwargs, name="layers")(x, None)
-        return out
-
-
 class ConmambaEncoder(nn.Module):
     num_layers: int
     d_model: int
@@ -208,7 +173,8 @@ class ConmambaEncoder(nn.Module):
 
     def setup(self):
         if self.scan_layers:
-            self.stack = _ScannedConmambaStack(
+            self.stack = ScannedStack(
+                layer_cls=ConmambaEncoderLayer,
                 num_layers=self.num_layers,
                 layer_kwargs=self._layer_kwargs(),
                 remat=self.remat_layers,
@@ -231,7 +197,8 @@ class ConmambaEncoder(nn.Module):
     ) -> Array:
         out = src
         if self.scan_layers:
-            out = self.stack(out, chunk_size, train)
+            out = self.stack(out, None, chunk_size=chunk_size,
+                             train=train)
         else:
             for layer in self.layers:
                 out = layer(out, src_key_padding_mask, chunk_size=chunk_size,

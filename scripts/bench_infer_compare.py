@@ -23,26 +23,33 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench(name, cfg, batch, seconds, iters=8):
+def make_params(cfg):
+    """Params are length-independent: init ONCE per config on tiny
+    shapes, under jit (eager init dispatches one op at a time over the
+    tunnel — ~3x slower even for small models, see CLAUDE.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mamba_asr_tpu.models.asr import ASRModel
+
+    model = ASRModel(cfg)
+    feats0 = jnp.zeros((1, 32, cfg.n_mels), jnp.float32)
+    lens0 = jnp.full((1,), 32, jnp.int32)
+    return model, jax.jit(model.init)(jax.random.PRNGKey(0), feats0, lens0)
+
+
+def bench(name, model, params, batch, seconds, iters=8):
     import jax
     import jax.numpy as jnp
 
     from mamba_asr_tpu.decoding.ctc_greedy import ctc_greedy_decode
-    from mamba_asr_tpu.models.asr import ASRModel
     from mamba_asr_tpu.ops.fbank import log_mel_spectrogram
 
-    model = ASRModel(cfg)
     sr = 16000
     n = int(seconds * sr)
     rng = np.random.default_rng(0)
     wav = jnp.asarray(rng.normal(0, 0.1, size=(batch, n)).astype(np.float32))
     wav_lens = jnp.full((batch,), n, jnp.int32)
-
-    feats0 = log_mel_spectrogram(wav[:1], n_fft=400)
-    params = model.init(
-        jax.random.PRNGKey(0), feats0,
-        jnp.full((1,), feats0.shape[1], jnp.int32),
-    )
 
     def infer(w):
         feats = log_mel_spectrogram(w, n_fft=400)
@@ -111,9 +118,10 @@ def main():
     for name, cfg in configs:
         if args.only and args.only not in name:
             continue
+        model, params = make_params(cfg)
         for sec in args.seconds:
-            results[(name, sec)] = bench(name, cfg, args.batch, sec,
-                                         args.iters)
+            results[(name, sec)] = bench(name, model, params, args.batch,
+                                         sec, args.iters)
     for sec in args.seconds:
         cm = results.get(("conmamba_large_ctc", sec))
         cf = results.get(("conformer_large_ctc", sec))

@@ -57,17 +57,20 @@ def test_branchformer_padding_invariance():
 
 def test_branchformer_causal():
     """causal=True: attention masks the future AND the CSGU conv pads
-    left-only, so outputs at t < k must ignore changes at t >= k."""
-    layer = BranchformerEncoderLayer(
-        d_model=8, nhead=2, kernel_size=5, csgu_linear_units=16,
-        dropout=0.0, causal=True,
-    )
-    x = jax.random.normal(jax.random.PRNGKey(0), (1, 12, 8))
-    p = layer.init(jax.random.PRNGKey(1), x)
-    y1, _ = layer.apply(p, x)
-    y2, _ = layer.apply(p, x.at[:, 8:].set(5.0))
-    np.testing.assert_allclose(np.array(y1[:, :8]), np.array(y2[:, :8]),
-                               rtol=1e-4, atol=1e-5)
+    left-only, so outputs at t < k must ignore changes at t >= k —
+    for BOTH attention types (regularMHA needs an explicit lookahead
+    mask the layer must build itself)."""
+    for attn in ("RelPosMHAXL", "regularMHA"):
+        layer = BranchformerEncoderLayer(
+            d_model=8, nhead=2, kernel_size=5, csgu_linear_units=16,
+            dropout=0.0, causal=True, attention_type=attn,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 12, 8))
+        p = layer.init(jax.random.PRNGKey(1), x)
+        y1, _ = layer.apply(p, x)
+        y2, _ = layer.apply(p, x.at[:, 8:].set(5.0))
+        np.testing.assert_allclose(np.array(y1[:, :8]), np.array(y2[:, :8]),
+                                   rtol=1e-4, atol=1e-5, err_msg=attn)
 
 
 def test_branchformer_scan_layers_equivalence():
