@@ -348,16 +348,24 @@ class ASRModel(nn.Module):
                 x, src_mask=src_mask, src_key_padding_mask=pad_mask,
                 pos_embs=pos, chunk_size=chunk_size, train=train,
             )
-        else:  # transformer | branchformer
+        elif cfg.encoder_module == "branchformer":
             if cfg.attention_type == "RelPosMHAXL":
                 pos = rel_pos_encoding(t, cfg.d_model, dtype=x.dtype)
             else:
                 x = x + sinusoidal_position_encoding(t, cfg.d_model, x.dtype)
                 pos = None
-            # Dynamic-chunk training reaches the branchformer through
-            # src_mask only (chunked attention); its cgMLP conv stays
-            # global — the reference has no branchformer streaming (or
-            # branchformer at all) to match.
+            # Dynamic-chunk training: chunked attention via src_mask,
+            # chunked CSGU conv via chunk_size (shared DCConv).
+            enc, _ = self.encoder(
+                x, src_mask=src_mask, src_key_padding_mask=pad_mask,
+                pos_embs=pos, chunk_size=chunk_size, train=train,
+            )
+        else:  # transformer
+            if cfg.attention_type == "RelPosMHAXL":
+                pos = rel_pos_encoding(t, cfg.d_model, dtype=x.dtype)
+            else:
+                x = x + sinusoidal_position_encoding(t, cfg.d_model, x.dtype)
+                pos = None
             enc, _ = self.encoder(
                 x, src_mask=src_mask, src_key_padding_mask=pad_mask,
                 pos_embs=pos, train=train,
@@ -416,8 +424,11 @@ class ASRModel(nn.Module):
         the reference's make_streaming_context
         (/root/reference/modules/TransformerASR.py:1024-1049), extended to
         ConMamba (carried SSM state + conv tails), which the reference
-        documents but never implemented (SURVEY.md §3.3)."""
-        assert self.cfg.encoder_module in ("conmamba", "conformer")
+        documents but never implemented (SURVEY.md §3.3), and to the
+        Branchformer (left attention context + CSGU conv tail)."""
+        assert self.cfg.encoder_module in (
+            "conmamba", "conformer", "branchformer",
+        )
         return self.encoder.init_stream_state(batch, self.cfg.dtype)
 
     def encode_chunk(self, feats: Array, state):

@@ -4,8 +4,7 @@ The reference ADVERTISES this encoder — `encoder_module="branchformer"`
 is a documented option of its model factory
 (/root/reference/modules/TransformerASR.py:571-572, with the cgMLP
 hyperparameters `csgu_linear_units`/`gate_activation`/
-`use_linear_after_conv` threaded at :700-702,
-/root/reference/modules/Transformer.py:*) — but its selection branch
+`use_linear_after_conv` threaded at :700-702) — but its selection branch
 references an undefined `BranchformerEncoder`
 (/root/reference/modules/Transformer.py:728) and raises NameError: the
 path is aspirational, dead in every reference config. PARITY.md records
@@ -33,6 +32,14 @@ Init follows the paper: the depthwise-conv kernel starts near zero with
 bias 1 so each CSGU begins as the identity gate (g ~= 1, y ~= r) and the
 network learns where to mix time.
 
+Dynamic Chunk Training and streaming mirror the Conformer encoder's
+(the reference's Conformer streaming semantics, Conformer.py:1632-1717,
+applied to this architecture): chunked attention arrives via src_mask,
+the CSGU conv runs the shared Dynamic Chunk Convolution under
+`chunk_size`, and `init_stream_state`/`forward_chunk` carry a left
+attention-context window plus the conv tail across chunks — streaming
+output == the chunked-training forward, chunk by chunk (tested).
+
 TPU mapping: both branches are matmul-shaped (MXU) except the depthwise
 conv (XLA depthwise, fp32-pinned like the Conformer ConvModule) and run
 from one shared residual read; the merge concat is fused into the output
@@ -50,8 +57,15 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mamba_asr_tpu.models.attention import MultiheadAttention, RelPosMHAXL
-from mamba_asr_tpu.models.layers import _depthwise_conv1d
+from mamba_asr_tpu.models.attention import (
+    MultiheadAttention,
+    RelPosMHAXL,
+    rel_pos_encoding,
+)
+from mamba_asr_tpu.models.layers import (
+    _depthwise_conv1d,
+    dynamic_chunk_depthwise,
+)
 from mamba_asr_tpu.models.stacking import ScannedStack
 
 Array = jax.Array
@@ -78,6 +92,7 @@ class ConvolutionalSpatialGatingUnit(nn.Module):
     other half (arXiv 2207.02971 §3.2; hyperparameter surface
     /root/reference/modules/TransformerASR.py:700-702)."""
 
+    units: int  # input feature size U; the output is U // 2
     kernel_size: int = 31
     causal: bool = False
     use_linear_after_conv: bool = False
@@ -85,51 +100,104 @@ class ConvolutionalSpatialGatingUnit(nn.Module):
     dropout: float = 0.0
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(
-        self,
-        x: Array,
-        pad_mask: Optional[Array] = None,
-        train: bool = False,
-    ) -> Array:
-        """x (B, L, U) -> (B, L, U//2); pad_mask (B, L) True = padded."""
-        half = x.shape[-1] // 2
-        r, g = x[..., :half], x[..., half:]
-        g = nn.LayerNorm(dtype=self.dtype, name="norm")(g)
-        if pad_mask is not None:
-            # Zero padded rows BEFORE the conv: boundary-adjacent valid
-            # frames then see the same zeros a shorter batch would.
-            g = jnp.where(pad_mask[..., None], 0.0, g)
+    @property
+    def padding_amount(self) -> int:
+        if self.causal:
+            return self.kernel_size - 1
+        return (self.kernel_size - 1) // 2
+
+    def setup(self):
+        half = self.units // 2
+        self.norm = nn.LayerNorm(dtype=self.dtype)
         # Identity-at-init gating: kernel ~ 0, bias = 1 -> g ~= 1.
-        kernel = self.param(
+        self.dw_kernel = self.param(
             "dw_kernel",
             nn.initializers.normal(stddev=1e-6),
             (self.kernel_size, half),
             jnp.float32,
         )
-        bias = self.param("dw_bias", nn.initializers.ones, (half,), jnp.float32)
-        if self.causal:
-            padding = [(self.kernel_size - 1, 0)]
-        else:
-            pad = (self.kernel_size - 1) // 2
-            padding = [(pad, self.kernel_size - 1 - pad)]
-        g = _depthwise_conv1d(g, kernel, bias, padding)
+        self.dw_bias = self.param(
+            "dw_bias", nn.initializers.ones, (half,), jnp.float32
+        )
         if self.use_linear_after_conv:
-            g = nn.Dense(
+            self.linear_after_conv = nn.Dense(
                 half,
                 dtype=self.dtype,
                 kernel_init=nn.initializers.normal(stddev=1e-6),
                 bias_init=nn.initializers.ones,
-                name="linear_after_conv",
-            )(g)
+            )
+        self.drop = nn.Dropout(self.dropout)
+
+    def _gate_post(self, g: Array, r: Array, train: bool) -> Array:
+        if self.use_linear_after_conv:
+            g = self.linear_after_conv(g)
         g = _GATE_ACTIVATIONS[self.gate_activation](g)
-        out = r * g
-        return nn.Dropout(self.dropout)(out, deterministic=not train)
+        return self.drop(r * g, deterministic=not train)
+
+    def __call__(
+        self,
+        x: Array,
+        pad_mask: Optional[Array] = None,
+        chunk_size: Optional[int] = None,
+        train: bool = False,
+    ) -> Array:
+        """x (B, L, U) -> (B, L, U//2); pad_mask (B, L) True = padded."""
+        half = self.units // 2
+        r, g = x[..., :half], x[..., half:]
+        g = self.norm(g)
+        if pad_mask is not None:
+            # Zero padded rows BEFORE the conv: boundary-adjacent valid
+            # frames then see the same zeros a shorter batch would.
+            g = jnp.where(pad_mask[..., None], 0.0, g)
+        if chunk_size is not None:
+            # Dynamic Chunk Convolution (shared with the Conformer conv
+            # module): per-chunk left context, zero future.
+            assert not self.causal, "chunked conv incompatible with causal"
+            g = dynamic_chunk_depthwise(
+                g, self.dw_kernel, self.dw_bias, self.padding_amount,
+                chunk_size,
+            )
+        elif self.causal:
+            g = _depthwise_conv1d(
+                g, self.dw_kernel, self.dw_bias,
+                [(self.padding_amount, 0)],
+            )
+        else:
+            p = self.padding_amount
+            g = _depthwise_conv1d(
+                g, self.dw_kernel, self.dw_bias,
+                [(p, self.kernel_size - 1 - p)],
+            )
+        return self._gate_post(g, r, train)
+
+    # -- streaming ---------------------------------------------------------
+
+    def init_stream_state(self, batch: int, dtype=jnp.float32) -> Array:
+        """Left-context tail of the normed gate branch: (B, pad, U//2)."""
+        return jnp.zeros(
+            (batch, self.padding_amount, self.units // 2), dtype
+        )
+
+    def forward_chunk(self, x: Array, tail: Array) -> Tuple[Array, Array]:
+        """Conv over [tail, chunk]; non-causal convs see zero right
+        padding (the per-chunk Dynamic Chunk Convolution view), causal
+        convs are exact. Returns (out, new_tail)."""
+        half = self.units // 2
+        r, g = x[..., :half], x[..., half:]
+        g = self.norm(g)
+        pad = self.padding_amount
+        buf = jnp.concatenate([tail.astype(g.dtype), g], axis=1)
+        new_tail = buf[:, -pad:] if pad else tail
+        if not self.causal and pad:
+            buf = jnp.pad(buf, ((0, 0), (0, pad), (0, 0)))
+        g = _depthwise_conv1d(buf, self.dw_kernel, self.dw_bias, "VALID")
+        return self._gate_post(g, r, False), new_tail
 
 
 class CgMLP(nn.Module):
     """Channel proj up -> activation -> CSGU -> channel proj down."""
 
+    d_model: int
     csgu_linear_units: int = 3072
     kernel_size: int = 31
     causal: bool = False
@@ -139,28 +207,40 @@ class CgMLP(nn.Module):
     dropout: float = 0.0
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(
-        self,
-        x: Array,
-        pad_mask: Optional[Array] = None,
-        train: bool = False,
-    ) -> Array:
-        d_model = x.shape[-1]
-        x = nn.Dense(
-            self.csgu_linear_units, dtype=self.dtype, name="channel_proj1"
-        )(x)
-        x = self.activation(x)
-        x = ConvolutionalSpatialGatingUnit(
+    def setup(self):
+        self.channel_proj1 = nn.Dense(
+            self.csgu_linear_units, dtype=self.dtype
+        )
+        self.csgu = ConvolutionalSpatialGatingUnit(
+            units=self.csgu_linear_units,
             kernel_size=self.kernel_size,
             causal=self.causal,
             use_linear_after_conv=self.use_linear_after_conv,
             gate_activation=self.gate_activation,
             dropout=self.dropout,
             dtype=self.dtype,
-            name="csgu",
-        )(x, pad_mask=pad_mask, train=train)
-        return nn.Dense(d_model, dtype=self.dtype, name="channel_proj2")(x)
+        )
+        self.channel_proj2 = nn.Dense(self.d_model, dtype=self.dtype)
+
+    def __call__(
+        self,
+        x: Array,
+        pad_mask: Optional[Array] = None,
+        chunk_size: Optional[int] = None,
+        train: bool = False,
+    ) -> Array:
+        x = self.activation(self.channel_proj1(x))
+        x = self.csgu(x, pad_mask=pad_mask, chunk_size=chunk_size,
+                      train=train)
+        return self.channel_proj2(x)
+
+    def init_stream_state(self, batch: int, dtype=jnp.float32) -> Array:
+        return self.csgu.init_stream_state(batch, dtype)
+
+    def forward_chunk(self, x: Array, tail: Array) -> Tuple[Array, Array]:
+        x = self.activation(self.channel_proj1(x))
+        x, tail = self.csgu.forward_chunk(x, tail)
+        return self.channel_proj2(x), tail
 
 
 class BranchformerEncoderLayer(nn.Module):
@@ -174,6 +254,7 @@ class BranchformerEncoderLayer(nn.Module):
     dropout: float = 0.0
     causal: bool = False
     attention_type: str = "RelPosMHAXL"
+    left_context_frames: int = 16
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -189,6 +270,7 @@ class BranchformerEncoderLayer(nn.Module):
                 self.nhead, self.dropout, dtype=self.dtype
             )
         self.cgmlp = CgMLP(
+            d_model=self.d_model,
             csgu_linear_units=self.csgu_linear_units,
             kernel_size=self.kernel_size,
             causal=self.causal,
@@ -207,6 +289,7 @@ class BranchformerEncoderLayer(nn.Module):
         src_mask: Optional[Array] = None,
         src_key_padding_mask: Optional[Array] = None,
         pos_embs: Optional[Array] = None,
+        chunk_size: Optional[int] = None,
         train: bool = False,
     ) -> Tuple[Array, Array]:
         deterministic = not train
@@ -231,7 +314,8 @@ class BranchformerEncoderLayer(nn.Module):
         xa = self.drop(xa, deterministic=deterministic)
 
         xb = self.norm_mlp(x)
-        xb = self.cgmlp(xb, pad_mask=src_key_padding_mask, train=train)
+        xb = self.cgmlp(xb, pad_mask=src_key_padding_mask,
+                        chunk_size=chunk_size, train=train)
         xb = self.drop(xb, deterministic=deterministic)
 
         merged = self.merge_proj(jnp.concatenate([xa, xb], axis=-1))
@@ -239,6 +323,59 @@ class BranchformerEncoderLayer(nn.Module):
         from mamba_asr_tpu.parallel.mesh import constrain_batch
 
         return constrain_batch(x), attn
+
+    # -- streaming ---------------------------------------------------------
+
+    def init_stream_state(self, batch: int, dtype=jnp.float32):
+        return {
+            # Post-norm_mha activations of the previous chunk(s) + a
+            # validity count (ramps up from 0 at stream start).
+            "mha_left": jnp.zeros(
+                (batch, self.left_context_frames, self.d_model), dtype
+            ),
+            "mha_left_len": jnp.zeros((batch,), jnp.int32),
+            "csgu": self.cgmlp.init_stream_state(batch, dtype),
+        }
+
+    def forward_chunk(self, x: Array, state) -> Tuple[Array, dict]:
+        """Chunked streaming forward (the Conformer streaming semantics,
+        Conformer.py:1632-1717, applied to the Branchformer layer):
+        attention over [carried left context, chunk], conv-tail carry in
+        the CSGU."""
+        lc = self.left_context_frames
+        xa = self.norm_mha(x)
+        window = jnp.concatenate([state["mha_left"].astype(xa.dtype), xa],
+                                 axis=1)
+        chunk = x.shape[1]
+        filled = state["mha_left_len"]  # (B,)
+        pad_mask = jnp.concatenate(
+            [
+                jnp.arange(lc)[None, :] < (lc - filled[:, None]),
+                jnp.zeros((x.shape[0], chunk), bool),
+            ],
+            axis=1,
+        )
+        pos = rel_pos_encoding(window.shape[1], self.d_model, dtype=xa.dtype)
+        att_out, _ = self.mha(
+            window, window, window,
+            key_padding_mask=pad_mask,
+            pos_embs=pos,
+        )
+        xa = att_out[:, lc:] if lc else att_out
+
+        xb, csgu_tail = self.cgmlp.forward_chunk(
+            self.norm_mlp(x), state["csgu"]
+        )
+
+        merged = self.merge_proj(jnp.concatenate([xa, xb], axis=-1))
+        x = x + merged
+        new_left = window[:, -lc:] if lc else state["mha_left"]
+        new_len = jnp.minimum(filled + chunk, lc)
+        return x, {
+            "mha_left": new_left,
+            "mha_left_len": new_len,
+            "csgu": csgu_tail,
+        }
 
 
 class BranchformerEncoder(nn.Module):
@@ -256,6 +393,7 @@ class BranchformerEncoder(nn.Module):
     dropout: float = 0.0
     causal: bool = False
     attention_type: str = "RelPosMHAXL"
+    left_context_frames: int = 16
     scan_layers: bool = False
     remat_layers: bool = False
     dtype: Any = jnp.float32
@@ -272,6 +410,7 @@ class BranchformerEncoder(nn.Module):
             dropout=self.dropout,
             causal=self.causal,
             attention_type=self.attention_type,
+            left_context_frames=self.left_context_frames,
             dtype=self.dtype,
         )
 
@@ -299,15 +438,33 @@ class BranchformerEncoder(nn.Module):
         src_mask: Optional[Array] = None,
         src_key_padding_mask: Optional[Array] = None,
         pos_embs: Optional[Array] = None,
+        chunk_size: Optional[int] = None,
         train: bool = False,
     ) -> Tuple[Array, Array]:
         out = src
         attn = None
         if self.scan_layers:
             out = self.stack(out, src_mask, src_key_padding_mask, pos_embs,
-                             train=train)
+                             chunk_size=chunk_size, train=train)
         else:
             for layer in self.layers:
                 out, attn = layer(out, src_mask, src_key_padding_mask,
-                                  pos_embs, train=train)
+                                  pos_embs, chunk_size=chunk_size,
+                                  train=train)
         return self.norm(out), attn
+
+    # -- streaming ---------------------------------------------------------
+
+    def init_stream_state(self, batch: int, dtype=jnp.float32):
+        assert not self.scan_layers, (
+            "streaming uses the unrolled stack (scan_layers=False); "
+            "convert params with models.params_convert"
+        )
+        return [l.init_stream_state(batch, dtype) for l in self.layers]
+
+    def forward_chunk(self, x: Array, state) -> Tuple[Array, list]:
+        new_state = []
+        for layer, s in zip(self.layers, state):
+            x, s2 = layer.forward_chunk(x, s)
+            new_state.append(s2)
+        return self.norm(x), new_state

@@ -220,31 +220,40 @@ class ConvolutionModule(nn.Module):
     def _chunked_depthwise(
         self, x: Array, kernel: Array, bias: Optional[Array], chunk_size: int
     ) -> Array:
-        """Dynamic Chunk Convolution (Conformer.py:1090-1213).
+        return dynamic_chunk_depthwise(
+            x, kernel, bias, self.padding_amount, chunk_size
+        )
 
-        Frames the padded sequence into per-chunk windows carrying
-        `padding_amount` frames of left context and zero right context,
-        runs a VALID depthwise conv per chunk, and re-flattens.
-        """
-        bsz, t, d = x.shape
-        pad = self.padding_amount
-        rem = t % chunk_size
-        right = (chunk_size - rem) if rem else 0
-        num_chunks = (t + right) // chunk_size
-        xp = jnp.pad(x, ((0, 0), (pad, right), (0, 0)))
-        # Windows of [left context (pad frames) + chunk]; the right side of
-        # each window is *zero*-padded (future masked), not real frames.
-        win = pad + chunk_size
-        starts = jnp.arange(num_chunks) * chunk_size
-        idx = starts[:, None] + jnp.arange(win)[None, :]
-        windows = xp[:, idx]  # (B, num_chunks, win, D)
-        windows = jnp.pad(windows, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        windows = windows.reshape(bsz * num_chunks, win + pad, d)
-        out = _depthwise_conv1d(windows, kernel, bias, "VALID")
-        # VALID output length = win - k + 1 = chunk_size + 2*pad - k + 1
-        # = chunk_size (k = 2*pad + 1).
-        out = out.reshape(bsz, num_chunks * chunk_size, d)
-        return out[:, :t]
+
+def dynamic_chunk_depthwise(
+    x: Array, kernel: Array, bias: Optional[Array], pad: int,
+    chunk_size: int,
+) -> Array:
+    """Dynamic Chunk Convolution (Conformer.py:1090-1213).
+
+    Frames the padded sequence into per-chunk windows carrying `pad`
+    frames of left context and zero right context, runs a VALID
+    depthwise conv per chunk, and re-flattens. Shared by the Conformer
+    ConvolutionModule and the Branchformer CSGU.
+    """
+    bsz, t, d = x.shape
+    rem = t % chunk_size
+    right = (chunk_size - rem) if rem else 0
+    num_chunks = (t + right) // chunk_size
+    xp = jnp.pad(x, ((0, 0), (pad, right), (0, 0)))
+    # Windows of [left context (pad frames) + chunk]; the right side of
+    # each window is *zero*-padded (future masked), not real frames.
+    win = pad + chunk_size
+    starts = jnp.arange(num_chunks) * chunk_size
+    idx = starts[:, None] + jnp.arange(win)[None, :]
+    windows = xp[:, idx]  # (B, num_chunks, win, D)
+    windows = jnp.pad(windows, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    windows = windows.reshape(bsz * num_chunks, win + pad, d)
+    out = _depthwise_conv1d(windows, kernel, bias, "VALID")
+    # VALID output length = win - k + 1 = chunk_size + 2*pad - k + 1
+    # = chunk_size (k = 2*pad + 1).
+    out = out.reshape(bsz, num_chunks * chunk_size, d)
+    return out[:, :t]
 
 
 class ConvolutionFrontEnd(nn.Module):

@@ -30,7 +30,7 @@ def test_branchformer_encoder_shapes():
 def test_csgu_identity_at_init():
     """Paper init: depthwise kernel ~0, bias 1, identity gate -> the
     CSGU starts as a pass-through of the residual half."""
-    csgu = ConvolutionalSpatialGatingUnit(kernel_size=7)
+    csgu = ConvolutionalSpatialGatingUnit(units=16, kernel_size=7)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 16))
     p = csgu.init(jax.random.PRNGKey(1), x)
     y = csgu.apply(p, x)
@@ -94,6 +94,57 @@ def test_branchformer_scan_layers_equivalence():
     y_s, _ = enc_s.apply(p_s, x)
     np.testing.assert_allclose(np.array(y_u), np.array(y_s),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_branchformer_csgu_chunked_no_future():
+    """Dynamic Chunk Convolution in the CSGU: no output frame may
+    depend on frames past its chunk end."""
+    csgu = ConvolutionalSpatialGatingUnit(units=16, kernel_size=7)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 20, 16))
+    # Break the identity init for a real dependence structure.
+    p = csgu.init(jax.random.PRNGKey(1), x)
+    p = jax.tree_util.tree_map(
+        lambda a: a + 0.3 * jnp.ones_like(a), p
+    )
+    y1 = csgu.apply(p, x, None, 5)
+    y2 = csgu.apply(p, x.at[:, 5:].set(7.0), None, 5)
+    np.testing.assert_allclose(np.array(y1[:, :5]), np.array(y2[:, :5]),
+                               rtol=1e-4, atol=1e-5)
+    # And chunked != full (in-window future is masked).
+    assert not np.allclose(np.array(csgu.apply(p, x)), np.array(y1),
+                           atol=1e-5)
+
+
+def test_branchformer_streaming_matches_chunked_training():
+    """Streaming forward_chunk == the chunked-mask training forward it
+    approximates (same contract as the Conformer encoder): chunked
+    attention mask + DCConv offline, left-context window + conv tail
+    streamed."""
+    from mamba_asr_tpu.models.attention import rel_pos_encoding
+    from mamba_asr_tpu.models.transformer import make_chunked_src_mask
+
+    c, k, L = 8, 2, 32
+    enc = BranchformerEncoder(
+        num_layers=2, d_model=16, nhead=2, kernel_size=7,
+        csgu_linear_units=32, dropout=0.0, left_context_frames=k * c,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, L, 16))
+    params = enc.init(jax.random.PRNGKey(4), x)
+
+    src_mask = make_chunked_src_mask(L, c, k)
+    pos = rel_pos_encoding(L, 16)
+    y_train, _ = enc.apply(params, x, src_mask, None, pos, c, False)
+
+    state = enc.apply(params, 2, method=BranchformerEncoder.init_stream_state)
+    outs = []
+    for i in range(L // c):
+        y, state = enc.apply(params, x[:, i * c:(i + 1) * c], state,
+                             method=BranchformerEncoder.forward_chunk)
+        outs.append(np.array(y))
+    y_stream = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(
+        y_stream, np.array(y_train), rtol=2e-4, atol=2e-5
+    )
 
 
 def test_branchformer_asr_model_ctc_grads():
