@@ -20,7 +20,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_all_yamls_load(path):
     cfg = load_config(path)
     assert cfg.model.d_model > 0
-    assert cfg.model.encoder_module in ("conmamba", "conformer", "transformer")
+    assert cfg.model.encoder_module in (
+        "conmamba", "conformer", "transformer", "branchformer",
+    )
     if "small" in path:
         assert cfg.model.d_model == 144
     if "S2S" in path:
