@@ -287,7 +287,7 @@ def _scan_kernel(
     n_state: int, delta_softplus: bool, lchunk: int, emit_dt: bool,
 ):
     if emit_dt:
-        dtp_ref, h_ref = rest
+        dtp_ref, ypre_ref, h_ref = rest
     else:
         (h_ref,) = rest
     l_idx = pl.program_id(2)
@@ -331,17 +331,21 @@ def _scan_kernel(
 
     y = jnp.sum(hs * cmat[:, :, None], axis=1)  # (L, D)
     y = y + u * d_skip
+    if emit_dt:
+        # Pre-gate y saved for the adjoint's dz term: one extra f32
+        # write here (+ one read there) replaces the adjoint's own
+        # sum-over-N recontraction of hs*C (~0.08 ms of its 0.25 ms
+        # reduce_n budget at the heavy shape, ablation 2026-08-18).
+        ypre_ref[0] = y.astype(ypre_ref.dtype)
     y = y * jax.nn.silu(z)
     out_ref[0] = y.astype(out_ref.dtype)
 
 
 def _scan_bwd_kernel(
     u_ref, dt_ref, bmat_ref, cmat_ref, at_ref, dskip_ref, z_ref,
-    dout_ref, hstart_ref, dhl_ref,
-    du_ref, ddt_ref, dbm_ref, dcm_ref, dz_ref, dapart_ref, dh0_ref,
-    ddsum_ref, ddbsum_ref,
-    g_ref, *, n_state: int, delta_softplus: bool, lchunk: int,
-    valid_len: int, merged: bool = False,
+    dout_ref, hstart_ref, dhl_ref, *rest,
+    n_state: int, delta_softplus: bool, lchunk: int,
+    valid_len: int, merged: bool = False, have_ypre: bool = False,
 ):
     """Adjoint of one (batch, d-tile, time-chunk) cell.
 
@@ -359,6 +363,13 @@ def _scan_bwd_kernel(
     drops the last-state gradient (selective_scan_interface.py:84-86),
     this adjoint is complete.
     """
+    if have_ypre:
+        (ypre_ref, du_ref, ddt_ref, dbm_ref, dcm_ref, dz_ref, dapart_ref,
+         dh0_ref, ddsum_ref, ddbsum_ref, g_ref) = rest
+    else:
+        ypre_ref = None
+        (du_ref, ddt_ref, dbm_ref, dcm_ref, dz_ref, dapart_ref,
+         dh0_ref, ddsum_ref, ddbsum_ref, g_ref) = rest
     l_idx = pl.program_id(2)
 
     @pl.when(l_idx == 0)
@@ -415,20 +426,27 @@ def _scan_bwd_kernel(
     else:
         hs = _forward_chunk_scan(da, dbu, h_start, lchunk, n_state)
         g = _reverse_chunk_scan(ash, dh, lchunk, n_state)
-    h_prev = jnp.concatenate([h_start[None], hs[:-1]], axis=0)
     carry = da[0] * g[0]
     g_ref[...] = carry
     # dh0 block is constant across l: final (temporally-first) write wins.
     dh0_ref[0] = carry.astype(dh0_ref.dtype)
 
-    gh = g * h_prev * da  # (L, N, D) — shared by dA and the a-path of ddt
+    # gh = g * h_prev * da, with da*h_prev recovered as hs - dbu (the
+    # recurrence hs = da*h_prev + dbu, rearranged): drops the h_prev
+    # concat + one (L, N, D) multiply. Cancellation when hs ≈ dbu only
+    # amplifies gh's RELATIVE error; its absolute error stays at the
+    # rounding of hs, which bounds the dA/ddt sums the same either way.
+    gh = g * (hs - dbu)  # (L, N, D) — shared by dA and the a-path of ddt
     t1 = jnp.sum(g * bmat[:, :, None], axis=1)  # (L, D)
     # a_t2 = A^T*log2e, so the raw-A contraction needs the LN2 unscale.
     ddt = t1 * u + jnp.sum(gh * a_t2[None], axis=1) * LN2
     du = t1 * dt + dy * d_skip
     dbm = jnp.sum(g * (dt * u)[:, None, :], axis=2)  # (L, N)
     dcm = jnp.sum(hs * dy[:, None, :], axis=2)       # (L, N)
-    y_pre = jnp.sum(hs * cmat[:, :, None], axis=1) + u * d_skip
+    if have_ypre:
+        y_pre = ypre_ref[0].astype(jnp.float32)
+    else:
+        y_pre = jnp.sum(hs * cmat[:, :, None], axis=1) + u * d_skip
     dz = dout * y_pre * (sig * (1.0 + z * (1.0 - sig)))
 
     du_ref[0] = du.astype(du_ref.dtype)
@@ -490,9 +508,10 @@ def _pallas_fwd_impl(u, delta, A, B, C, D, z, delta_bias, delta_softplus,
                      want_bounds: bool = False):
     """Returns (out (B, L, D) in u.dtype, h_last (B, D, N) float32), plus
     — when `want_bounds` (the training path) — the per-chunk boundary
-    states (B, n_chunks, N, Dp) float32 and the post-softplus dt
-    (B, Lp, Dp) float32, both in kernel layout (consumed by the analytic
-    adjoint, which then needs no softplus/sigmoid recompute)."""
+    states (B, n_chunks, N, Dp) float32, the post-softplus dt
+    (B, Lp, Dp) float32, and the pre-gate y (B, Lp, Dp) float32, all in
+    kernel layout (consumed by the analytic adjoint, which then needs no
+    softplus/sigmoid recompute and no hs*C recontraction for dz)."""
     bsz, length, d_in = u.shape
     n = A.shape[1]
     dtype_in = u.dtype
@@ -552,7 +571,11 @@ def _pallas_fwd_impl(u, delta, A, B, C, D, z, delta_bias, delta_softplus,
             (bsz, nl if want_bounds else 1, n, dp), jnp.float32
         ),
     ]
-    if want_bounds:  # training: also emit post-softplus dt for the bwd
+    if want_bounds:  # training: also emit post-softplus dt + pre-gate y
+        out_specs.append(
+            pl.BlockSpec((1, L_CHUNK, d_tile), lambda b, d, l: (b, l, d))
+        )
+        out_shapes.append(jax.ShapeDtypeStruct((bsz, lp, dp), jnp.float32))
         out_specs.append(
             pl.BlockSpec((1, L_CHUNK, d_tile), lambda b, d, l: (b, l, d))
         )
@@ -586,13 +609,13 @@ def _pallas_fwd_impl(u, delta, A, B, C, D, z, delta_bias, delta_softplus,
     out, h_bounds = outs[0], outs[1]
     h_last = jnp.swapaxes(h_bounds[:, -1, :, :d_in], 1, 2)  # (B, D, N)
     if want_bounds:
-        return out[:, :length, :d_in], h_last, h_bounds, outs[2]
+        return out[:, :length, :d_in], h_last, h_bounds, outs[2], outs[3]
     return out[:, :length, :d_in], h_last
 
 
 def selective_scan_bwd_pallas(
     residuals, dout, delta_softplus: bool, interpret: bool = False,
-    boundaries=None, dt_post=None, merged: bool = False,
+    boundaries=None, dt_post=None, merged: bool = False, y_pre=None,
 ):
     """Pallas adjoint: per-cell VMEM-resident backward (see
     _scan_bwd_kernel).
@@ -609,6 +632,10 @@ def selective_scan_bwd_pallas(
     layout, as emitted by the forward (padded rows 0); when absent it is
     computed here in XLA. Either way the kernel itself runs no
     softplus/sigmoid (~0.30 of its 0.76 ms/op at the heavy shape).
+    y_pre: optional pre-gate y (B, Lp, Dp) f32 emitted by the forward;
+    when present the kernel's dz term reads it instead of recontracting
+    hs*C over N. There is no XLA fallback (it would need hs) — absent
+    means compute in-kernel, as before.
     Returns grads matching the residuals' arity.
     """
     if len(residuals) == 9:
@@ -700,6 +727,24 @@ def selective_scan_bwd_pallas(
     rev = lambda b, d, l: (b, nl - 1 - l, d)
     rev_n = lambda b, d, l: (b, nl - 1 - l, 0)
 
+    in_specs = [
+        pl.BlockSpec((1, L_CHUNK, d_tile), rev),
+        pl.BlockSpec((1, L_CHUNK, d_tile), rev),
+        pl.BlockSpec((1, L_CHUNK, n), rev_n),
+        pl.BlockSpec((1, L_CHUNK, n), rev_n),
+        pl.BlockSpec((n, d_tile), lambda b, d, l: (0, d)),
+        pl.BlockSpec((1, d_tile), lambda b, d, l: (0, d)),
+        pl.BlockSpec((1, L_CHUNK, d_tile), rev),
+        pl.BlockSpec((1, L_CHUNK, d_tile), rev),
+        pl.BlockSpec((1, 1, n, d_tile), lambda b, d, l: (b, nl - 1 - l, 0, d)),
+        pl.BlockSpec((1, n, d_tile), lambda b, d, l: (b, 0, d)),
+    ]
+    operands = [u_p, dt_post, b_p, c_p, a_t, dsk, z_p, dout_p, h_starts,
+                dhl_t]
+    if y_pre is not None:
+        in_specs.append(pl.BlockSpec((1, L_CHUNK, d_tile), rev))
+        operands.append(y_pre)
+
     outs = pl.pallas_call(
         functools.partial(
             _scan_bwd_kernel,
@@ -708,20 +753,10 @@ def selective_scan_bwd_pallas(
             lchunk=L_CHUNK,
             valid_len=length,
             merged=merged,
+            have_ypre=y_pre is not None,
         ),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, L_CHUNK, d_tile), rev),
-            pl.BlockSpec((1, L_CHUNK, d_tile), rev),
-            pl.BlockSpec((1, L_CHUNK, n), rev_n),
-            pl.BlockSpec((1, L_CHUNK, n), rev_n),
-            pl.BlockSpec((n, d_tile), lambda b, d, l: (0, d)),
-            pl.BlockSpec((1, d_tile), lambda b, d, l: (0, d)),
-            pl.BlockSpec((1, L_CHUNK, d_tile), rev),
-            pl.BlockSpec((1, L_CHUNK, d_tile), rev),
-            pl.BlockSpec((1, 1, n, d_tile), lambda b, d, l: (b, nl - 1 - l, 0, d)),
-            pl.BlockSpec((1, n, d_tile), lambda b, d, l: (b, 0, d)),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, L_CHUNK, d_tile), rev),
             pl.BlockSpec((1, L_CHUNK, d_tile), rev),
@@ -749,7 +784,7 @@ def selective_scan_bwd_pallas(
         ),
         scratch_shapes=[pltpu.VMEM((n, d_tile), jnp.float32)],
         interpret=interpret,
-    )(u_p, dt_post, b_p, c_p, a_t, dsk, z_p, dout_p, h_starts, dhl_t)
+    )(*operands)
 
     du_p, ddt_p, dbm_p, dcm_p, dz_p, dapart, dh0_p, ddsum, ddbsum = outs
     du = du_p[:, :length, :d_in].astype(u.dtype)
@@ -780,7 +815,7 @@ def _fwd(u, delta, A, B, C, D, z, delta_bias, h0, delta_softplus):
     # this repo, and committed-device derivation is impossible here: the
     # inputs are abstract tracers at this point.
     if jax.default_backend() == "tpu":
-        out, h_last, bounds, dt_post = _pallas_fwd_impl(
+        out, h_last, bounds, dt_post, y_pre = _pallas_fwd_impl(
             u, delta, A, B, C, D, z, delta_bias, delta_softplus, h0=h0,
             want_bounds=True,
         )
@@ -788,9 +823,9 @@ def _fwd(u, delta, A, B, C, D, z, delta_bias, h0, delta_softplus):
         out, h_last = _pallas_fwd_impl(
             u, delta, A, B, C, D, z, delta_bias, delta_softplus, h0=h0
         )
-        bounds = dt_post = None
+        bounds = dt_post = y_pre = None
     return (out, h_last), (u, delta, A, B, C, D, z, delta_bias, h0, bounds,
-                           dt_post)
+                           dt_post, y_pre)
 
 
 def _bwd(delta_softplus, residuals, g):
@@ -799,10 +834,11 @@ def _bwd(delta_softplus, residuals, g):
     kernel's recompute strategy, selective_scan_interface.py bwd), seeded
     with the forward kernel's chunk-boundary states; autodiff of the
     chunked XLA scan is the non-TPU fallback."""
-    *res, bounds, dt_post = residuals
+    *res, bounds, dt_post, y_pre = residuals
     if jax.default_backend() == "tpu":
         return selective_scan_bwd_pallas(tuple(res), g, delta_softplus,
-                                         boundaries=bounds, dt_post=dt_post)
+                                         boundaries=bounds, dt_post=dt_post,
+                                         y_pre=y_pre)
     from mamba_asr_tpu.ops.selective_scan import selective_scan_chunked
 
     def f(u, delta, A, B, C, D, z, delta_bias, h0):

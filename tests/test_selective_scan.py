@@ -392,7 +392,7 @@ def test_pallas_bwd_kernel_interpret_fwd_emitted_boundaries():
     ref_grads = jax.grad(loss, argnums=tuple(range(9)))(
         u, delta, A, B, C, D, z, db, h0
     )
-    _, h_last, bounds, dt_post = _pallas_fwd_impl(
+    _, h_last, bounds, dt_post, y_pre = _pallas_fwd_impl(
         u, delta, A, B, C, D, z, db, True, h0=h0, interpret=True,
         want_bounds=True,
     )
@@ -407,10 +407,19 @@ def test_pallas_bwd_kernel_interpret_fwd_emitted_boundaries():
         np.asarray(jnp.swapaxes(bounds[:, -1, :, :u.shape[2]], 1, 2)),
         np.asarray(h_last), rtol=1e-5, atol=1e-6,
     )
+    # Emitted pre-gate y must equal the ungated reference output.
+    y_ref = selective_scan_ref(
+        u, delta, A, B, C, D=D, z=None, delta_bias=db, delta_softplus=True,
+        h0=h0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_pre[:, : u.shape[1], : u.shape[2]]),
+        np.asarray(y_ref), rtol=2e-5, atol=2e-5,
+    )
     ana_grads = selective_scan_bwd_pallas(
         (u, delta, A, B, C, D, z, db, h0), (cot, cot_h),
         delta_softplus=True, interpret=True, boundaries=bounds,
-        dt_post=dt_post,
+        dt_post=dt_post, y_pre=y_pre,
     )
     names = ["u", "delta", "A", "B", "C", "D", "z", "delta_bias", "h0"]
     for name, r, a in zip(names, ref_grads, ana_grads):
