@@ -77,6 +77,27 @@ def load_lm(cfg: ExperimentConfig, tokenizer):
     target = lm.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32), train=False
     )
+    if cfg.decode.lm_path.endswith((".ckpt", ".pt", ".pth")):
+        # A reference PyTorch TransformerLM checkpoint (what the
+        # reference's Pretrainer fetches from HF): import it directly.
+        from mamba_asr_tpu.models.torch_import import load_torch_lm
+
+        params = {"params": jax.tree_util.tree_map(
+            jnp.asarray,
+            load_torch_lm(cfg.decode.lm_path, cfg.decode.lm_layers),
+        )}
+        same = jax.tree_util.tree_structure(
+            jax.tree_util.tree_map(lambda x: 0, params)
+        ) == jax.tree_util.tree_structure(
+            jax.tree_util.tree_map(lambda x: 0, target)
+        )
+        if not same:
+            raise ValueError(
+                f"imported LM tree does not match the configured "
+                f"TransformerLM (layers={cfg.decode.lm_layers}, "
+                f"d_model={cfg.decode.lm_d_model})"
+            )
+        return lm, params
     with open(cfg.decode.lm_path, "rb") as f:
         params = serialization.from_bytes(target, f.read())
     return lm, params

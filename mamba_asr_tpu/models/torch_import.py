@@ -49,6 +49,8 @@ __all__ = [
     "import_asr_params",
     "import_lm_params",
     "import_normalizer_stats",
+    "load_torch_asr",
+    "load_torch_lm",
     "StateDictView",
 ]
 
@@ -428,3 +430,54 @@ def import_normalizer_stats(obj: Mapping[str, Any]):
     std = _as_np(obj["glob_std"])
     count = float(_as_np(obj.get("count", np.float32(0.0))))
     return mean, std, count
+
+
+_SCAN_INNER_KEY = {
+    "conmamba": "ConmambaEncoderLayer_0",
+    "conformer": "ConformerEncoderLayer_0",
+    "branchformer": "BranchformerEncoderLayer_0",
+}
+
+
+def load_torch_asr(path_or_sd, cfg) -> Dict[str, Any]:
+    """One-call user entry: reference `model.ckpt` (path or state_dict)
+    -> this package's ASRModel params in the MODEL's layout (scanned
+    encoder stack when cfg.scan_layers). This is the executable form of
+    the reference's Pretrainer contract
+    (/root/reference/train_S2S.py:1235-1236): point `--torch_ckpt` at a
+    reference checkpoint in recognize.py / evaluate.py and decode.
+
+    cfg: models.asr.ASRConfig.
+    """
+    sd = _load_state_dict(path_or_sd)
+    params = import_asr_params(sd, cfg)
+    if getattr(cfg, "scan_layers", False):
+        from mamba_asr_tpu.models.params_convert import unrolled_to_scanned
+
+        params["encoder"] = unrolled_to_scanned(
+            params["encoder"],
+            cfg.num_encoder_layers,
+            inner_key=_SCAN_INNER_KEY[cfg.encoder_module],
+        )
+    return params
+
+
+def load_torch_lm(path_or_sd, num_layers: int = 12) -> Dict[str, Any]:
+    """Reference TransformerLM checkpoint (path or flat state_dict, as
+    the Pretrainer fetches it) -> our TransformerLM params tree."""
+    return import_lm_params(_load_state_dict(path_or_sd), num_layers)
+
+
+def _load_state_dict(path_or_sd) -> Mapping[str, Any]:
+    if not isinstance(path_or_sd, (str, bytes)):
+        return path_or_sd
+    import torch  # the one optional torch dependency ([torch-import])
+
+    obj = torch.load(path_or_sd, map_location="cpu", weights_only=True)
+    # SpeechBrain Checkpointer saves the bare state_dict; tolerate the
+    # common {"model": state_dict} / {"state_dict": ...} wrappers too.
+    for key in ("state_dict", "model"):
+        if key in obj and isinstance(obj[key], Mapping):
+            obj = obj[key]
+            break
+    return obj

@@ -22,7 +22,15 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("config")
     p.add_argument("audio", nargs="+")
-    p.add_argument("--ckpt_dir", required=True)
+    p.add_argument("--ckpt_dir", default="",
+                   help="experiment save dir (top-k averaged restore)")
+    p.add_argument("--torch_ckpt", default="",
+                   help="reference PyTorch model.ckpt to import instead "
+                        "of --ckpt_dir (models/torch_import.py; the "
+                        "reference Pretrainer path made executable)")
+    p.add_argument("--torch_normalizer", default="",
+                   help="reference normalizer.ckpt (glob_mean/glob_std) "
+                        "to import alongside --torch_ckpt")
     p.add_argument("--tokenizer", default="")
     p.add_argument("--beam", type=int, default=0)
     p.add_argument("--streaming", action="store_true")
@@ -68,21 +76,50 @@ def main():
     }
     state = init_train_state(model, tx, cfg.frontend, jax.random.PRNGKey(0),
                              dummy)
-    mgr = CheckpointManager(args.ckpt_dir, keep=cfg.train.keep_checkpoints)
-    restored = mgr.restore_averaged_raw(
-        k=cfg.train.avg_checkpoints, min_key="WER"
-    )
-    if restored is None:
-        raise SystemExit(f"no checkpoints in {args.ckpt_dir}")
-    from flax import serialization
+    if args.torch_ckpt:
+        import torch
 
-    avg_params, raw = restored
-    state = state.replace(
-        params=serialization.from_state_dict(state.params, avg_params),
-        normalizer=serialization.from_state_dict(
-            state.normalizer, raw["normalizer"]
-        ),
-    )
+        from mamba_asr_tpu.models.torch_import import (
+            import_normalizer_stats,
+            load_torch_asr,
+        )
+
+        params = jax.tree_util.tree_map(
+            jnp.asarray, load_torch_asr(args.torch_ckpt, cfg.model)
+        )
+        state = state.replace(params=params)
+        if args.torch_normalizer:
+            obj = torch.load(args.torch_normalizer, map_location="cpu",
+                             weights_only=True)
+            mean, std, count = import_normalizer_stats(obj)
+            state = state.replace(
+                normalizer=state.normalizer._replace(
+                    count=jnp.asarray(count, jnp.float32),
+                    mean=jnp.asarray(mean, jnp.float32),
+                    # NormalizerState keeps the Welford m2 = std^2 * n.
+                    m2=jnp.asarray(std.astype(np.float64) ** 2 * count,
+                                   jnp.float32),
+                )
+            )
+    else:
+        if not args.ckpt_dir:
+            raise SystemExit("need --ckpt_dir or --torch_ckpt")
+        mgr = CheckpointManager(args.ckpt_dir,
+                                keep=cfg.train.keep_checkpoints)
+        restored = mgr.restore_averaged_raw(
+            k=cfg.train.avg_checkpoints, min_key="WER"
+        )
+        if restored is None:
+            raise SystemExit(f"no checkpoints in {args.ckpt_dir}")
+        from flax import serialization
+
+        avg_params, raw = restored
+        state = state.replace(
+            params=serialization.from_state_dict(state.params, avg_params),
+            normalizer=serialization.from_state_dict(
+                state.normalizer, raw["normalizer"]
+            ),
+        )
     state = jax.device_put(state)
 
     if args.streaming:

@@ -775,3 +775,69 @@ def test_import_relpos_bias_orientation_autodetect():
     a = p1["encoder"]["layer_0"]["mha"]["pos_bias_u"]
     b = p2["encoder"]["layer_0"]["mha"]["pos_bias_u"]
     np.testing.assert_allclose(a, b)
+
+
+def test_load_torch_asr_ckpt_file_scanned(tmp_path):
+    """User-facing loader: torch.save'd model.ckpt -> params in the
+    MODEL's layout (scanned encoder stack), forward matches the torch
+    replica. This is the recognize.py/evaluate.py --torch_ckpt path."""
+    from mamba_asr_tpu.models.torch_import import load_torch_asr
+
+    cfg_unrolled = _cfg(scan_layers=False)
+    ref = build_ref_model(cfg_unrolled, lambda: nn.GELU(), seed=9)
+    path = tmp_path / "model.ckpt"
+    torch.save(ref.state_dict(), str(path))
+
+    rng = np.random.default_rng(9)
+    feats = np.asarray(rng.normal(size=(2, 24, 10)), np.float32)
+    ctc_ref, _ = ref_forward(ref, cfg_unrolled, feats)
+
+    cfg = _cfg(scan_layers=True)
+    params = load_torch_asr(str(path), cfg)
+    model = ASRModel(cfg)
+    out = model.apply({"params": params}, jnp.asarray(feats), None, None)
+    np.testing.assert_allclose(
+        np.asarray(out["ctc_log_probs"]), ctc_ref, atol=2e-4, rtol=2e-4
+    )
+    # The loader must have produced the scanned layout exactly as the
+    # model initializes it (same tree structure).
+    init = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(feats), None, None
+    )["params"]
+    assert jax.tree_util.tree_structure(
+        jax.tree_util.tree_map(lambda x: 0, params)
+    ) == jax.tree_util.tree_structure(
+        jax.tree_util.tree_map(lambda x: 0, init)
+    )
+
+
+def test_load_torch_lm_ckpt_file(tmp_path):
+    """decode.lm_path ending in .ckpt routes through load_torch_lm
+    (cli.load_lm's reference-Pretrainer branch)."""
+    from mamba_asr_tpu.models.torch_import import load_torch_lm
+
+    vocab, d, nhead, layers, d_ffn = 13, 16, 2, 2, 24
+    ref = RefTransformerLM(vocab, d, nhead, layers, d_ffn)
+    _randomize(ref, seed=10)
+    path = tmp_path / "lm.ckpt"
+    torch.save(ref.state_dict(), str(path))
+
+    params = load_torch_lm(str(path), num_layers=layers)
+    lm = TransformerLM(
+        vocab_size=vocab, d_model=d, nhead=nhead, num_layers=layers,
+        d_ffn=d_ffn, normalize_before=False,
+    )
+    rng = np.random.default_rng(10)
+    tokens = np.asarray(rng.integers(1, vocab, size=(2, 7)), np.int32)
+    from mamba_asr_tpu.models.transformer import (
+        sinusoidal_position_encoding,
+    )
+
+    pe = torch.from_numpy(
+        np.asarray(sinusoidal_position_encoding(7, d), np.float32)
+    )
+    logits_ref = ref(torch.from_numpy(tokens), pe).numpy()
+    logits = lm.apply({"params": params}, jnp.asarray(tokens))
+    np.testing.assert_allclose(
+        np.asarray(logits), logits_ref, atol=2e-4, rtol=2e-4
+    )
