@@ -86,7 +86,9 @@ def main():
             lambda c: jax.lax.scan(body, c, jnp.arange(k))[0]
         )
 
-    k1, k2 = 3, 9
+    # ~100 ops of delta clears the tunnel's fetch jitter (k1=3/k2=9
+    # differencing occasionally measured negative per-op times).
+    k1, k2 = 20, 120
     run1, run2 = k_steps(k1), k_steps(k2)
     carry = (u, delta, jnp.zeros(()))
     t0 = time.perf_counter()

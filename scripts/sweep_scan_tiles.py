@@ -100,7 +100,10 @@ def main():
             return jax.jit(fn)
 
         try:
-            k1, k2 = 3, 9
+            # ~100 ops of delta: at ~1 ms/op that is ~100 ms, an order
+            # above the tunnel's fetch jitter (k1=3/k2=9 differencing
+            # produced NEGATIVE per-op times on occasion).
+            k1, k2 = 20, 120
             run1, run2 = k_steps(k1), k_steps(k2)
             carry = (u, delta, jnp.zeros(()))
             t0 = time.perf_counter()
