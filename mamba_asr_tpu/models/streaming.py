@@ -47,13 +47,28 @@ class StreamingFrontend:
     whose zero padding at every chunk boundary corrupted 2 of every
     chunk_frames/4 encoder inputs."""
 
-    def __init__(self, model: ASRModel, params, batch: int):
+    def __init__(
+        self,
+        model: ASRModel,
+        params,
+        batch: int,
+        shared: Optional["StreamingFrontend"] = None,
+    ):
         self.model = model
         self.params = params
         self.n_levels = len(model.cfg.frontend_channels)
         self.strides = model.cfg.frontend_strides
         self.kernels = tuple(3 for _ in range(self.n_levels))
         self.carry = [None] * self.n_levels  # (B, c, F_i, C_i) np arrays
+
+        if shared is not None:
+            # Reuse another frontend's jitted level closures (jax.jit
+            # caches by function identity: per-instance closures would
+            # recompile per session — the serving engine creates one
+            # session per attach and shares a prototype's executables).
+            assert shared.model is model
+            self._level = shared._level
+            return
 
         def level_fn(i):
             @jax.jit
@@ -230,6 +245,7 @@ class StreamingASRSession:
         chunk_frames: int = 64,
         batch: int = 1,
         collect_log_probs: bool = False,
+        shared: Optional["StreamingASRSession"] = None,
     ):
         self.model = model
         self.params = params
@@ -252,7 +268,10 @@ class StreamingASRSession:
         )
         self.last_frame_tok = np.zeros((batch,), np.int64)
         # Exact chunked conv frontend (per-level input buffering).
-        self.fe_stream = StreamingFrontend(model, params, batch)
+        self.fe_stream = StreamingFrontend(
+            model, params, batch,
+            shared=shared.fe_stream if shared is not None else None,
+        )
         # Optional per-frame CTC log-prob capture (streaming-quality
         # measurement: divergence vs the offline forward).
         self.collect_log_probs = collect_log_probs
@@ -262,6 +281,16 @@ class StreamingASRSession:
         # exactly the remainder (the offline right center-padding).
         self._samples_fed = 0
         self._frames_done = 0
+
+        if shared is not None:
+            # Reuse a prototype session's compiled closures (the serving
+            # engine attaches one session per stream; fresh jitted
+            # closures would recompile identical executables each time).
+            assert shared.model is model and shared.normalizer is normalizer
+            assert shared.frontend == frontend
+            self._feats_fn = shared._feats_fn
+            self._enc_fn = shared._enc_fn
+            return
 
         @jax.jit
         def feats_fn(params, wav_window):

@@ -1,0 +1,191 @@
+"""Slot-batched serving engine: exactness vs offline, slot lifecycle.
+
+The serving path's contract is transitive exactness: engine transcripts
+== single-stream StreamingASRSession transcripts == offline greedy
+decode on canonically padded features (tests/test_streaming.py). These
+tests exercise the engine-specific machinery: slot batching with masked
+state updates, staggered attach/feed/finish, bootstrap->steady-state
+promotion, finish-time demotion, and slot reuse."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mamba_asr_tpu.models.asr import ASRConfig, ASRModel
+from mamba_asr_tpu.models.mamba import MambaConfig
+from mamba_asr_tpu.models.streaming import StreamingASRSession
+from mamba_asr_tpu.serving.engine import StreamingServer
+from mamba_asr_tpu.training.trainer import FrontendConfig
+import mamba_asr_tpu.ops.fbank as fb
+
+MCFG = MambaConfig(d_state=4, d_conv=4, expand=2, scan_impl="xla")
+FRONTEND = FrontendConfig(n_fft=256, n_mels=20, win_length_ms=16.0)
+
+
+def _model_and_params():
+    cfg = ASRConfig(
+        vocab_size=9, n_mels=20, d_model=8, nhead=2,
+        num_encoder_layers=2, num_decoder_layers=0, d_ffn=16,
+        dropout=0.0, encoder_module="conmamba", kernel_size=7,
+        causal=True, bidirectional=False, mamba=MCFG,
+    )
+    model = ASRModel(cfg)
+    feats = jnp.zeros((1, 16, cfg.n_mels), jnp.float32)
+    params = model.init(jax.random.PRNGKey(1), feats, jnp.array([16]))
+    return model, params
+
+
+def _offline_greedy(model, params, wav: np.ndarray):
+    """Offline canonical-padded greedy decode (the streaming contract's
+    right-hand side, as in test_streaming_session_exact_vs_offline)."""
+    from mamba_asr_tpu.decoding.ctc_greedy import ctc_greedy_decode
+
+    feats = fb.log_mel_spectrogram(
+        jnp.asarray(wav[None]), n_fft=FRONTEND.n_fft,
+        n_mels=FRONTEND.n_mels, win_length_ms=FRONTEND.win_length_ms,
+    )
+    extra = (-feats.shape[1]) % model.cfg.downsample
+    feats = jnp.pad(feats, ((0, 0), (0, extra), (0, 0)))
+    out = model.apply(params, feats, jnp.array([feats.shape[1]]))
+    toks, lens = ctc_greedy_decode(out["ctc_log_probs"], out["enc_lengths"])
+    return [int(t) for t in np.array(toks[0, : int(lens[0])])]
+
+
+def test_engine_exact_vs_offline_staggered():
+    """Three streams of different lengths, attached at different times,
+    fed in ragged client-side pieces, finished in a scrambled order —
+    every transcript must equal the offline decode of its own audio."""
+    model, params = _model_and_params()
+    hop = FRONTEND.hop
+    server = StreamingServer(
+        model, params, FRONTEND, n_slots=4, chunk_frames=32
+    )
+
+    rng = np.random.default_rng(3)
+    # Lengths exercise: multi-chunk, sub-chunk (never promoted), and an
+    # odd frame count (canonical-pad branch at finish).
+    lengths = [220 * hop, 17 * hop, 149 * hop + hop // 2]
+    wavs = [rng.normal(0, 0.3, size=n).astype(np.float32) for n in lengths]
+    offline = [_offline_greedy(model, params, w) for w in wavs]
+
+    sids = [server.attach(), server.attach()]  # stream 2 attaches later
+    got = {0: [], 1: [], 2: []}
+    cursors = [0, 0, 0]
+    step = 0
+    while True:
+        # Ragged feeding: each live stream pushes a random-sized piece.
+        for i, sid in enumerate(sids):
+            if sid is None or cursors[i] >= len(wavs[i]):
+                continue
+            n = int(rng.integers(1, 40)) * hop // 2
+            server.feed(sid, wavs[i][cursors[i]:cursors[i] + n])
+            cursors[i] += n
+        if step == 2:
+            sids.append(server.attach())
+            cursors.append(0)
+        for sid_tokens, toks in server.tick().items():
+            idx = next(i for i, s in enumerate(sids) if s == sid_tokens)
+            got[idx].extend(toks)
+        step += 1
+        if all(s is None or c >= len(w)
+               for s, c, w in zip(sids, cursors, wavs)):
+            break
+
+    # Finish in scrambled order; finish() drains remaining chunks.
+    for i in [1, 2, 0]:
+        got[i].extend(server.finish(sids[i]))
+
+    for i in range(3):
+        assert got[i] == offline[i], (i, got[i], offline[i])
+    assert server.free_slots == 4
+
+
+def test_engine_matches_single_session_and_reuses_slots():
+    """Engine output == StreamingASRSession output for the same audio,
+    and slots freed by finish() are reusable by later streams (the new
+    stream's bootstrap overwrites the stale device rows)."""
+    model, params = _model_and_params()
+    hop = FRONTEND.hop
+    server = StreamingServer(
+        model, params, FRONTEND, n_slots=2, chunk_frames=32
+    )
+
+    rng = np.random.default_rng(11)
+    n_waves = 5  # > n_slots: forces reuse
+    wavs = [
+        rng.normal(0, 0.3, size=(96 + 13 * i) * hop).astype(np.float32)
+        for i in range(n_waves)
+    ]
+
+    # Reference: the exact single-stream session.
+    expected = []
+    for w in wavs:
+        sess = StreamingASRSession(model, params, FRONTEND, batch=1)
+        toks = []
+        for i in range(0, len(w), 32 * hop):
+            toks.extend(sess.feed(w[None, i:i + 32 * hop])[0])
+        toks.extend(sess.finish()[0])
+        expected.append(toks)
+
+    # Engine: two concurrent at a time, reusing slots.
+    results = []
+    queue = list(enumerate(wavs))
+    live = {}  # sid -> (idx, cursor, tokens)
+    while queue or live:
+        while queue and server.free_slots:
+            idx, w = queue.pop(0)
+            sid = server.attach()
+            live[sid] = [idx, 0, []]
+        for sid, st in live.items():
+            idx, cur, _ = st
+            server.feed(sid, wavs[idx][cur:cur + 48 * hop])
+            st[1] = cur + 48 * hop
+        for sid, toks in server.tick().items():
+            live[sid][2].extend(toks)
+        for sid in [s for s, st in live.items()
+                    if st[1] >= len(wavs[st[0]])]:
+            idx, _, toks = live.pop(sid)
+            toks.extend(server.finish(sid))
+            results.append((idx, toks))
+
+    for idx, toks in results:
+        assert toks == expected[idx], (idx, toks, expected[idx])
+
+
+def test_engine_full_and_masked_slots():
+    """attach() raises when full; a starved slot (no audio buffered)
+    keeps emitting nothing and its state stays correct through other
+    slots' ticks (masked update)."""
+    model, params = _model_and_params()
+    hop = FRONTEND.hop
+    server = StreamingServer(
+        model, params, FRONTEND, n_slots=2, chunk_frames=32
+    )
+    rng = np.random.default_rng(5)
+    wav_a = rng.normal(0, 0.3, size=128 * hop).astype(np.float32)
+    wav_b = rng.normal(0, 0.3, size=128 * hop).astype(np.float32)
+
+    sid_a = server.attach()
+    sid_b = server.attach()
+    try:
+        server.attach()
+        assert False, "expected RuntimeError when full"
+    except RuntimeError:
+        pass
+
+    got_a, got_b = [], []
+    # Stream B starves (only one early chunk) while A runs many ticks
+    # through the masked batch; B then resumes and must stay exact.
+    server.feed(sid_b, wav_b[: 40 * hop])
+    for i in range(0, len(wav_a), 32 * hop):
+        server.feed(sid_a, wav_a[i:i + 32 * hop])
+        for sid, toks in server.tick().items():
+            (got_a if sid == sid_a else got_b).extend(toks)
+    server.feed(sid_b, wav_b[40 * hop:])
+    for sid, toks in server.tick().items():
+        (got_a if sid == sid_a else got_b).extend(toks)
+    got_a.extend(server.finish(sid_a))
+    got_b.extend(server.finish(sid_b))
+
+    assert got_a == _offline_greedy(model, params, wav_a)
+    assert got_b == _offline_greedy(model, params, wav_b)
