@@ -103,6 +103,85 @@ def load_lm(cfg: ExperimentConfig, tokenizer):
     return lm, params
 
 
+def restore_asr_state(
+    cfg: ExperimentConfig,
+    ckpt_dir: str = "",
+    torch_ckpt: str = "",
+    torch_normalizer: str = "",
+):
+    """Inference-ready (model, state): build a template TrainState and
+    restore either an experiment save dir (top-k averaged by WER, the
+    reference's test-time averaging at train_CTC.py:262-268) or a
+    reference PyTorch checkpoint via models/torch_import.py (the
+    Pretrainer consumption path, train_S2S.py:1235-1236). Shared by
+    recognize.py and serve.py."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mamba_asr_tpu.models.asr import ASRModel
+    from mamba_asr_tpu.training.checkpoint import CheckpointManager
+    from mamba_asr_tpu.training.trainer import (
+        init_train_state,
+        make_optimizer,
+    )
+
+    model = ASRModel(cfg.model)
+    tx = make_optimizer(cfg.train)
+    dummy = {
+        "wav": np.zeros((1, 16000), np.float32),
+        "wav_lens": np.array([16000], np.int32),
+        "tokens_bos": np.zeros((1, 4), np.int32),
+    }
+    state = init_train_state(
+        model, tx, cfg.frontend, jax.random.PRNGKey(0), dummy
+    )
+    if torch_ckpt:
+        import torch
+
+        from mamba_asr_tpu.models.torch_import import (
+            import_normalizer_stats,
+            load_torch_asr,
+        )
+
+        params = jax.tree_util.tree_map(
+            jnp.asarray, load_torch_asr(torch_ckpt, cfg.model)
+        )
+        state = state.replace(params=params)
+        if torch_normalizer:
+            obj = torch.load(torch_normalizer, map_location="cpu",
+                             weights_only=True)
+            mean, std, count = import_normalizer_stats(obj)
+            state = state.replace(
+                normalizer=state.normalizer._replace(
+                    count=jnp.asarray(count, jnp.float32),
+                    mean=jnp.asarray(mean, jnp.float32),
+                    # NormalizerState keeps the Welford m2 = std^2 * n.
+                    m2=jnp.asarray(std.astype(np.float64) ** 2 * count,
+                                   jnp.float32),
+                )
+            )
+    else:
+        if not ckpt_dir:
+            raise SystemExit("need --ckpt_dir or --torch_ckpt")
+        mgr = CheckpointManager(ckpt_dir, keep=cfg.train.keep_checkpoints)
+        restored = mgr.restore_averaged_raw(
+            k=cfg.train.avg_checkpoints, min_key="WER"
+        )
+        if restored is None:
+            raise SystemExit(f"no checkpoints in {ckpt_dir}")
+        from flax import serialization
+
+        avg_params, raw = restored
+        state = state.replace(
+            params=serialization.from_state_dict(state.params, avg_params),
+            normalizer=serialization.from_state_dict(
+                state.normalizer, raw["normalizer"]
+            ),
+        )
+    return model, jax.device_put(state)
+
+
 def run_training(argv: Optional[List[str]] = None) -> Trainer:
     argv = list(argv) if argv is not None else sys.argv[1:]
     if not argv:

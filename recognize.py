@@ -52,75 +52,16 @@ def main():
         ctc_greedy_decode,
         tokens_to_lists,
     )
-    from mamba_asr_tpu.models.asr import ASRModel
-    from mamba_asr_tpu.training.checkpoint import CheckpointManager
-    from mamba_asr_tpu.training.trainer import (
-        compute_features,
-        frame_lengths,
-        init_train_state,
-        make_eval_step,
-        make_optimizer,
-    )
+    from mamba_asr_tpu.cli import restore_asr_state
+    from mamba_asr_tpu.training.trainer import make_eval_step
 
     cfg = load_config(args.config, parse_overrides(extra))
     tok_path = args.tokenizer or f"{cfg.output_folder}/tokenizer_{cfg.data.tokenizer_type}.json"
     tokenizer = load_tokenizer(tok_path)
-    model = ASRModel(cfg.model)
-    tx = make_optimizer(cfg.train)
-
-    # Build a template state, then restore the averaged checkpoint.
-    dummy = {
-        "wav": np.zeros((1, 16000), np.float32),
-        "wav_lens": np.array([16000], np.int32),
-        "tokens_bos": np.zeros((1, 4), np.int32),
-    }
-    state = init_train_state(model, tx, cfg.frontend, jax.random.PRNGKey(0),
-                             dummy)
-    if args.torch_ckpt:
-        import torch
-
-        from mamba_asr_tpu.models.torch_import import (
-            import_normalizer_stats,
-            load_torch_asr,
-        )
-
-        params = jax.tree_util.tree_map(
-            jnp.asarray, load_torch_asr(args.torch_ckpt, cfg.model)
-        )
-        state = state.replace(params=params)
-        if args.torch_normalizer:
-            obj = torch.load(args.torch_normalizer, map_location="cpu",
-                             weights_only=True)
-            mean, std, count = import_normalizer_stats(obj)
-            state = state.replace(
-                normalizer=state.normalizer._replace(
-                    count=jnp.asarray(count, jnp.float32),
-                    mean=jnp.asarray(mean, jnp.float32),
-                    # NormalizerState keeps the Welford m2 = std^2 * n.
-                    m2=jnp.asarray(std.astype(np.float64) ** 2 * count,
-                                   jnp.float32),
-                )
-            )
-    else:
-        if not args.ckpt_dir:
-            raise SystemExit("need --ckpt_dir or --torch_ckpt")
-        mgr = CheckpointManager(args.ckpt_dir,
-                                keep=cfg.train.keep_checkpoints)
-        restored = mgr.restore_averaged_raw(
-            k=cfg.train.avg_checkpoints, min_key="WER"
-        )
-        if restored is None:
-            raise SystemExit(f"no checkpoints in {args.ckpt_dir}")
-        from flax import serialization
-
-        avg_params, raw = restored
-        state = state.replace(
-            params=serialization.from_state_dict(state.params, avg_params),
-            normalizer=serialization.from_state_dict(
-                state.normalizer, raw["normalizer"]
-            ),
-        )
-    state = jax.device_put(state)
+    model, state = restore_asr_state(
+        cfg, ckpt_dir=args.ckpt_dir, torch_ckpt=args.torch_ckpt,
+        torch_normalizer=args.torch_normalizer,
+    )
 
     if args.streaming:
         from mamba_asr_tpu.models.streaming import StreamingASRSession

@@ -189,3 +189,94 @@ def test_engine_full_and_masked_slots():
 
     assert got_a == _offline_greedy(model, params, wav_a)
     assert got_b == _offline_greedy(model, params, wav_b)
+
+
+def test_tcp_server_concurrent_clients():
+    """Loopback TCP: two concurrent clients stream different audio and
+    both get the exact offline transcript (partials + final)."""
+    import threading
+
+    from mamba_asr_tpu.serving.server import AsrTcpServer, StreamingClient
+
+    model, params = _model_and_params()
+    hop = FRONTEND.hop
+    engine = StreamingServer(
+        model, params, FRONTEND, n_slots=2, chunk_frames=32
+    )
+    server = AsrTcpServer(engine, tokenizer=None, port=0)
+    server.start()
+    try:
+        rng = np.random.default_rng(7)
+        wavs = [
+            rng.normal(0, 0.3, size=(150 + 40 * i) * hop).astype(np.float32)
+            for i in range(2)
+        ]
+        offline = [_offline_greedy(model, params, w) for w in wavs]
+        results = [None, None]
+
+        def client_run(i):
+            c = StreamingClient(server.host, server.port)
+            try:
+                sid = c.start()
+                for off in range(0, len(wavs[i]), 40 * hop):
+                    c.send(sid, wavs[i][off:off + 40 * hop])
+                ids, text = c.end(sid)
+                results[i] = (ids, text)
+            finally:
+                c.close()
+
+        threads = [threading.Thread(target=client_run, args=(i,))
+                   for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        for i in range(2):
+            assert results[i] is not None, f"client {i} did not finish"
+            ids, text = results[i]
+            assert ids == offline[i], (i, ids, offline[i])
+            assert text is None  # no tokenizer on this server
+        assert engine.free_slots == 2
+    finally:
+        server.stop()
+
+
+def test_tcp_server_full_and_abandon():
+    """A third start() on a 2-slot server gets an error event; a client
+    that disconnects mid-stream has its slot reclaimed."""
+    from mamba_asr_tpu.serving.server import AsrTcpServer, StreamingClient
+
+    model, params = _model_and_params()
+    hop = FRONTEND.hop
+    engine = StreamingServer(
+        model, params, FRONTEND, n_slots=2, chunk_frames=32
+    )
+    server = AsrTcpServer(engine, tokenizer=None, port=0)
+    server.start()
+    try:
+        c1 = StreamingClient(server.host, server.port)
+        c2 = StreamingClient(server.host, server.port)
+        sid1 = c1.start()
+        c2.start()
+        try:
+            c2.start()
+            assert False, "expected server-full error"
+        except RuntimeError:
+            pass
+        # c2 abandons without end(): its reader-thread cleanup must free
+        # the slot so a new client can attach.
+        c2.close()
+        deadline = __import__("time").time() + 30
+        while engine.free_slots < 1 and __import__("time").time() < deadline:
+            __import__("time").sleep(0.05)
+        assert engine.free_slots >= 1
+
+        # The surviving stream still transcribes exactly.
+        rng = np.random.default_rng(9)
+        wav = rng.normal(0, 0.3, size=120 * hop).astype(np.float32)
+        c1.send(sid1, wav)
+        ids, _ = c1.end(sid1)
+        assert ids == _offline_greedy(model, params, wav)
+        c1.close()
+    finally:
+        server.stop()
