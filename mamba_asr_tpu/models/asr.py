@@ -107,7 +107,9 @@ class ASRConfig:
     mamba: MambaConfig = MambaConfig()
     bidirectional: bool = True
     # nn.scan over encoder layers: O(1)-depth compile time, stacked
-    # parameter layout (conmamba only; streaming requires False).
+    # parameter layout. Streaming (init_streaming_state/encode_chunk)
+    # works in BOTH layouts — scanned stacks scan the per-layer
+    # streaming state alongside the stacked params (models/stacking.py).
     scan_layers: bool = False
     # Recompute encoder-layer activations in the backward pass (with
     # scan_layers): trades ~30% step time for O(1)-in-depth activation

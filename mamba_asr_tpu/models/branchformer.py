@@ -456,13 +456,21 @@ class BranchformerEncoder(nn.Module):
     # -- streaming ---------------------------------------------------------
 
     def init_stream_state(self, batch: int, dtype=jnp.float32):
-        assert not self.scan_layers, (
-            "streaming uses the unrolled stack (scan_layers=False); "
-            "convert params with models.params_convert"
-        )
+        if self.scan_layers:
+            from mamba_asr_tpu.models.stacking import scanned_stream_state
+
+            return scanned_stream_state(
+                BranchformerEncoderLayer, self._layer_kwargs(),
+                self.num_layers, batch, dtype,
+            )
         return [l.init_stream_state(batch, dtype) for l in self.layers]
 
     def forward_chunk(self, x: Array, state) -> Tuple[Array, list]:
+        if self.scan_layers:
+            from mamba_asr_tpu.models.stacking import stream_chunk_scanned
+
+            x, new_state = stream_chunk_scanned(self.stack, x, state)
+            return self.norm(x), new_state
         new_state = []
         for layer, s in zip(self.layers, state):
             x, s2 = layer.forward_chunk(x, s)

@@ -2,9 +2,11 @@
 
 `scan_layers=True` stacks every layer parameter along a leading depth
 axis (one nn.scan body); `scan_layers=False` keeps per-layer subtrees
-`layer_0..layer_{N-1}`. Checkpoints trained in one layout convert to the
-other with these utilities — e.g. train with scan (fast compiles), then
-unroll for streaming inference (`init_stream_state` requires unrolled).
+`layer_0..layer_{N-1}`. Checkpoints trained in one layout convert to
+the other with these utilities. (Streaming works in both layouts —
+models/stacking.py scans the per-layer streaming state alongside the
+stacked params — so conversion is only needed to move checkpoints
+between differently-configured experiments.)
 """
 
 from __future__ import annotations

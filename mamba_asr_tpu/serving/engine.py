@@ -110,17 +110,39 @@ class StreamingServer:
         normalizer: Optional[NormalizerState] = None,
         n_slots: int = 8,
         chunk_frames: int = 64,
+        mesh=None,
     ):
         assert chunk_frames % model.cfg.downsample == 0, (
             "chunk_frames must be a multiple of the frontend downsample "
             f"factor {model.cfg.downsample}"
         )
         self.model = model
-        self.params = params
         self.frontend = frontend
         self.normalizer = normalizer
         self.n_slots = n_slots
         self.chunk_frames = chunk_frames
+        # Multi-chip serving: shard the slot batch over the mesh's
+        # "data" axis (pure data parallelism — the tick has no
+        # cross-slot ops, so XLA partitions it with zero collectives;
+        # capacity scales linearly in devices). Params replicate.
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_data = mesh.shape["data"]
+            assert n_slots % n_data == 0, (
+                f"n_slots {n_slots} must divide over the data axis "
+                f"({n_data} devices)"
+            )
+            self._slot_sharding = NamedSharding(mesh, P("data"))
+            self._repl_sharding = NamedSharding(mesh, P())
+        self.params = params
+        # Params replica for the slot-batched tick (the batch=1
+        # bootstrap/finish sessions stay on the default device).
+        self._tick_params = (
+            jax.device_put(params, self._repl_sharding)
+            if mesh is not None else params
+        )
         self.hop = frontend.hop
         self.chunk_samples = chunk_frames * self.hop
         win = int(round(frontend.sample_rate * frontend.win_length_ms / 1000))
@@ -167,6 +189,11 @@ class StreamingServer:
             "carry": tuple(tile(c) for c in tmpl.fe_stream.carry),
             "enc": enc0,
         }
+        if mesh is not None:
+            self._state_shardings = jax.tree_util.tree_map(
+                lambda _: self._slot_sharding, self._state
+            )
+            self._state = jax.device_put(self._state, self._state_shardings)
 
         self._tick_fn = self._build_tick()
 
@@ -353,8 +380,12 @@ class StreamingServer:
             for slot in steady:
                 audio[slot] = self._bufs[slot].pop(self.chunk_samples)
                 mask[slot] = True
+            audio_d, mask_d = jnp.asarray(audio), jnp.asarray(mask)
+            if self.mesh is not None:
+                audio_d = jax.device_put(audio_d, self._slot_sharding)
+                mask_d = jax.device_put(mask_d, self._slot_sharding)
             best, self._state = self._tick_fn(
-                self.params, self._state, jnp.asarray(audio), jnp.asarray(mask)
+                self._tick_params, self._state, audio_d, mask_d
             )
             best = np.asarray(best)
             for slot in steady:
@@ -375,13 +406,22 @@ class StreamingServer:
             "carry": tuple(jnp.asarray(c) for c in sess.fe_stream.carry),
             "enc": sess.enc_state,
         }
+        if self.mesh is not None:
+            # Replicate the batch=1 row so the insert's operands share a
+            # device set; re-pin the result to the canonical slot layout.
+            slot_state = jax.device_put(slot_state, self._repl_sharding)
         self._state = self._insert(
             self._state, slot_state, jnp.int32(slot)
         )
+        if self.mesh is not None:
+            self._state = jax.device_put(self._state, self._state_shardings)
         self._promoted[slot] = True
 
     def _demote(self, slot: int) -> None:
         st = self._extract(self._state, jnp.int32(slot))
+        if self.mesh is not None:
+            # Hand the row back to the default-device batch=1 session.
+            st = jax.device_put(st, jax.devices()[0])
         sess = self._sessions[slot]
         sess.audio_tail = np.asarray(st["tail"])
         sess.fe_stream.carry = list(st["carry"])
@@ -413,3 +453,15 @@ class StreamingServer:
         self._sid_of_slot[slot] = None
         del self._slot_of_sid[sid]
         return out
+
+    def abort(self, sid: int) -> None:
+        """Drop stream `sid` immediately and free its slot — host-only,
+        no device work (an abandoned client must not cost a flush
+        dispatch). The slot's device-state row goes stale; the next
+        occupant's _promote() overwrites it before any tick reads it."""
+        slot = self._slot_of_sid.pop(sid)
+        self._sessions[slot] = None
+        self._sid_of_slot[slot] = None
+        self._bufs[slot] = _SlotBuffer()
+        self._promoted[slot] = False
+        self._pending.pop(sid, None)

@@ -190,11 +190,13 @@ class AsrTcpServer:
                     self._send(conn, {"event": "error",
                                       "msg": f"unknown op {op!r}"})
         finally:
-            # Free any streams the client abandoned.
+            # Free any streams the client abandoned — abort, not finish:
+            # slot reclaim is host-only and immediate, with no flush
+            # dispatch spent on a client that will never read the result.
             for sid in sids_here:
                 with self._lock:
                     try:
-                        self.engine.finish(sid)
+                        self.engine.abort(sid)
                     except KeyError:
                         pass
                 self._conn_of_sid.pop(sid, None)
@@ -223,7 +225,10 @@ class StreamingClient:
 
     def _read_loop(self) -> None:
         while True:
-            frame = recv_frame(self.sock)
+            try:
+                frame = recv_frame(self.sock)
+            except OSError:
+                return  # local close() while blocked in recv
             if frame is None:
                 return
             msg, _ = frame

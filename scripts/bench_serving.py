@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--chunk_frames", type=int, default=64)
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 compute (serving-realistic)")
+    ap.add_argument("--scan_layers", action="store_true",
+                    help="nn.scan layer stack (O(1)-depth compile — "
+                         "required for deep encoders over the "
+                         "remote-compile tunnel)")
     ap.add_argument("--k", type=int, nargs=2, default=[8, 40],
                     metavar=("K1", "K2"), help="tick counts to difference")
     args = ap.parse_args()
@@ -55,6 +59,7 @@ def main():
         kernel_size=31, causal=True, bidirectional=False,
         mamba=MambaConfig(d_state=16, d_conv=4, expand=2),
         compute_dtype="bfloat16" if args.bf16 else "float32",
+        scan_layers=args.scan_layers,
     )
     frontend = FrontendConfig()
     model = ASRModel(cfg)

@@ -73,6 +73,9 @@ def main() -> None:
     p.add_argument("--port", type=int, default=7353)
     p.add_argument("--slots", type=int, default=8,
                    help="concurrent-stream capacity (compiled batch size)")
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="shard the slot batch over N devices "
+                        "(multi-chip serving; 0 = single device)")
     p.add_argument("--chunk_frames", type=int, default=64,
                    help="feature frames per stream per tick (64 = 640 ms)")
     args, extra = p.parse_known_args()
@@ -110,10 +113,19 @@ def main() -> None:
               "chunk-approximate, not offline-exact (use causal: true "
               "for the exactness contract)", file=sys.stderr)
 
+    mesh = None
+    if args.data_parallel > 1:
+        from mamba_asr_tpu.parallel.mesh import make_mesh
+        import jax
+
+        mesh = make_mesh(
+            data=args.data_parallel,
+            devices=jax.devices()[: args.data_parallel],
+        )
     engine = StreamingServer(
         model, {"params": state.params}, cfg.frontend,
         normalizer=state.normalizer, n_slots=args.slots,
-        chunk_frames=args.chunk_frames,
+        chunk_frames=args.chunk_frames, mesh=mesh,
     )
     server = AsrTcpServer(engine, tokenizer=tokenizer,
                           host=args.host, port=args.port)

@@ -191,6 +191,84 @@ def test_engine_full_and_masked_slots():
     assert got_b == _offline_greedy(model, params, wav_b)
 
 
+def test_engine_sharded_over_mesh_matches_unsharded():
+    """Multi-chip serving: the slot batch sharded over an 8-device
+    "data" mesh emits exactly what the single-device engine emits, and
+    the device state is actually distributed (pure slot-parallel tick:
+    zero collectives, capacity scales with devices)."""
+    from mamba_asr_tpu.parallel.mesh import make_mesh
+
+    model, params = _model_and_params()
+    hop = FRONTEND.hop
+    mesh = make_mesh()  # 8x1x1x1 over the virtual CPU devices
+    kw = dict(n_slots=8, chunk_frames=32)
+    ref = StreamingServer(model, params, FRONTEND, **kw)
+    sh = StreamingServer(model, params, FRONTEND, mesh=mesh, **kw)
+    assert len(sh._state["tail"].sharding.device_set) == 8
+
+    rng = np.random.default_rng(21)
+    wavs = [
+        rng.normal(0, 0.3, size=(100 + 17 * i) * hop).astype(np.float32)
+        for i in range(5)
+    ]
+    outs = []
+    for server in (ref, sh):
+        sids = [server.attach() for _ in wavs]
+        got = {s: [] for s in sids}
+        for off in range(0, max(len(w) for w in wavs), 32 * hop):
+            for sid, w in zip(sids, wavs):
+                server.feed(sid, w[off:off + 32 * hop])
+            for sid, toks in server.tick().items():
+                got[sid].extend(toks)
+        for sid in sids:
+            got[sid].extend(server.finish(sid))
+        outs.append([got[s] for s in sids])
+    assert outs[0] == outs[1]
+    assert outs[0][0] == _offline_greedy(model, params, wavs[0])
+
+
+def test_engine_abort_frees_slot_and_reuse_is_exact():
+    """abort() reclaims a slot with zero device work — even mid-flight
+    on a promoted stream — and the next occupant of that slot still
+    transcribes exactly (its promote overwrites the stale state row)."""
+    model, params = _model_and_params()
+    hop = FRONTEND.hop
+    server = StreamingServer(
+        model, params, FRONTEND, n_slots=2, chunk_frames=32
+    )
+    rng = np.random.default_rng(17)
+    wav_keep = rng.normal(0, 0.3, size=130 * hop).astype(np.float32)
+    wav_new = rng.normal(0, 0.3, size=110 * hop).astype(np.float32)
+
+    sid_keep, sid_dead = server.attach(), server.attach()
+    assert server.free_slots == 0
+    # Promote both streams (two chunks each), then abandon one.
+    got_keep = []
+    for off in range(0, 64 * hop, 32 * hop):
+        server.feed(sid_keep, wav_keep[off:off + 32 * hop])
+        server.feed(sid_dead, wav_keep[off:off + 32 * hop])
+        for sid, toks in server.tick().items():
+            if sid == sid_keep:
+                got_keep.extend(toks)
+    server.abort(sid_dead)
+    assert server.free_slots == 1
+
+    # The freed slot serves a fresh stream exactly, while the survivor
+    # keeps streaming its own audio to the exact transcript.
+    sid_new = server.attach()
+    got_new = []
+    for off in range(0, len(wav_new), 32 * hop):
+        server.feed(sid_new, wav_new[off:off + 32 * hop])
+        server.feed(sid_keep, wav_keep[64 * hop + off:64 * hop + off + 32 * hop])
+        for sid, toks in server.tick().items():
+            (got_new if sid == sid_new else got_keep).extend(toks)
+    got_new.extend(server.finish(sid_new))
+    got_keep.extend(server.finish(sid_keep))
+    assert got_new == _offline_greedy(model, params, wav_new)
+    assert got_keep == _offline_greedy(model, params, wav_keep)
+    assert server.free_slots == 2
+
+
 def test_tcp_server_concurrent_clients():
     """Loopback TCP: two concurrent clients stream different audio and
     both get the exact offline transcript (partials + final)."""

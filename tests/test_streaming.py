@@ -360,3 +360,74 @@ def test_bidirectional_streaming_divergence_shrinks_with_chunk():
     # (trained checkpoints score far lower - the bench script measures
     # WER-level agreement there).
     assert divs[64] < 0.35, divs
+
+
+def test_scanned_causal_conmamba_streaming_exact():
+    """scan_layers=True streaming (stacked params, scanned per-layer
+    state — models/stacking.py): chunked must equal the full forward
+    for the causal config, just like the unrolled stack."""
+    enc = ConmambaEncoder(
+        num_layers=3, d_model=8, d_ffn=16, kernel_size=7,
+        causal=True, bidirectional=False, mamba_cfg=MCFG, dropout=0.0,
+        scan_layers=True,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 24, 8))
+    params = enc.init(jax.random.PRNGKey(1), x)
+    full = enc.apply(params, x)
+
+    state = enc.apply(params, 2, method=ConmambaEncoder.init_stream_state)
+    # Scanned stream-state leaves stay batch-leading: (B, L, ...).
+    leaf = jax.tree_util.tree_leaves(state)[0]
+    assert leaf.shape[:2] == (2, 3)
+    outs = []
+    for c in range(3):
+        y, state = enc.apply(
+            params, x[:, c * 8 : (c + 1) * 8], state,
+            method=ConmambaEncoder.forward_chunk,
+        )
+        outs.append(y)
+    stream = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(full, stream, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("which", ["conmamba", "conformer", "branchformer"])
+def test_scanned_streaming_matches_unrolled(which):
+    """The scanned stack's forward_chunk must reproduce the unrolled
+    stack's chunk-for-chunk on identical weights (converted with
+    models/params_convert) — streaming is layout-independent."""
+    from mamba_asr_tpu.models.branchformer import BranchformerEncoder
+    from mamba_asr_tpu.models.params_convert import scanned_to_unrolled
+
+    n_layers = 2
+    if which == "conmamba":
+        mk = lambda scan: ConmambaEncoder(  # noqa: E731
+            num_layers=n_layers, d_model=8, d_ffn=16, kernel_size=7,
+            causal=False, bidirectional=True, mamba_cfg=MCFG,
+            dropout=0.0, scan_layers=scan,
+        )
+    elif which == "conformer":
+        mk = lambda scan: ConformerEncoder(  # noqa: E731
+            num_layers=n_layers, d_model=8, d_ffn=16, nhead=2,
+            kernel_size=7, dropout=0.0, left_context_frames=8,
+            scan_layers=scan,
+        )
+    else:
+        mk = lambda scan: BranchformerEncoder(  # noqa: E731
+            num_layers=n_layers, d_model=8, nhead=2, kernel_size=7,
+            csgu_linear_units=16, dropout=0.0, left_context_frames=8,
+            scan_layers=scan,
+        )
+    enc_s, enc_u = mk(True), mk(False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 8))
+    params_s = enc_s.init(jax.random.PRNGKey(1), x)
+    params_u = {"params": scanned_to_unrolled(params_s["params"], n_layers)}
+
+    st_s = enc_s.apply(params_s, 2, method=type(enc_s).init_stream_state)
+    st_u = enc_u.apply(params_u, 2, method=type(enc_u).init_stream_state)
+    for c in range(2):
+        chunk = x[:, c * 8 : (c + 1) * 8]
+        y_s, st_s = enc_s.apply(params_s, chunk, st_s,
+                                method=type(enc_s).forward_chunk)
+        y_u, st_u = enc_u.apply(params_u, chunk, st_u,
+                                method=type(enc_u).forward_chunk)
+        np.testing.assert_allclose(y_s, y_u, rtol=1e-5, atol=1e-6)
