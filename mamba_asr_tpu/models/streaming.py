@@ -246,6 +246,7 @@ class StreamingASRSession:
         batch: int = 1,
         collect_log_probs: bool = False,
         shared: Optional["StreamingASRSession"] = None,
+        enc_sink: Optional[List] = None,
     ):
         self.model = model
         self.params = params
@@ -276,6 +277,11 @@ class StreamingASRSession:
         # measurement: divergence vs the offline forward).
         self.collect_log_probs = collect_log_probs
         self.log_probs: List[np.ndarray] = []
+        # Optional encoder-output sink: every emitted enc chunk is
+        # appended as (B, T_chunk, d) — the serving engine's final-pass
+        # beam decode accumulates the whole utterance's encoder states
+        # through this (serving/engine.py finish_final).
+        self.enc_sink = enc_sink
         # Offline-equivalence accounting: center-framing yields
         # S//hop + 1 frames for S samples; finish() pads zeros to emit
         # exactly the remainder (the offline right center-padding).
@@ -346,11 +352,13 @@ class StreamingASRSession:
         returns per-frame best tokens (or None when nothing emitted)."""
         if fe_out is None or fe_out.shape[1] == 0:
             return None
-        _, best, lp, self.enc_state = self._enc_fn(
+        enc, best, lp, self.enc_state = self._enc_fn(
             self.params, fe_out, self.enc_state
         )
         if self.collect_log_probs:
             self.log_probs.append(np.array(lp))
+        if self.enc_sink is not None:
+            self.enc_sink.append(np.asarray(enc))
         return np.array(best)
 
     def _collapse(self, best: Optional[np.ndarray]) -> List[List[int]]:

@@ -111,7 +111,11 @@ class StreamingServer:
         n_slots: int = 8,
         chunk_frames: int = 64,
         mesh=None,
+        final_decode: Optional[str] = None,
+        beam_size: int = 8,
+        decode_opts: Optional[dict] = None,
     ):
+        assert final_decode in (None, "ctc_beam", "s2s")
         assert chunk_frames % model.cfg.downsample == 0, (
             "chunk_frames must be a multiple of the frontend downsample "
             f"factor {model.cfg.downsample}"
@@ -225,6 +229,54 @@ class StreamingServer:
         self._next_sid = 0
         self._pending: Dict[int, List[int]] = {}
 
+        # Final-pass beam decode: accumulate every stream's encoder
+        # states (host-side, in compute dtype) and beam-decode the whole
+        # utterance at finish_final() — streamed greedy partials for
+        # latency, one accurate final transcript for quality. "ctc_beam"
+        # runs the on-device prefix beam (decoding/ctc_beam.py); "s2s"
+        # the joint attention/CTC(+LM) searcher (decoding/s2s_beam.py).
+        self.final_decode = final_decode
+        self.beam_size = beam_size
+        self._decode_opts = dict(decode_opts or {})
+        self._enc_acc: List[Optional[List[np.ndarray]]] = [None] * n_slots
+        if final_decode == "ctc_beam":
+            from mamba_asr_tpu.decoding.ctc_beam import ctc_beam_search
+
+            prune = {
+                k: self._decode_opts[k]
+                for k in ("beam_prune_logp", "token_prune_min_logp")
+                if k in self._decode_opts
+            }
+
+            @jax.jit
+            def final_ctc(params, enc, lens):
+                ctc = model.apply(
+                    params, enc.astype(jnp.float32),
+                    method=lambda m_, e_: m_.ctc_head(e_),
+                )
+                lp = jax.nn.log_softmax(ctc, -1)
+                return ctc_beam_search(
+                    lp, lens, beam_size=beam_size, **prune
+                )
+
+            self._final_ctc = final_ctc
+        elif final_decode == "s2s":
+            from mamba_asr_tpu.decoding.s2s_beam import S2SBeamSearcher
+
+            self._s2s_searcher = S2SBeamSearcher(
+                model, beam_size=beam_size, **self._decode_opts
+            )
+
+            @jax.jit
+            def ctc_lp(params, enc):
+                ctc = model.apply(
+                    params, enc.astype(jnp.float32),
+                    method=lambda m_, e_: m_.ctc_head(e_),
+                )
+                return jax.nn.log_softmax(ctc, -1)
+
+            self._ctc_lp = ctc_lp
+
     # ------------------------------------------------------------------
     @staticmethod
     def _state_shapes(sess: StreamingASRSession):
@@ -304,7 +356,7 @@ class StreamingServer:
                 m_ = mask.reshape((-1,) + (1,) * (new.ndim - 1))
                 return jnp.where(m_, new, old)
 
-            return best, jax.tree_util.tree_map(keep, new_state, state)
+            return best, enc, jax.tree_util.tree_map(keep, new_state, state)
 
         return tick
 
@@ -319,9 +371,14 @@ class StreamingServer:
             if s is None:
                 sid = self._next_sid
                 self._next_sid += 1
+                acc: Optional[List[np.ndarray]] = (
+                    [] if self.final_decode is not None else None
+                )
+                self._enc_acc[slot] = acc
                 self._sessions[slot] = StreamingASRSession(
                     self.model, self.params, self.frontend, self.normalizer,
                     self.chunk_frames, batch=1, shared=self._proto,
+                    enc_sink=acc,
                 )
                 self._bufs[slot] = _SlotBuffer()
                 self._promoted[slot] = False
@@ -384,14 +441,19 @@ class StreamingServer:
             if self.mesh is not None:
                 audio_d = jax.device_put(audio_d, self._slot_sharding)
                 mask_d = jax.device_put(mask_d, self._slot_sharding)
-            best, self._state = self._tick_fn(
+            best, enc, self._state = self._tick_fn(
                 self._tick_params, self._state, audio_d, mask_d
             )
             best = np.asarray(best)
+            enc_np = (
+                np.asarray(enc) if self.final_decode is not None else None
+            )
             for slot in steady:
                 sess = self._sessions[slot]
                 sess._samples_fed += self.chunk_samples
                 sess._frames_done += self.chunk_frames
+                if enc_np is not None:
+                    self._enc_acc[slot].append(enc_np[slot:slot + 1])
                 toks = sess._collapse(best[slot:slot + 1])[0]
                 if toks:
                     emitted.setdefault(
@@ -454,6 +516,46 @@ class StreamingServer:
         del self._slot_of_sid[sid]
         return out
 
+    def finish_final(self, sid: int):
+        """Flush stream `sid` exactly like finish(), then beam-decode the
+        accumulated whole-utterance encoder states with the configured
+        final pass. Returns (greedy_tail_ids, final_ids): the streamed
+        greedy partials + tail give low-latency output; final_ids is the
+        single accurate whole-utterance transcript.
+
+        T is bucketed up to a multiple of 128 encoder frames (true
+        length passed separately), so distinct utterance lengths share a
+        small set of compiled decodes."""
+        assert self.final_decode is not None, (
+            "engine built without final_decode"
+        )
+        slot = self._slot_of_sid[sid]
+        acc = self._enc_acc[slot]
+        tail = self.finish(sid)  # flush; the session's enc_sink catches
+        self._enc_acc[slot] = None  # the bootstrap/flush chunks
+        if not acc:
+            return tail, []
+        enc = np.concatenate(acc, axis=1)  # (1, T, d), compute dtype
+        t = enc.shape[1]
+        tb = -(-t // 128) * 128
+        enc_p = jnp.asarray(
+            np.concatenate(
+                [enc, np.zeros((1, tb - t, enc.shape[2]), enc.dtype)],
+                axis=1,
+            )
+        )
+        lens = jnp.asarray([t], jnp.int32)
+        if self.final_decode == "ctc_beam":
+            toks, out_lens = self._final_ctc(self.params, enc_p, lens)
+        else:
+            toks, out_lens, _ = self._s2s_searcher(
+                self.params, enc_p, lens,
+                ctc_log_probs=self._ctc_lp(self.params, enc_p),
+            )
+        final = [int(x) for x in
+                 np.asarray(toks[0])[: int(np.asarray(out_lens[0]))]]
+        return tail, final
+
     def abort(self, sid: int) -> None:
         """Drop stream `sid` immediately and free its slot — host-only,
         no device work (an abandoned client must not cost a flush
@@ -464,4 +566,5 @@ class StreamingServer:
         self._sid_of_slot[slot] = None
         self._bufs[slot] = _SlotBuffer()
         self._promoted[slot] = False
+        self._enc_acc[slot] = None
         self._pending.pop(sid, None)

@@ -175,16 +175,26 @@ class AsrTcpServer:
                         self.engine.feed(msg["sid"], samples)
                 elif op == "end":
                     sid = msg["sid"]
+                    final_ids = None
                     with self._lock:
-                        tail = self.engine.finish(sid)
+                        if self.engine.final_decode is not None:
+                            tail, final_ids = self.engine.finish_final(sid)
+                        else:
+                            tail = self.engine.finish(sid)
                         all_ids = self._ids_of_sid.pop(sid, []) + tail
                     self._conn_of_sid.pop(sid, None)
                     if sid in sids_here:
                         sids_here.remove(sid)
                     out = {"event": "tokens", "sid": sid, "ids": tail,
                            "final": True}
+                    if final_ids is not None:
+                        # Whole-utterance final-pass beam transcript —
+                        # supersedes the streamed greedy partials.
+                        out["ids_final"] = final_ids
                     if self.tokenizer is not None:
-                        out["text"] = self.tokenizer.decode(all_ids)
+                        out["text"] = self.tokenizer.decode(
+                            final_ids if final_ids is not None else all_ids
+                        )
                     self._send(conn, out)
                 else:
                     self._send(conn, {"event": "error",
@@ -216,6 +226,7 @@ class StreamingClient:
         self._start_evt = threading.Event()
         self._partials: Dict[int, List[int]] = {}
         self._final: Dict[int, List[int]] = {}
+        self._final_beam: Dict[int, Optional[List[int]]] = {}
         self._text: Dict[int, Optional[str]] = {}
         self._final_evt: Dict[int, threading.Event] = {}
         self._error: Optional[str] = None
@@ -240,6 +251,7 @@ class StreamingClient:
                 sid = msg["sid"]
                 if msg.get("final"):
                     self._final[sid] = msg["ids"]
+                    self._final_beam[sid] = msg.get("ids_final")
                     self._text[sid] = msg.get("text")
                     self._final_evt.setdefault(sid, threading.Event()).set()
                 else:
@@ -272,11 +284,17 @@ class StreamingClient:
         return list(self._partials.get(sid, []))
 
     def end(self, sid: int, timeout: float = 600.0):
-        """Finish the stream; returns (all_token_ids, text_or_None)."""
+        """Finish the stream; returns (all_token_ids, text_or_None).
+        When the server runs a final-pass beam decode, the returned ids
+        are its whole-utterance transcript (superseding the streamed
+        greedy partials)."""
         self._send({"op": "end", "sid": sid})
         if not self._final_evt[sid].wait(timeout):
             raise TimeoutError("no final reply")
+        beam = self._final_beam.pop(sid, None)
         ids = self._partials.pop(sid, []) + self._final.pop(sid)
+        if beam is not None:
+            ids = beam
         return ids, self._text.pop(sid)
 
     def close(self) -> None:

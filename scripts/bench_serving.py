@@ -89,26 +89,34 @@ def main():
         tick = server._tick_fn
 
         def k_ticks(k):
-            def body(st, i):
-                best, st2 = tick(params, st,
-                                 audio + 1e-9 * i.astype(jnp.float32), mask)
-                return st2, best[:, 0]
+            # params/audio/mask enter as ARGUMENTS: a closure capture
+            # would inline all 80M params as dense HLO constants
+            # (~324 MB serialized) and blow the remote-compile
+            # endpoint's request-size limit (HTTP 413).
+            def body(carry, i):
+                p, st = carry
+                best, _, st2 = tick(p, st,
+                                    audio + 1e-9 * i.astype(jnp.float32),
+                                    mask)
+                return (p, st2), best[:, 0]
             return jax.jit(
-                lambda st: jax.lax.scan(body, st, jnp.arange(k))[1]
+                lambda p, st: jax.lax.scan(
+                    body, (p, st), jnp.arange(k)
+                )[1]
             )
 
         k1, k2 = args.k
         run1, run2 = k_ticks(k1), k_ticks(k2)
         st = server._state
         t0 = time.perf_counter()
-        _ = np.asarray(run1(st)).sum()  # compile + one-time warmup
-        _ = np.asarray(run2(st)).sum()
+        _ = np.asarray(run1(params, st)).sum()  # compile + 1-time warmup
+        _ = np.asarray(run2(params, st)).sum()
         print(f"  [slots={n_slots}] compile+warmup "
               f"{time.perf_counter() - t0:.0f}s", flush=True)
 
         def timed(run):
             t0 = time.perf_counter()
-            _ = np.asarray(run(st)).sum()  # device->host sync
+            _ = np.asarray(run(params, st)).sum()  # device->host sync
             return time.perf_counter() - t0
 
         t1 = min(timed(run1) for _ in range(3))

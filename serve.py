@@ -78,6 +78,12 @@ def main() -> None:
                         "(multi-chip serving; 0 = single device)")
     p.add_argument("--chunk_frames", type=int, default=64,
                    help="feature frames per stream per tick (64 = 640 ms)")
+    p.add_argument("--final", choices=["none", "ctc_beam", "s2s"],
+                   default="none",
+                   help="final-pass decode at stream end: whole-"
+                        "utterance beam over the accumulated encoder "
+                        "states (partials stay greedy)")
+    p.add_argument("--final_beam_size", type=int, default=8)
     args, extra = p.parse_known_args()
 
     if args.connect:
@@ -126,6 +132,8 @@ def main() -> None:
         model, {"params": state.params}, cfg.frontend,
         normalizer=state.normalizer, n_slots=args.slots,
         chunk_frames=args.chunk_frames, mesh=mesh,
+        final_decode=None if args.final == "none" else args.final,
+        beam_size=args.final_beam_size,
     )
     server = AsrTcpServer(engine, tokenizer=tokenizer,
                           host=args.host, port=args.port)

@@ -358,3 +358,102 @@ def test_tcp_server_full_and_abandon():
         c1.close()
     finally:
         server.stop()
+
+
+def test_engine_final_ctc_beam_matches_offline_beam():
+    """final_decode='ctc_beam': the whole-utterance final transcript
+    must equal the offline prefix-beam decode of the same audio (the
+    accumulated streamed encoder states == the offline encoder states
+    for causal configs), while the streamed greedy partials keep
+    flowing unchanged."""
+    from mamba_asr_tpu.decoding.ctc_beam import ctc_beam_search
+
+    model, params = _model_and_params()
+    hop = FRONTEND.hop
+
+    def offline_beam(wav):
+        feats = fb.log_mel_spectrogram(
+            jnp.asarray(wav[None]), n_fft=FRONTEND.n_fft,
+            n_mels=FRONTEND.n_mels, win_length_ms=FRONTEND.win_length_ms,
+        )
+        extra = (-feats.shape[1]) % model.cfg.downsample
+        feats = jnp.pad(feats, ((0, 0), (0, extra), (0, 0)))
+        out = model.apply(params, feats, jnp.array([feats.shape[1]]))
+        toks, lens = ctc_beam_search(
+            out["ctc_log_probs"], out["enc_lengths"], beam_size=4
+        )
+        return [int(t) for t in np.array(toks[0, : int(lens[0])])]
+
+    server = StreamingServer(
+        model, params, FRONTEND, n_slots=2, chunk_frames=32,
+        final_decode="ctc_beam", beam_size=4,
+    )
+    rng = np.random.default_rng(23)
+    wavs = [rng.normal(0, 0.3, size=(90 + 31 * i) * hop).astype(np.float32)
+            for i in range(2)]
+    sids = [server.attach() for _ in wavs]
+    greedy = {s: [] for s in sids}
+    for off in range(0, max(len(w) for w in wavs), 32 * hop):
+        for sid, w in zip(sids, wavs):
+            server.feed(sid, w[off:off + 32 * hop])
+        for sid, toks in server.tick().items():
+            greedy[sid].extend(toks)
+    for sid, wav in zip(sids, wavs):
+        tail, final = server.finish_final(sid)
+        greedy[sid].extend(tail)
+        assert final == offline_beam(wav), (final, offline_beam(wav))
+        # Streamed greedy partials are the usual exact greedy stream.
+        assert greedy[sid] == _offline_greedy(model, params, wav)
+    assert server.free_slots == 2
+
+
+def test_engine_final_s2s_beam():
+    """final_decode='s2s': the joint attention/CTC beam runs over the
+    accumulated encoder states at finish and must reproduce the offline
+    searcher's transcript on the same audio."""
+    from mamba_asr_tpu.decoding.s2s_beam import S2SBeamSearcher
+
+    cfg = ASRConfig(
+        vocab_size=9, n_mels=20, d_model=8, nhead=2,
+        num_encoder_layers=2, num_decoder_layers=1, d_ffn=16,
+        dropout=0.0, encoder_module="conmamba", decoder_module="mamba",
+        kernel_size=7, causal=True, bidirectional=False, mamba=MCFG,
+    )
+    model = ASRModel(cfg)
+    feats0 = jnp.zeros((1, 16, cfg.n_mels), jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(1), feats0, jnp.array([16]),
+        tokens_bos=jnp.zeros((1, 4), jnp.int32),
+    )
+    hop = FRONTEND.hop
+    opts = dict(ctc_weight=0.3, ctc_candidates=4, max_steps_cap=8)
+
+    def offline_s2s(wav):
+        feats = fb.log_mel_spectrogram(
+            jnp.asarray(wav[None]), n_fft=FRONTEND.n_fft,
+            n_mels=FRONTEND.n_mels, win_length_ms=FRONTEND.win_length_ms,
+        )
+        extra = (-feats.shape[1]) % model.cfg.downsample
+        feats = jnp.pad(feats, ((0, 0), (0, extra), (0, 0)))
+        out = model.apply(params, feats, jnp.array([feats.shape[1]]))
+        enc, lens = out["enc_out"], out["enc_lengths"]
+        t = enc.shape[1]
+        tb = -(-t // 128) * 128  # engine's T bucket
+        enc = jnp.pad(enc, ((0, 0), (0, tb - t), (0, 0)))
+        lp = jnp.pad(out["ctc_log_probs"], ((0, 0), (0, tb - t), (0, 0)))
+        searcher = S2SBeamSearcher(model, beam_size=3, **opts)
+        toks, hyplens, _ = searcher(params, enc, lens, ctc_log_probs=lp)
+        return [int(x) for x in np.array(toks[0, : int(hyplens[0])])]
+
+    server = StreamingServer(
+        model, params, FRONTEND, n_slots=1, chunk_frames=32,
+        final_decode="s2s", beam_size=3, decode_opts=opts,
+    )
+    rng = np.random.default_rng(29)
+    wav = rng.normal(0, 0.3, size=100 * hop).astype(np.float32)
+    sid = server.attach()
+    for off in range(0, len(wav), 32 * hop):
+        server.feed(sid, wav[off:off + 32 * hop])
+        server.tick()
+    _, final = server.finish_final(sid)
+    assert final == offline_s2s(wav), (final, offline_s2s(wav))
