@@ -38,6 +38,7 @@ stream and frees its slot.
 
 from __future__ import annotations
 
+import time as _time
 from typing import Dict, List, Optional
 
 import jax
@@ -239,6 +240,16 @@ class StreamingServer:
         self.beam_size = beam_size
         self._decode_opts = dict(decode_opts or {})
         self._enc_acc: List[Optional[List[np.ndarray]]] = [None] * n_slots
+
+        # Aggregate serving counters (host-only; see stats()).
+        self._n_ticks = 0
+        self._n_batched_rows = 0
+        self._n_attached = 0
+        self._n_finished = 0
+        self._n_aborted = 0
+        self._audio_samples_in = 0
+        self._tokens_out = 0
+        self._tick_seconds = 0.0
         if final_decode == "ctc_beam":
             from mamba_asr_tpu.decoding.ctc_beam import ctc_beam_search
 
@@ -384,11 +395,13 @@ class StreamingServer:
                 self._promoted[slot] = False
                 self._sid_of_slot[slot] = sid
                 self._slot_of_sid[sid] = slot
+                self._n_attached += 1
                 return sid
         raise RuntimeError(f"server full ({self.n_slots} slots)")
 
     def feed(self, sid: int, samples: np.ndarray) -> None:
         """Buffer PCM float32 samples for stream `sid` (host only)."""
+        self._audio_samples_in += int(np.asarray(samples).size)
         self._bufs[self._slot_of_sid[sid]].push(samples)
 
     def ready_slots(self) -> List[int]:
@@ -406,6 +419,7 @@ class StreamingServer:
             self._pending.setdefault(sid, []).extend(toks)
         out = self._pending
         self._pending = {}
+        self._tokens_out += sum(len(t) for t in out.values())
         return out
 
     def _tick_once(self) -> Dict[int, List[int]]:
@@ -432,6 +446,7 @@ class StreamingServer:
                 steady.append(slot)
 
         if steady:
+            t0 = _time.perf_counter()
             audio = np.zeros((self.n_slots, self.chunk_samples), np.float32)
             mask = np.zeros((self.n_slots,), bool)
             for slot in steady:
@@ -459,6 +474,9 @@ class StreamingServer:
                     emitted.setdefault(
                         self._sid_of_slot[slot], []
                     ).extend(toks)
+            self._n_ticks += 1
+            self._n_batched_rows += len(steady)
+            self._tick_seconds += _time.perf_counter() - t0
         return emitted
 
     def _promote(self, slot: int) -> None:
@@ -514,6 +532,7 @@ class StreamingServer:
         self._sessions[slot] = None
         self._sid_of_slot[slot] = None
         del self._slot_of_sid[sid]
+        self._n_finished += 1
         return out
 
     def finish_final(self, sid: int):
@@ -568,3 +587,26 @@ class StreamingServer:
         self._promoted[slot] = False
         self._enc_acc[slot] = None
         self._pending.pop(sid, None)
+        self._n_aborted += 1
+
+    def stats(self) -> Dict[str, float]:
+        """Aggregate serving counters (host bookkeeping only — reading
+        them costs no device work). tick_ms_avg covers the batched
+        steady-state dispatches (sync included); audio_seconds_in /
+        wall-clock gives the served real-time load."""
+        sr = self.frontend.sample_rate
+        return {
+            "slots": self.n_slots,
+            "active_streams": self.n_slots - self.free_slots,
+            "attached_total": self._n_attached,
+            "finished_total": self._n_finished,
+            "aborted_total": self._n_aborted,
+            "ticks_total": self._n_ticks,
+            "batched_rows_total": self._n_batched_rows,
+            "audio_seconds_in": self._audio_samples_in / sr,
+            "tokens_out": self._tokens_out,
+            "tick_ms_avg": (
+                self._tick_seconds / self._n_ticks * 1000
+                if self._n_ticks else 0.0
+            ),
+        }

@@ -196,6 +196,10 @@ class AsrTcpServer:
                             final_ids if final_ids is not None else all_ids
                         )
                     self._send(conn, out)
+                elif op == "stats":
+                    with self._lock:
+                        st = self.engine.stats()
+                    self._send(conn, {"event": "stats", "stats": st})
                 else:
                     self._send(conn, {"event": "error",
                                       "msg": f"unknown op {op!r}"})
@@ -229,6 +233,8 @@ class StreamingClient:
         self._final_beam: Dict[int, Optional[List[int]]] = {}
         self._text: Dict[int, Optional[str]] = {}
         self._final_evt: Dict[int, threading.Event] = {}
+        self._stats: Optional[dict] = None
+        self._stats_evt = threading.Event()
         self._error: Optional[str] = None
         self._send_lock = threading.Lock()
         self._reader = threading.Thread(target=self._read_loop, daemon=True)
@@ -256,6 +262,9 @@ class StreamingClient:
                     self._final_evt.setdefault(sid, threading.Event()).set()
                 else:
                     self._partials.setdefault(sid, []).extend(msg["ids"])
+            elif ev == "stats":
+                self._stats = msg["stats"]
+                self._stats_evt.set()
             elif ev == "error":
                 self._error = msg.get("msg", "server error")
                 self._start_evt.set()
@@ -296,6 +305,14 @@ class StreamingClient:
         if beam is not None:
             ids = beam
         return ids, self._text.pop(sid)
+
+    def stats(self, timeout: float = 30.0) -> dict:
+        """Fetch the server's aggregate serving counters."""
+        self._stats_evt.clear()
+        self._send({"op": "stats"})
+        if not self._stats_evt.wait(timeout):
+            raise TimeoutError("no stats reply")
+        return self._stats
 
     def close(self) -> None:
         try:

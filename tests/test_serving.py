@@ -347,6 +347,12 @@ def test_tcp_server_full_and_abandon():
         deadline = __import__("time").time() + 30
         while engine.free_slots < 1 and __import__("time").time() < deadline:
             __import__("time").sleep(0.05)
+        if engine.free_slots < 1:
+            # Order-dependent hang seen in full-suite runs: dump every
+            # thread's stack so the failure identifies the blocked one.
+            import faulthandler
+            import sys as _sys
+            faulthandler.dump_traceback(file=_sys.stderr)
         assert engine.free_slots >= 1
 
         # The surviving stream still transcribes exactly.
@@ -457,3 +463,38 @@ def test_engine_final_s2s_beam():
         server.tick()
     _, final = server.finish_final(sid)
     assert final == offline_s2s(wav), (final, offline_s2s(wav))
+
+
+def test_engine_stats_counters():
+    """stats(): host-only aggregate counters stay consistent through
+    attach/feed/tick/finish/abort — the serving observability surface."""
+    model, params = _model_and_params()
+    hop = FRONTEND.hop
+    server = StreamingServer(
+        model, params, FRONTEND, n_slots=2, chunk_frames=32
+    )
+    s0 = server.stats()
+    assert s0["active_streams"] == 0 and s0["ticks_total"] == 0
+
+    rng = np.random.default_rng(31)
+    wav = rng.normal(0, 0.3, size=96 * hop).astype(np.float32)
+    sid_a, sid_b = server.attach(), server.attach()
+    toks = 0
+    for off in range(0, len(wav), 32 * hop):
+        server.feed(sid_a, wav[off:off + 32 * hop])
+        server.feed(sid_b, wav[off:off + 32 * hop])
+        toks += sum(len(t) for t in server.tick().values())
+    st = server.stats()
+    assert st["active_streams"] == 2
+    assert st["attached_total"] == 2
+    assert st["audio_seconds_in"] == 2 * len(wav) / FRONTEND.sample_rate
+    # Two bootstrap chunks went via the batch=1 path; the remaining
+    # 2 streams x 2 chunks ran as batched steady rows.
+    assert st["batched_rows_total"] == 4
+    assert st["ticks_total"] >= 1 and st["tick_ms_avg"] > 0
+    toks += len(server.finish(sid_a))
+    server.abort(sid_b)
+    st = server.stats()
+    assert st["finished_total"] == 1 and st["aborted_total"] == 1
+    assert st["active_streams"] == 0
+    assert st["tokens_out"] >= toks - len(server._pending.get(sid_a, []))
