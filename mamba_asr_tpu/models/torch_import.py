@@ -428,7 +428,7 @@ def import_normalizer_stats(obj: Mapping[str, Any]):
     (mean, std, count) float32 arrays for training.normalizer."""
     mean = _as_np(obj["glob_mean"])
     std = _as_np(obj["glob_std"])
-    count = float(_as_np(obj.get("count", np.float32(0.0))))
+    count = float(_as_np(obj.get("count", np.float32(0.0))).reshape(-1)[0])
     return mean, std, count
 
 

@@ -259,3 +259,77 @@ def test_recognize_s2s_entry(tmp_path, capsys):
         _sys.argv = old_argv
     printed = capsys.readouterr().out
     assert wav in printed, printed
+
+
+def test_export_torch_entry(tmp_path):
+    """scripts/export_torch.py: trained experiment -> reference-format
+    model.ckpt + normalizer.ckpt, byte-faithful when re-imported through
+    the --torch_ckpt path (the two interchange directions agree)."""
+    import jax
+    import numpy as np
+
+    from mamba_asr_tpu.cli import restore_asr_state, run_training
+
+    corpus = str(tmp_path / "LibriSpeech")
+    _make_corpus(corpus)
+    out = str(tmp_path / "results")
+    common = [
+        os.path.join(REPO, "hparams", "CTC", "conmamba_small.yaml"),
+        "--data.data_folder", corpus,
+        "--data.output_folder", out,
+        "--data.train_splits", "[train-clean-100]",
+        "--data.test_splits", "[test-clean]",
+        "--data.speed_perturb", "false",
+        "--model.d_model", "16",
+        "--model.num_encoder_layers", "1",
+        "--model.d_ffn", "16",
+        "--model.compute_dtype", "float32",
+        "--model.mamba.d_state", "4",
+        "--frontend.n_mels", "20",
+        "--model.n_mels", "20",
+        "--train.grad_accumulation_factor", "1",
+        "--data.num_buckets", "2",
+        "--data.max_batch_seconds", "4.0",
+        "--train.number_of_epochs", "1",
+    ]
+    run_training(common)
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "export_torch", os.path.join(REPO, "scripts", "export_torch.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    exp = os.path.join(out, "CTC/conmamba_small", "3407")
+    export_dir = str(tmp_path / "export")
+    mod.main([common[0], "--ckpt_dir", os.path.join(exp, "save"),
+              "--out_dir", export_dir] + common[1:])
+    assert os.path.exists(os.path.join(export_dir, "model.ckpt"))
+
+    from mamba_asr_tpu.configs.loader import load_config, parse_overrides
+
+    cfg = load_config(common[0], parse_overrides(common[1:]))
+    _, st_avg = restore_asr_state(cfg, ckpt_dir=os.path.join(exp, "save"))
+    _, st_imp = restore_asr_state(
+        cfg,
+        torch_ckpt=os.path.join(export_dir, "model.ckpt"),
+        torch_normalizer=os.path.join(export_dir, "normalizer.ckpt"),
+    )
+    for (pa, va), (pb, vb) in zip(
+        jax.tree_util.tree_leaves_with_path(st_avg.params),
+        jax.tree_util.tree_leaves_with_path(st_imp.params),
+    ):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        np.testing.assert_array_equal(
+            np.asarray(va), np.asarray(vb), err_msg=jax.tree_util.keystr(pa)
+        )
+    np.testing.assert_allclose(
+        np.asarray(st_avg.normalizer.mean), np.asarray(st_imp.normalizer.mean),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_avg.normalizer.m2), np.asarray(st_imp.normalizer.m2),
+        rtol=1e-4,
+    )
