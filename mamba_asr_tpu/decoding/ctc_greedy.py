@@ -47,6 +47,52 @@ def ctc_greedy_decode(
     return ctc_greedy_collapse(best, input_lengths, blank_id)
 
 
+def ctc_greedy_decode_with_times(
+    log_probs: Array, input_lengths: Array, blank_id: int = 0
+) -> Tuple[Array, Array, Array, Array]:
+    """Greedy decode that also returns each token's frame span.
+
+    Returns (tokens (B, T), lengths (B,), onsets (B, T), offsets (B, T)):
+    onset = first encoder frame of the token's argmax run, offset = last
+    frame of that run (inclusive). Jittable; the reference exposes no
+    time-alignment surface at all (its ctc_greedy_decode returns bare
+    ids), so this is a framework extension used by
+    `recognize.py --timestamps` and the serving engine.
+    """
+    b, t = log_probs.shape[:2]
+    best = jnp.argmax(log_probs, axis=-1)
+    valid = jnp.arange(t)[None, :] < input_lengths[:, None]
+    # Padded frames become blank so no token run can extend past the
+    # valid region.
+    best = jnp.where(valid, best, blank_id)
+    prev = jnp.pad(best, ((0, 0), (1, 0)), constant_values=blank_id)[:, :t]
+    keep = (best != blank_id) & (best != prev)
+
+    # Run end per frame: the last consecutive frame holding this frame's
+    # id — a reversed cumulative-min over frame indices marked at run
+    # boundaries.
+    idx = jnp.arange(t)[None, :]
+    nxt = jnp.pad(best, ((0, 0), (0, 1)), constant_values=blank_id)[:, 1:]
+    is_run_end = best != nxt  # last frame of every run (incl. frame t-1)
+    end_mark = jnp.where(is_run_end, idx, t)
+    run_end = jnp.flip(
+        jax.lax.cummin(jnp.flip(end_mark, axis=1), axis=1), axis=1
+    )
+
+    order = jnp.argsort(~keep, axis=1, stable=True)
+    packed = jnp.take_along_axis(best, order, axis=1)
+    onsets = jnp.take_along_axis(
+        jnp.broadcast_to(idx, (b, t)), order, axis=1
+    )
+    offsets = jnp.take_along_axis(run_end, order, axis=1)
+    lengths = keep.sum(axis=1)
+    in_range = jnp.arange(t)[None, :] < lengths[:, None]
+    packed = jnp.where(in_range, packed, 0)
+    onsets = jnp.where(in_range, onsets, 0)
+    offsets = jnp.where(in_range, offsets, 0)
+    return packed, lengths, onsets, offsets
+
+
 def tokens_to_lists(
     tokens: np.ndarray, lengths: np.ndarray
 ) -> List[List[int]]:

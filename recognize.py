@@ -38,6 +38,10 @@ def main():
                    help="joint CTC/attention beam via the S2S decoder "
                         "(requires an S2S config; uses decode.* weights)")
     p.add_argument("--chunk_frames", type=int, default=64)
+    p.add_argument("--timestamps", action="store_true",
+                   help="also print greedy-aligned word times, one "
+                        "'start\\tend\\tword' line per word (CTC greedy "
+                        "path only)")
     args, extra = p.parse_known_args()
 
     import jax
@@ -151,6 +155,26 @@ def main():
             )
         ids = tokens_to_lists(np.array(toks), np.array(lens))[0]
         print(f"{path}\t{tokenizer.decode(ids)}")
+        if args.timestamps:
+            from mamba_asr_tpu.decoding.ctc_greedy import (
+                ctc_greedy_decode_with_times,
+            )
+            from mamba_asr_tpu.decoding.timestamps import (
+                encoder_frame_seconds,
+                word_timestamps,
+            )
+
+            t_ids, t_lens, ons, offs = jax.device_get(
+                ctc_greedy_decode_with_times(
+                    out["ctc_log_probs"], out["enc_lengths"]
+                )
+            )
+            n = int(t_lens[0])
+            for word, start, end in word_timestamps(
+                t_ids[0, :n], ons[0, :n], offs[0, :n], tokenizer,
+                encoder_frame_seconds(cfg.frontend, cfg.model),
+            ):
+                print(f"{start:.3f}\t{end:.3f}\t{word}")
 
 
 if __name__ == "__main__":

@@ -198,7 +198,7 @@ def test_recognize_entry(tmp_path, capsys):
             "--ckpt_dir", os.path.join(exp, "save"),
             "--tokenizer", os.path.join(exp, "tokenizer_char.json"),
             ] + common[1:]
-    for extra in ([], ["--beam", "4"], ["--streaming"]):
+    for extra in ([], ["--beam", "4"], ["--streaming"], ["--timestamps"]):
         old_argv = _sys.argv
         _sys.argv = ["recognize.py"] + base + extra
         try:

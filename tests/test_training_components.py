@@ -4,6 +4,7 @@ augmentation, greedy decode."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -273,3 +274,76 @@ def test_cond_multi_steps_matches_optax_multisteps():
     for a, b in zip(jax.tree_util.tree_leaves(p_ref),
                     jax.tree_util.tree_leaves(p_new)):
         np.testing.assert_allclose(np.array(a), np.array(b), rtol=1e-6)
+
+
+def test_ctc_greedy_decode_with_times():
+    """Token frame spans: onset = first frame of the argmax run, offset
+    = last frame (inclusive); padded frames never extend a run."""
+    from mamba_asr_tpu.decoding.ctc_greedy import (
+        ctc_greedy_decode,
+        ctc_greedy_decode_with_times,
+    )
+
+    # Argmax path [0,3,3,0,4,4,5,5]: runs 3@[1,2], 4@[4,5], 5@[6,7].
+    best = np.array([[0, 3, 3, 0, 4, 4, 5, 5]])
+    lp = np.full((1, 8, 6), -10.0, np.float32)
+    lp[0, np.arange(8), best[0]] = 0.0
+    toks, n, ons, offs = ctc_greedy_decode_with_times(
+        jnp.asarray(lp), jnp.array([8])
+    )
+    assert int(n[0]) == 3
+    assert list(np.array(toks[0, :3])) == [3, 4, 5]
+    assert list(np.array(ons[0, :3])) == [1, 4, 6]
+    assert list(np.array(offs[0, :3])) == [2, 5, 7]
+
+    # Truncated length cuts the 5-run to frame 6 only.
+    toks, n, ons, offs = ctc_greedy_decode_with_times(
+        jnp.asarray(lp), jnp.array([7])
+    )
+    assert list(np.array(offs[0, :3])) == [2, 5, 6]
+
+    # Tokens/lengths agree with the plain decode on random inputs.
+    rng = np.random.default_rng(0)
+    lp = rng.normal(size=(3, 40, 8)).astype(np.float32)
+    lens = jnp.array([40, 17, 1])
+    t0, n0 = ctc_greedy_decode(jnp.asarray(lp), lens)
+    t1, n1, ons, offs = ctc_greedy_decode_with_times(jnp.asarray(lp), lens)
+    assert list(np.array(n0)) == list(np.array(n1))
+    np.testing.assert_array_equal(np.array(t0), np.array(t1))
+    for i in range(3):
+        k = int(n1[i])
+        o, f = np.array(ons[i, :k]), np.array(offs[i, :k])
+        assert (o <= f).all() and (f < int(lens[i])).all()
+        assert (o[1:] > f[:-1]).all()  # spans ordered and disjoint
+
+
+def test_word_timestamps_char_tokenizer():
+    from mamba_asr_tpu.decoding.timestamps import word_timestamps
+
+    tok = CharTokenizer.fit(["AB C"])
+    ids = tok.encode("AB C")  # 4 tokens: A B space C
+    onsets = [2, 5, 8, 11]
+    offsets = [3, 6, 9, 12]
+    words = word_timestamps(ids, onsets, offsets, tok, frame_seconds=0.04)
+    assert [w for w, _, _ in words] == ["AB", "C"]
+    (w1, s1, e1), (w2, s2, e2) = words
+    assert s1 == pytest.approx(2 * 0.04) and e1 == pytest.approx(7 * 0.04)
+    assert s2 == pytest.approx(11 * 0.04) and e2 == pytest.approx(13 * 0.04)
+
+
+def test_word_timestamps_subword_tokenizer():
+    """BPE pieces have implicit word starts; incremental decode must
+    still attribute characters to the right tokens."""
+    from mamba_asr_tpu.decoding.timestamps import word_timestamps
+
+    corpus = ["THE CAT SAT ON THE MAT"] * 50 + ["A DOG RAN FAST"] * 50
+    tok = SubwordTokenizer.train(corpus, vocab_size=120, model_type="bpe")
+    ids = tok.encode("THE CAT RAN")
+    k = len(ids)
+    onsets = list(range(0, 10 * k, 10))
+    offsets = [o + 5 for o in onsets]
+    words = word_timestamps(ids, onsets, offsets, tok, frame_seconds=0.04)
+    assert [w for w, _, _ in words] == ["THE", "CAT", "RAN"]
+    starts = [s for _, s, _ in words]
+    assert starts == sorted(starts)
+    assert all(e > s for _, s, e in words)
