@@ -250,6 +250,22 @@ class StreamingServer:
         self._audio_samples_in = 0
         self._tokens_out = 0
         self._tick_seconds = 0.0
+        if final_decode is not None:
+            from mamba_asr_tpu.decoding.ctc_greedy import (
+                ctc_greedy_decode_with_times,
+            )
+
+            @jax.jit
+            def align(params, enc, lens):
+                ctc = model.apply(
+                    params, enc.astype(jnp.float32),
+                    method=lambda m_, e_: m_.ctc_head(e_),
+                )
+                return ctc_greedy_decode_with_times(
+                    jax.nn.log_softmax(ctc, -1), lens
+                )
+
+            self._align_fn = align
         if final_decode == "ctc_beam":
             from mamba_asr_tpu.decoding.ctc_beam import ctc_beam_search
 
@@ -535,12 +551,20 @@ class StreamingServer:
         self._n_finished += 1
         return out
 
-    def finish_final(self, sid: int):
+    def finish_final(self, sid: int, want_times: bool = False):
         """Flush stream `sid` exactly like finish(), then beam-decode the
         accumulated whole-utterance encoder states with the configured
         final pass. Returns (greedy_tail_ids, final_ids): the streamed
         greedy partials + tail give low-latency output; final_ids is the
         single accurate whole-utterance transcript.
+
+        With want_times=True, additionally returns token spans
+        [(token_id, onset_frame, offset_frame)] from a greedy alignment
+        over the SAME accumulated encoder states (one extra small
+        dispatch; decoding/ctc_greedy.ctc_greedy_decode_with_times).
+        The aligned tokens are the greedy path — they may differ from
+        the beam transcript near ties; convert frames to seconds with
+        `frame_seconds`.
 
         T is bucketed up to a multiple of 128 encoder frames (true
         length passed separately), so distinct utterance lengths share a
@@ -553,7 +577,7 @@ class StreamingServer:
         tail = self.finish(sid)  # flush; the session's enc_sink catches
         self._enc_acc[slot] = None  # the bootstrap/flush chunks
         if not acc:
-            return tail, []
+            return (tail, [], []) if want_times else (tail, [])
         enc = np.concatenate(acc, axis=1)  # (1, T, d), compute dtype
         t = enc.shape[1]
         tb = -(-t // 128) * 128
@@ -573,7 +597,23 @@ class StreamingServer:
             )
         final = [int(x) for x in
                  np.asarray(toks[0])[: int(np.asarray(out_lens[0]))]]
-        return tail, final
+        if not want_times:
+            return tail, final
+        ids, n, ons, offs = jax.device_get(
+            self._align_fn(self.params, enc_p, lens)
+        )
+        spans = [
+            (int(ids[0, i]), int(ons[0, i]), int(offs[0, i]))
+            for i in range(int(n[0]))
+        ]
+        return tail, final, spans
+
+    @property
+    def frame_seconds(self) -> float:
+        """Duration of one encoder output frame in seconds."""
+        from mamba_asr_tpu.decoding.timestamps import encoder_frame_seconds
+
+        return encoder_frame_seconds(self.frontend, self.model.cfg)
 
     def abort(self, sid: int) -> None:
         """Drop stream `sid` immediately and free its slot — host-only,

@@ -175,9 +175,18 @@ class AsrTcpServer:
                         self.engine.feed(msg["sid"], samples)
                 elif op == "end":
                     sid = msg["sid"]
-                    final_ids = None
+                    final_ids = spans = None
+                    want_times = bool(msg.get("timestamps")) and (
+                        self.engine.final_decode is not None
+                    )
                     with self._lock:
-                        if self.engine.final_decode is not None:
+                        if want_times:
+                            tail, final_ids, spans = (
+                                self.engine.finish_final(
+                                    sid, want_times=True
+                                )
+                            )
+                        elif self.engine.final_decode is not None:
                             tail, final_ids = self.engine.finish_final(sid)
                         else:
                             tail = self.engine.finish(sid)
@@ -195,6 +204,20 @@ class AsrTcpServer:
                         out["text"] = self.tokenizer.decode(
                             final_ids if final_ids is not None else all_ids
                         )
+                    if spans is not None and self.tokenizer is not None:
+                        from mamba_asr_tpu.decoding.timestamps import (
+                            word_timestamps,
+                        )
+
+                        out["words"] = [
+                            [w, s, e] for w, s, e in word_timestamps(
+                                [t for t, _, _ in spans],
+                                [o for _, o, _ in spans],
+                                [f for _, _, f in spans],
+                                self.tokenizer,
+                                self.engine.frame_seconds,
+                            )
+                        ]
                     self._send(conn, out)
                 elif op == "stats":
                     with self._lock:
@@ -233,6 +256,7 @@ class StreamingClient:
         self._final_beam: Dict[int, Optional[List[int]]] = {}
         self._text: Dict[int, Optional[str]] = {}
         self._final_evt: Dict[int, threading.Event] = {}
+        self._words: Dict[int, Optional[list]] = {}
         self._stats: Optional[dict] = None
         self._stats_evt = threading.Event()
         self._error: Optional[str] = None
@@ -259,6 +283,7 @@ class StreamingClient:
                     self._final[sid] = msg["ids"]
                     self._final_beam[sid] = msg.get("ids_final")
                     self._text[sid] = msg.get("text")
+                    self._words[sid] = msg.get("words")
                     self._final_evt.setdefault(sid, threading.Event()).set()
                 else:
                     self._partials.setdefault(sid, []).extend(msg["ids"])
@@ -292,19 +317,25 @@ class StreamingClient:
     def partial_ids(self, sid: int) -> List[int]:
         return list(self._partials.get(sid, []))
 
-    def end(self, sid: int, timeout: float = 600.0):
-        """Finish the stream; returns (all_token_ids, text_or_None).
-        When the server runs a final-pass beam decode, the returned ids
-        are its whole-utterance transcript (superseding the streamed
-        greedy partials)."""
-        self._send({"op": "end", "sid": sid})
+    def end(self, sid: int, timeout: float = 600.0, timestamps: bool = False):
+        """Finish the stream; returns (all_token_ids, text_or_None) — or
+        (ids, text, words) with timestamps=True, where words is the
+        server's greedy-aligned [[word, start_s, end_s], ...] (requires
+        the server to run a final-pass decode). When the server runs a
+        final-pass beam decode, the returned ids are its whole-utterance
+        transcript (superseding the streamed greedy partials)."""
+        self._send({"op": "end", "sid": sid, "timestamps": timestamps})
         if not self._final_evt[sid].wait(timeout):
             raise TimeoutError("no final reply")
         beam = self._final_beam.pop(sid, None)
         ids = self._partials.pop(sid, []) + self._final.pop(sid)
         if beam is not None:
             ids = beam
-        return ids, self._text.pop(sid)
+        text = self._text.pop(sid)
+        if timestamps:
+            return ids, text, self._words.pop(sid, None)
+        self._words.pop(sid, None)
+        return ids, text
 
     def stats(self, timeout: float = 30.0) -> dict:
         """Fetch the server's aggregate serving counters."""

@@ -27,7 +27,8 @@ import sys
 import time
 
 
-def run_client(addr: str, paths, realtime: bool, chunk_ms: float) -> None:
+def run_client(addr: str, paths, realtime: bool, chunk_ms: float,
+               timestamps: bool = False) -> None:
     import numpy as np
 
     from mamba_asr_tpu.data.audio import read_audio
@@ -44,9 +45,15 @@ def run_client(addr: str, paths, realtime: bool, chunk_ms: float) -> None:
                 client.send(sid, wav[off : off + step])
                 if realtime:
                     time.sleep(chunk_ms / 1000)
-            ids, text = client.end(sid)
+            words = None
+            if timestamps:
+                ids, text, words = client.end(sid, timestamps=True)
+            else:
+                ids, text = client.end(sid)
             out = text if text is not None else " ".join(map(str, ids))
             print(f"{path}\t{out}")
+            for w, s, e in words or []:
+                print(f"{s:.3f}\t{e:.3f}\t{w}")
     finally:
         client.close()
 
@@ -62,6 +69,9 @@ def main() -> None:
                    help="client: pace audio at real time instead of "
                         "as-fast-as-possible")
     p.add_argument("--client_chunk_ms", type=float, default=320.0)
+    p.add_argument("--timestamps", action="store_true",
+                   help="client: also print greedy-aligned word times "
+                        "(needs a server running a final-pass decode)")
     p.add_argument("--ckpt_dir", default="",
                    help="experiment save dir (top-k averaged restore)")
     p.add_argument("--torch_ckpt", default="",
@@ -93,7 +103,8 @@ def main() -> None:
         ]
         if not paths:
             raise SystemExit("client mode needs audio files")
-        run_client(args.connect, paths, args.realtime, args.client_chunk_ms)
+        run_client(args.connect, paths, args.realtime, args.client_chunk_ms,
+                   timestamps=args.timestamps)
         return
 
     if not args.config:

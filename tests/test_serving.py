@@ -498,3 +498,92 @@ def test_engine_stats_counters():
     assert st["finished_total"] == 1 and st["aborted_total"] == 1
     assert st["active_streams"] == 0
     assert st["tokens_out"] >= toks - len(server._pending.get(sid_a, []))
+
+
+def test_engine_final_times_matches_offline_alignment():
+    """finish_final(want_times=True): the greedy token spans over the
+    accumulated streamed encoder states equal the offline
+    ctc_greedy_decode_with_times alignment of the same audio."""
+    from mamba_asr_tpu.decoding.ctc_greedy import (
+        ctc_greedy_decode_with_times,
+    )
+
+    model, params = _model_and_params()
+    hop = FRONTEND.hop
+
+    def offline_spans(wav):
+        feats = fb.log_mel_spectrogram(
+            jnp.asarray(wav[None]), n_fft=FRONTEND.n_fft,
+            n_mels=FRONTEND.n_mels, win_length_ms=FRONTEND.win_length_ms,
+        )
+        extra = (-feats.shape[1]) % model.cfg.downsample
+        feats = jnp.pad(feats, ((0, 0), (0, extra), (0, 0)))
+        out = model.apply(params, feats, jnp.array([feats.shape[1]]))
+        ids, n, ons, offs = ctc_greedy_decode_with_times(
+            out["ctc_log_probs"], out["enc_lengths"]
+        )
+        k = int(n[0])
+        return [
+            (int(ids[0, i]), int(ons[0, i]), int(offs[0, i]))
+            for i in range(k)
+        ]
+
+    server = StreamingServer(
+        model, params, FRONTEND, n_slots=2, chunk_frames=32,
+        final_decode="ctc_beam", beam_size=4,
+    )
+    rng = np.random.default_rng(29)
+    wav = rng.normal(0, 0.3, size=141 * hop).astype(np.float32)
+    sid = server.attach()
+    for off in range(0, len(wav), 32 * hop):
+        server.feed(sid, wav[off:off + 32 * hop])
+        server.tick()
+    tail, final, spans = server.finish_final(sid, want_times=True)
+    exp = offline_spans(wav)
+    assert spans == exp, (spans, exp)
+    assert spans, "alignment produced no tokens (degenerate test input)"
+    assert server.frame_seconds > 0
+
+
+def test_tcp_timestamps():
+    """end(timestamps=True) over the wire returns greedy-aligned word
+    times consistent with the offline greedy transcript."""
+    from mamba_asr_tpu.data.tokenizer import CharTokenizer
+    from mamba_asr_tpu.serving.server import AsrTcpServer, StreamingClient
+
+    model, params = _model_and_params()
+    hop = FRONTEND.hop
+    tok = CharTokenizer(["A", "B", " ", "C", "D"])  # vocab 9 == model
+    engine = StreamingServer(
+        model, params, FRONTEND, n_slots=2, chunk_frames=32,
+        final_decode="ctc_beam", beam_size=4,
+    )
+    server = AsrTcpServer(engine, tokenizer=tok, port=0)
+    server.start()
+    try:
+        rng = np.random.default_rng(31)
+        wav = rng.normal(0, 0.3, size=160 * hop).astype(np.float32)
+        expected_words = tok.decode(
+            _offline_greedy(model, params, wav)
+        ).split()
+        c = StreamingClient(server.host, server.port)
+        try:
+            sid = c.start()
+            for off in range(0, len(wav), 40 * hop):
+                c.send(sid, wav[off:off + 40 * hop])
+            ids, text, words = c.end(sid, timestamps=True)
+        finally:
+            c.close()
+        assert words is not None
+        assert [w for w, _, _ in words] == expected_words, (
+            words, expected_words
+        )
+        prev_start = 0.0
+        for w, s, e in words:
+            assert isinstance(w, str) and w
+            assert 0.0 <= s <= e, (s, e)
+            assert s >= prev_start, (s, prev_start)  # starts ordered
+            prev_start = s
+        assert e <= len(wav) / FRONTEND.sample_rate + 1.0
+    finally:
+        server.stop()
