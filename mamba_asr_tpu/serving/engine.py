@@ -241,6 +241,11 @@ class StreamingServer:
         self._decode_opts = dict(decode_opts or {})
         self._enc_acc: List[Optional[List[np.ndarray]]] = [None] * n_slots
 
+        # Endpointing: trailing-silence frame count per slot (host-only
+        # bookkeeping over the argmax frames the tick already returns —
+        # zero extra device work). See trailing_silence_s().
+        self._silence_frames: List[int] = [0] * n_slots
+
         # Aggregate serving counters (host-only; see stats()).
         self._n_ticks = 0
         self._n_batched_rows = 0
@@ -411,6 +416,7 @@ class StreamingServer:
                 self._promoted[slot] = False
                 self._sid_of_slot[slot] = sid
                 self._slot_of_sid[sid] = slot
+                self._silence_frames[slot] = 0
                 self._n_attached += 1
                 return sid
         raise RuntimeError(f"server full ({self.n_slots} slots)")
@@ -445,12 +451,19 @@ class StreamingServer:
         # First chunk of a fresh stream: exact batch=1 session path
         # (center-padding framing + empty carries), then promote the
         # session state into the device slot batch.
+        enc_frames = self.chunk_frames // self.model.cfg.downsample
         steady = []
         for slot in ready:
             sess = self._sessions[slot]
             if not self._promoted[slot]:
                 chunk = self._bufs[slot].pop(self.chunk_samples)
                 toks = sess.feed(chunk[None])[0]
+                # Bootstrap path exposes no per-frame argmax; approximate
+                # silence by token emission for this first chunk.
+                if toks:
+                    self._silence_frames[slot] = 0
+                else:
+                    self._silence_frames[slot] += enc_frames
                 if toks:
                     emitted[self._sid_of_slot[slot]] = toks
                 assert self._state_shapes(sess) == (
@@ -485,6 +498,16 @@ class StreamingServer:
                 sess._frames_done += self.chunk_frames
                 if enc_np is not None:
                     self._enc_acc[slot].append(enc_np[slot:slot + 1])
+                # Trailing-blank run for endpointing: the tick's argmax
+                # row is already on the host.
+                row = best[slot]
+                nz = np.nonzero(row != 0)[0]
+                if nz.size:
+                    self._silence_frames[slot] = (
+                        len(row) - 1 - int(nz[-1])
+                    )
+                else:
+                    self._silence_frames[slot] += len(row)
                 toks = sess._collapse(best[slot:slot + 1])[0]
                 if toks:
                     emitted.setdefault(
@@ -614,6 +637,19 @@ class StreamingServer:
         from mamba_asr_tpu.decoding.timestamps import encoder_frame_seconds
 
         return encoder_frame_seconds(self.frontend, self.model.cfg)
+
+    def trailing_silence_s(self, sid: int) -> float:
+        """Seconds of trailing CTC silence on stream `sid` — the length
+        of the current trailing blank-argmax run (host bookkeeping over
+        the tick's argmax rows; the bootstrap chunk approximates by
+        token emission). The endpointing signal: a server finalizes a
+        stream once this exceeds its silence threshold, the standard
+        CTC end-of-utterance detector. Chunk-granular: it only advances
+        as chunks are processed."""
+        return (
+            self._silence_frames[self._slot_of_sid[sid]]
+            * self.frame_seconds
+        )
 
     def abort(self, sid: int) -> None:
         """Drop stream `sid` immediately and free its slot — host-only,

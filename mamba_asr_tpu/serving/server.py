@@ -78,10 +78,17 @@ class AsrTcpServer:
         host: str = "127.0.0.1",
         port: int = 0,
         tick_idle_s: float = 0.002,
+        endpoint_silence_s: float = 0.0,
     ):
         self.engine = engine
         self.tokenizer = tokenizer
         self.tick_idle_s = tick_idle_s
+        # > 0 enables endpoint events: once a stream's trailing CTC
+        # silence exceeds this, the client gets one {"event":
+        # "endpoint"} (re-armed by any later token) and decides whether
+        # to end the stream — server-side VAD-free endpointing.
+        self.endpoint_silence_s = endpoint_silence_s
+        self._endpoint_sent: Dict[int, bool] = {}
         self._lock = threading.Lock()
         self._conn_of_sid: Dict[int, socket.socket] = {}
         self._ids_of_sid: Dict[int, List[int]] = {}
@@ -141,12 +148,28 @@ class AsrTcpServer:
                 emitted = self.engine.tick() if ready else {}
                 for sid, ids in emitted.items():
                     self._ids_of_sid.setdefault(sid, []).extend(ids)
+                    if ids:
+                        self._endpoint_sent[sid] = False  # re-arm
                     conn = self._conn_of_sid.get(sid)
                     if conn is not None and ids:
                         self._send(conn, {
                             "event": "tokens", "sid": sid,
                             "ids": ids, "final": False,
                         })
+                if self.endpoint_silence_s > 0 and ready:
+                    for sid, conn in list(self._conn_of_sid.items()):
+                        if self._endpoint_sent.get(sid):
+                            continue
+                        try:
+                            sil = self.engine.trailing_silence_s(sid)
+                        except KeyError:
+                            continue  # finished concurrently
+                        if sil >= self.endpoint_silence_s:
+                            self._endpoint_sent[sid] = True
+                            self._send(conn, {
+                                "event": "endpoint", "sid": sid,
+                                "silence_s": round(sil, 3),
+                            })
             if not ready:
                 time.sleep(self.tick_idle_s)
 
@@ -192,6 +215,7 @@ class AsrTcpServer:
                             tail = self.engine.finish(sid)
                         all_ids = self._ids_of_sid.pop(sid, []) + tail
                     self._conn_of_sid.pop(sid, None)
+                    self._endpoint_sent.pop(sid, None)
                     if sid in sids_here:
                         sids_here.remove(sid)
                     out = {"event": "tokens", "sid": sid, "ids": tail,
@@ -238,6 +262,7 @@ class AsrTcpServer:
                         pass
                 self._conn_of_sid.pop(sid, None)
                 self._ids_of_sid.pop(sid, None)
+                self._endpoint_sent.pop(sid, None)
             try:
                 conn.close()
             except OSError:
@@ -257,6 +282,8 @@ class StreamingClient:
         self._text: Dict[int, Optional[str]] = {}
         self._final_evt: Dict[int, threading.Event] = {}
         self._words: Dict[int, Optional[list]] = {}
+        self._endpoints: Dict[int, float] = {}
+        self._endpoint_evt = threading.Event()
         self._stats: Optional[dict] = None
         self._stats_evt = threading.Event()
         self._error: Optional[str] = None
@@ -287,6 +314,9 @@ class StreamingClient:
                     self._final_evt.setdefault(sid, threading.Event()).set()
                 else:
                     self._partials.setdefault(sid, []).extend(msg["ids"])
+            elif ev == "endpoint":
+                self._endpoints[msg["sid"]] = msg.get("silence_s", 0.0)
+                self._endpoint_evt.set()
             elif ev == "stats":
                 self._stats = msg["stats"]
                 self._stats_evt.set()
@@ -327,6 +357,7 @@ class StreamingClient:
         self._send({"op": "end", "sid": sid, "timestamps": timestamps})
         if not self._final_evt[sid].wait(timeout):
             raise TimeoutError("no final reply")
+        self._endpoints.pop(sid, None)
         beam = self._final_beam.pop(sid, None)
         ids = self._partials.pop(sid, []) + self._final.pop(sid)
         if beam is not None:
@@ -336,6 +367,25 @@ class StreamingClient:
             return ids, text, self._words.pop(sid, None)
         self._words.pop(sid, None)
         return ids, text
+
+    def endpoint_seen(self, sid: int):
+        """Trailing-silence endpoint signal for stream `sid`, or None.
+        Servers started with endpoint_silence_s > 0 emit it once per
+        silence run; a typical client ends the stream on it."""
+        return self._endpoints.get(sid)
+
+    def wait_endpoint(self, sid: int, timeout: float = 30.0):
+        """Block until an endpoint event arrives for `sid` (returns its
+        silence_s) or the timeout passes (returns None)."""
+        deadline = __import__("time").time() + timeout
+        while True:
+            if sid in self._endpoints:
+                return self._endpoints[sid]
+            remaining = deadline - __import__("time").time()
+            if remaining <= 0:
+                return None
+            self._endpoint_evt.clear()
+            self._endpoint_evt.wait(min(remaining, 0.5))
 
     def stats(self, timeout: float = 30.0) -> dict:
         """Fetch the server's aggregate serving counters."""

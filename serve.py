@@ -94,6 +94,10 @@ def main() -> None:
                         "utterance beam over the accumulated encoder "
                         "states (partials stay greedy)")
     p.add_argument("--final_beam_size", type=int, default=8)
+    p.add_argument("--endpoint_silence", type=float, default=0.0,
+                   help="server: emit an endpoint event to the client "
+                        "once a stream's trailing CTC silence exceeds "
+                        "this many seconds (0 = off)")
     args, extra = p.parse_known_args()
 
     if args.connect:
@@ -147,7 +151,8 @@ def main() -> None:
         beam_size=args.final_beam_size,
     )
     server = AsrTcpServer(engine, tokenizer=tokenizer,
-                          host=args.host, port=args.port)
+                          host=args.host, port=args.port,
+                          endpoint_silence_s=args.endpoint_silence)
     server.start()
     print(f"serving {args.slots} slots on {server.host}:{server.port}",
           flush=True)

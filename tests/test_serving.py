@@ -587,3 +587,91 @@ def test_tcp_timestamps():
         assert e <= len(wav) / FRONTEND.sample_rate + 1.0
     finally:
         server.stop()
+
+
+def test_engine_trailing_silence_matches_offline_argmax():
+    """Endpointing bookkeeping: after each steady tick, the engine's
+    trailing-silence frame count equals the trailing blank run of the
+    OFFLINE per-frame argmax over the frames processed so far (streamed
+    argmax == offline argmax for causal configs)."""
+    model, params = _model_and_params()
+    hop = FRONTEND.hop
+    chunk_frames = 32
+    ds = model.cfg.downsample
+    ef = chunk_frames // ds  # encoder frames per chunk
+
+    server = StreamingServer(
+        model, params, FRONTEND, n_slots=1, chunk_frames=chunk_frames
+    )
+    rng = np.random.default_rng(37)
+    n_chunks = 6
+    wav = rng.normal(0, 0.3, size=n_chunks * chunk_frames * hop).astype(
+        np.float32
+    )
+
+    # Offline per-frame argmax on the same canonically padded audio.
+    feats = fb.log_mel_spectrogram(
+        jnp.asarray(wav[None]), n_fft=FRONTEND.n_fft,
+        n_mels=FRONTEND.n_mels, win_length_ms=FRONTEND.win_length_ms,
+    )
+    extra = (-feats.shape[1]) % ds
+    feats = jnp.pad(feats, ((0, 0), (0, extra), (0, 0)))
+    out = model.apply(params, feats, jnp.array([feats.shape[1]]))
+    offline_best = np.asarray(jnp.argmax(out["ctc_log_probs"], -1))[0]
+
+    sid = server.attach()
+    expected = None
+    for k in range(n_chunks):
+        server.feed(
+            sid, wav[k * chunk_frames * hop:(k + 1) * chunk_frames * hop]
+        )
+        emitted = server.tick()
+        if k == 0:
+            # Bootstrap chunk: emission-proxy semantics.
+            expected = 0 if emitted.get(sid) else ef
+        else:
+            row = offline_best[k * ef:(k + 1) * ef]
+            nz = np.nonzero(row != 0)[0]
+            if nz.size:
+                expected = len(row) - 1 - int(nz[-1])
+            else:
+                expected += len(row)
+        got = server.trailing_silence_s(sid) / server.frame_seconds
+        assert round(got) == expected, (k, got, expected)
+    server.finish(sid)
+
+
+def test_tcp_endpoint_event():
+    """A server with endpoint_silence_s emits one endpoint event per
+    silence run; the client surfaces it via wait_endpoint()."""
+    from mamba_asr_tpu.serving.server import AsrTcpServer, StreamingClient
+
+    model, params = _model_and_params()
+    hop = FRONTEND.hop
+    engine = StreamingServer(
+        model, params, FRONTEND, n_slots=2, chunk_frames=32
+    )
+    server = AsrTcpServer(engine, tokenizer=None, port=0,
+                          endpoint_silence_s=0.5)
+    # Force the signal deterministically: the plumbing under test is the
+    # server's event emission + client delivery, not the (separately
+    # tested) engine bookkeeping.
+    engine.trailing_silence_s = lambda sid: 9.0
+    server.start()
+    try:
+        rng = np.random.default_rng(41)
+        wav = rng.normal(0, 0.3, size=96 * hop).astype(np.float32)
+        c = StreamingClient(server.host, server.port)
+        try:
+            sid = c.start()
+            assert c.endpoint_seen(sid) is None
+            for off in range(0, len(wav), 32 * hop):
+                c.send(sid, wav[off:off + 32 * hop])
+            sil = c.wait_endpoint(sid, timeout=60)
+            assert sil == 9.0, sil
+            ids, text = c.end(sid)
+            assert ids == _offline_greedy(model, params, wav)
+        finally:
+            c.close()
+    finally:
+        server.stop()
