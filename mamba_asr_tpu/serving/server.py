@@ -396,6 +396,17 @@ class StreamingClient:
         return self._stats
 
     def close(self) -> None:
+        # shutdown() BEFORE close(): with the reader thread parked in
+        # recv, bare close() never releases the file description (the
+        # in-flight syscall holds it), so no FIN reaches the server and
+        # the abandoned slot is never reclaimed — the root cause of the
+        # order-dependent test_tcp_server_full_and_abandon hang
+        # (empirically verified: close-only leaves the peer recv blocked
+        # indefinitely; shutdown delivers FIN immediately).
+        try:
+            self.sock.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
         try:
             self.sock.close()
         except OSError:
