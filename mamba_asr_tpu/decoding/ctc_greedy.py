@@ -49,13 +49,16 @@ def ctc_greedy_decode(
 
 def ctc_greedy_decode_with_times(
     log_probs: Array, input_lengths: Array, blank_id: int = 0
-) -> Tuple[Array, Array, Array, Array]:
-    """Greedy decode that also returns each token's frame span.
+) -> Tuple[Array, Array, Array, Array, Array]:
+    """Greedy decode that also returns each token's frame span and
+    confidence.
 
-    Returns (tokens (B, T), lengths (B,), onsets (B, T), offsets (B, T)):
-    onset = first encoder frame of the token's argmax run, offset = last
-    frame of that run (inclusive). Jittable; the reference exposes no
-    time-alignment surface at all (its ctc_greedy_decode returns bare
+    Returns (tokens (B, T), lengths (B,), onsets (B, T), offsets (B, T),
+    confs (B, T)): onset = first encoder frame of the token's argmax
+    run, offset = last frame of that run (inclusive), conf = the
+    geometric-mean frame posterior of the argmax over the run,
+    exp(mean log p). Jittable; the reference exposes no time-alignment
+    or confidence surface at all (its ctc_greedy_decode returns bare
     ids), so this is a framework extension used by
     `recognize.py --timestamps` and the serving engine.
     """
@@ -79,18 +82,30 @@ def ctc_greedy_decode_with_times(
         jax.lax.cummin(jnp.flip(end_mark, axis=1), axis=1), axis=1
     )
 
+    # Per-frame argmax log-prob, prefix-summed so each token's run mean
+    # is two gathers: (csum[offset+1] - csum[onset]) / run_length.
+    mlp = jnp.max(log_probs, axis=-1)
+    csum = jnp.pad(jnp.cumsum(mlp, axis=1), ((0, 0), (1, 0)))
+
     order = jnp.argsort(~keep, axis=1, stable=True)
     packed = jnp.take_along_axis(best, order, axis=1)
     onsets = jnp.take_along_axis(
         jnp.broadcast_to(idx, (b, t)), order, axis=1
     )
     offsets = jnp.take_along_axis(run_end, order, axis=1)
+    run_len = (offsets - onsets + 1).astype(log_probs.dtype)
+    seg = (
+        jnp.take_along_axis(csum, offsets + 1, axis=1)
+        - jnp.take_along_axis(csum, onsets, axis=1)
+    )
+    confs = jnp.exp(seg / jnp.maximum(run_len, 1.0))
     lengths = keep.sum(axis=1)
     in_range = jnp.arange(t)[None, :] < lengths[:, None]
     packed = jnp.where(in_range, packed, 0)
     onsets = jnp.where(in_range, onsets, 0)
     offsets = jnp.where(in_range, offsets, 0)
-    return packed, lengths, onsets, offsets
+    confs = jnp.where(in_range, confs, 0.0)
+    return packed, lengths, onsets, offsets, confs
 
 
 def tokens_to_lists(

@@ -16,7 +16,7 @@ pieces (implicit word starts) without peeking at tokenizer internals.
 from __future__ import annotations
 
 import math
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 
 def encoder_frame_seconds(frontend_cfg, model_cfg) -> float:
@@ -54,35 +54,47 @@ def word_timestamps(
     offsets: Sequence[int],
     tokenizer,
     frame_seconds: float,
-) -> List[Tuple[str, float, float]]:
-    """Greedy-aligned word times.
+    confs: Optional[Sequence[float]] = None,
+) -> List[Tuple]:
+    """Greedy-aligned word times (and optional confidences).
 
     ids/onsets/offsets: one utterance's packed tokens + frame spans
     (from ctc_greedy_decode_with_times, already truncated to length).
     Returns [(word, start_s, end_s)] with start = onset of the word's
     first contributing token, end = end of its last token's run
-    (inclusive frame + 1, i.e. the frame boundary).
+    (inclusive frame + 1, i.e. the frame boundary). With `confs`
+    (per-token confidences from the same decode) each entry becomes
+    (word, start_s, end_s, conf) where conf = min over the word's
+    contributing tokens — the conservative word confidence.
     """
     ids = [int(t) for t in ids]
     texts = token_texts(ids, tokenizer)
-    words: List[Tuple[str, float, float]] = []
+    words: List[list] = []
     cur_word = ""
     cur_start = cur_end = None
+    cur_conf = 1.0
     for tok_i, text in enumerate(texts):
         for ch in text:
             if ch.isspace():
                 if cur_word:
-                    words.append((cur_word, cur_start, cur_end))
+                    words.append([cur_word, cur_start, cur_end, cur_conf])
                 cur_word, cur_start, cur_end = "", None, None
+                cur_conf = 1.0
             else:
                 if not cur_word:
                     cur_start = float(onsets[tok_i]) * frame_seconds
                 cur_word += ch
                 cur_end = (float(offsets[tok_i]) + 1.0) * frame_seconds
+                if confs is not None:
+                    cur_conf = min(cur_conf, float(confs[tok_i]))
     if cur_word:
-        words.append((cur_word, cur_start, cur_end))
-    return [
-        (w, round(s, 3), round(e, 3))
-        for w, s, e in words
-        if s is not None and not math.isnan(s)
-    ]
+        words.append([cur_word, cur_start, cur_end, cur_conf])
+    out = []
+    for w, s, e, c in words:
+        if s is None or math.isnan(s):
+            continue
+        if confs is not None:
+            out.append((w, round(s, 3), round(e, 3), round(c, 4)))
+        else:
+            out.append((w, round(s, 3), round(e, 3)))
+    return out

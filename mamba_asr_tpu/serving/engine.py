@@ -582,7 +582,8 @@ class StreamingServer:
         single accurate whole-utterance transcript.
 
         With want_times=True, additionally returns token spans
-        [(token_id, onset_frame, offset_frame)] from a greedy alignment
+        [(token_id, onset_frame, offset_frame, confidence)] from a
+        greedy alignment
         over the SAME accumulated encoder states (one extra small
         dispatch; decoding/ctc_greedy.ctc_greedy_decode_with_times).
         The aligned tokens are the greedy path — they may differ from
@@ -622,11 +623,12 @@ class StreamingServer:
                  np.asarray(toks[0])[: int(np.asarray(out_lens[0]))]]
         if not want_times:
             return tail, final
-        ids, n, ons, offs = jax.device_get(
+        ids, n, ons, offs, confs = jax.device_get(
             self._align_fn(self.params, enc_p, lens)
         )
         spans = [
-            (int(ids[0, i]), int(ons[0, i]), int(offs[0, i]))
+            (int(ids[0, i]), int(ons[0, i]), int(offs[0, i]),
+             float(confs[0, i]))
             for i in range(int(n[0]))
         ]
         return tail, final, spans

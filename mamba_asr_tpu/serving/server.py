@@ -234,12 +234,13 @@ class AsrTcpServer:
                         )
 
                         out["words"] = [
-                            [w, s, e] for w, s, e in word_timestamps(
-                                [t for t, _, _ in spans],
-                                [o for _, o, _ in spans],
-                                [f for _, _, f in spans],
+                            list(entry) for entry in word_timestamps(
+                                [sp[0] for sp in spans],
+                                [sp[1] for sp in spans],
+                                [sp[2] for sp in spans],
                                 self.tokenizer,
                                 self.engine.frame_seconds,
+                                confs=[sp[3] for sp in spans],
                             )
                         ]
                     self._send(conn, out)

@@ -164,17 +164,18 @@ def main():
                 word_timestamps,
             )
 
-            t_ids, t_lens, ons, offs = jax.device_get(
+            t_ids, t_lens, ons, offs, confs = jax.device_get(
                 ctc_greedy_decode_with_times(
                     out["ctc_log_probs"], out["enc_lengths"]
                 )
             )
             n = int(t_lens[0])
-            for word, start, end in word_timestamps(
+            for word, start, end, conf in word_timestamps(
                 t_ids[0, :n], ons[0, :n], offs[0, :n], tokenizer,
                 encoder_frame_seconds(cfg.frontend, cfg.model),
+                confs=confs[0, :n],
             ):
-                print(f"{start:.3f}\t{end:.3f}\t{word}")
+                print(f"{start:.3f}\t{end:.3f}\t{conf:.3f}\t{word}")
 
 
 if __name__ == "__main__":

@@ -52,8 +52,8 @@ def run_client(addr: str, paths, realtime: bool, chunk_ms: float,
                 ids, text = client.end(sid)
             out = text if text is not None else " ".join(map(str, ids))
             print(f"{path}\t{out}")
-            for w, s, e in words or []:
-                print(f"{s:.3f}\t{e:.3f}\t{w}")
+            for w, s, e, conf in words or []:
+                print(f"{s:.3f}\t{e:.3f}\t{conf:.3f}\t{w}")
     finally:
         client.close()
 

@@ -519,12 +519,13 @@ def test_engine_final_times_matches_offline_alignment():
         extra = (-feats.shape[1]) % model.cfg.downsample
         feats = jnp.pad(feats, ((0, 0), (0, extra), (0, 0)))
         out = model.apply(params, feats, jnp.array([feats.shape[1]]))
-        ids, n, ons, offs = ctc_greedy_decode_with_times(
+        ids, n, ons, offs, confs = ctc_greedy_decode_with_times(
             out["ctc_log_probs"], out["enc_lengths"]
         )
         k = int(n[0])
         return [
-            (int(ids[0, i]), int(ons[0, i]), int(offs[0, i]))
+            (int(ids[0, i]), int(ons[0, i]), int(offs[0, i]),
+             float(confs[0, i]))
             for i in range(k)
         ]
 
@@ -540,7 +541,11 @@ def test_engine_final_times_matches_offline_alignment():
         server.tick()
     tail, final, spans = server.finish_final(sid, want_times=True)
     exp = offline_spans(wav)
-    assert spans == exp, (spans, exp)
+    assert [sp[:3] for sp in spans] == [sp[:3] for sp in exp], (spans, exp)
+    np.testing.assert_allclose(
+        [sp[3] for sp in spans], [sp[3] for sp in exp], rtol=1e-5
+    )
+    assert all(0 < sp[3] <= 1.0 + 1e-6 for sp in spans)
     assert spans, "alignment produced no tokens (degenerate test input)"
     assert server.frame_seconds > 0
 
@@ -575,14 +580,15 @@ def test_tcp_timestamps():
         finally:
             c.close()
         assert words is not None
-        assert [w for w, _, _ in words] == expected_words, (
+        assert [w[0] for w in words] == expected_words, (
             words, expected_words
         )
         prev_start = 0.0
-        for w, s, e in words:
+        for w, s, e, conf in words:
             assert isinstance(w, str) and w
             assert 0.0 <= s <= e, (s, e)
             assert s >= prev_start, (s, prev_start)  # starts ordered
+            assert 0.0 < conf <= 1.0 + 1e-6, conf
             prev_start = s
         assert e <= len(wav) / FRONTEND.sample_rate + 1.0
     finally:

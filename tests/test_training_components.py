@@ -288,26 +288,36 @@ def test_ctc_greedy_decode_with_times():
     best = np.array([[0, 3, 3, 0, 4, 4, 5, 5]])
     lp = np.full((1, 8, 6), -10.0, np.float32)
     lp[0, np.arange(8), best[0]] = 0.0
-    toks, n, ons, offs = ctc_greedy_decode_with_times(
+    # Distinct per-frame argmax log-probs to pin the run-mean confidence:
+    # frames 4,5 get log p = -0.2, -0.4 -> conf = exp(-0.3).
+    lp[0, 4, 4], lp[0, 5, 4] = -0.2, -0.4
+    toks, n, ons, offs, confs = ctc_greedy_decode_with_times(
         jnp.asarray(lp), jnp.array([8])
     )
     assert int(n[0]) == 3
     assert list(np.array(toks[0, :3])) == [3, 4, 5]
     assert list(np.array(ons[0, :3])) == [1, 4, 6]
     assert list(np.array(offs[0, :3])) == [2, 5, 7]
+    np.testing.assert_allclose(
+        np.array(confs[0, :3]), [1.0, np.exp(-0.3), 1.0], rtol=1e-5
+    )
 
     # Truncated length cuts the 5-run to frame 6 only.
-    toks, n, ons, offs = ctc_greedy_decode_with_times(
+    toks, n, ons, offs, confs = ctc_greedy_decode_with_times(
         jnp.asarray(lp), jnp.array([7])
     )
     assert list(np.array(offs[0, :3])) == [2, 5, 6]
 
     # Tokens/lengths agree with the plain decode on random inputs.
     rng = np.random.default_rng(0)
-    lp = rng.normal(size=(3, 40, 8)).astype(np.float32)
+    # Shift negative so the pseudo log-probs behave like log-probs
+    # (conf <= 1); the shift cannot change any argmax.
+    lp = (rng.normal(size=(3, 40, 8)) - 5.0).astype(np.float32)
     lens = jnp.array([40, 17, 1])
     t0, n0 = ctc_greedy_decode(jnp.asarray(lp), lens)
-    t1, n1, ons, offs = ctc_greedy_decode_with_times(jnp.asarray(lp), lens)
+    t1, n1, ons, offs, confs = ctc_greedy_decode_with_times(
+        jnp.asarray(lp), lens
+    )
     assert list(np.array(n0)) == list(np.array(n1))
     np.testing.assert_array_equal(np.array(t0), np.array(t1))
     for i in range(3):
@@ -315,6 +325,8 @@ def test_ctc_greedy_decode_with_times():
         o, f = np.array(ons[i, :k]), np.array(offs[i, :k])
         assert (o <= f).all() and (f < int(lens[i])).all()
         assert (o[1:] > f[:-1]).all()  # spans ordered and disjoint
+        c = np.array(confs[i, :k])
+        assert (c > 0).all() and (c <= 1.0 + 1e-6).all()
 
 
 def test_word_timestamps_char_tokenizer():
