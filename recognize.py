@@ -40,8 +40,13 @@ def main():
     p.add_argument("--chunk_frames", type=int, default=64)
     p.add_argument("--timestamps", action="store_true",
                    help="also print greedy-aligned word times, one "
-                        "'start\\tend\\tword' line per word (CTC greedy "
+                        "'start\\tend\\tconf\\tword' line per word (CTC "
                         "path only)")
+    p.add_argument("--batch", type=int, default=1,
+                   help="offline CTC path: decode files in "
+                        "duration-sorted batches of this size (wav "
+                        "lengths bucket to 1 s multiples so shapes "
+                        "recompile rarely) — the throughput mode")
     args, extra = p.parse_known_args()
 
     import jax
@@ -134,12 +139,29 @@ def main():
             print(f"{path}\t{tokenizer.decode(ids)}")
         return
 
+    # Offline CTC path, batched: duration-sorted groups, wav lengths
+    # padded to 1 s multiples (compile-once per (B, bucket) shape),
+    # short groups row-padded to the full batch. --batch 1 is the
+    # single-file special case of the same loop.
+    wavs = {}
     for path in args.audio:
-        wav, sr = read_audio(path)
+        wavs[path], _ = read_audio(path)
+    ordered = sorted(args.audio, key=lambda p: len(wavs[p]))
+    results = {}
+    bucket = cfg.frontend.sample_rate  # 1 s
+    for i in range(0, len(ordered), args.batch):
+        group = ordered[i:i + args.batch]
+        max_len = max(len(wavs[p]) for p in group)
+        pad_len = -(-max_len // bucket) * bucket
+        wav_mat = np.zeros((args.batch, pad_len), np.float32)
+        wav_lens = np.ones((args.batch,), np.int32)  # padded rows: 1
+        for r, p in enumerate(group):
+            wav_mat[r, : len(wavs[p])] = wavs[p]
+            wav_lens[r] = len(wavs[p])
         batch = {
-            "wav": jnp.asarray(wav)[None],
-            "wav_lens": jnp.array([len(wav)], jnp.int32),
-            "tokens_bos": jnp.zeros((1, 4), jnp.int32),
+            "wav": jnp.asarray(wav_mat),
+            "wav_lens": jnp.asarray(wav_lens),
+            "tokens_bos": jnp.zeros((args.batch, 4), jnp.int32),
         }
         out = eval_step(state.params, state.normalizer, batch)
         if args.beam > 0:
@@ -153,27 +175,36 @@ def main():
             toks, lens = ctc_greedy_decode(
                 out["ctc_log_probs"], out["enc_lengths"]
             )
-        ids = tokens_to_lists(np.array(toks), np.array(lens))[0]
-        print(f"{path}\t{tokenizer.decode(ids)}")
+        id_lists = tokens_to_lists(np.array(toks), np.array(lens))
+        times = None
         if args.timestamps:
             from mamba_asr_tpu.decoding.ctc_greedy import (
                 ctc_greedy_decode_with_times,
             )
+
+            times = jax.device_get(
+                ctc_greedy_decode_with_times(
+                    out["ctc_log_probs"], out["enc_lengths"]
+                )
+            )
+        for r, p in enumerate(group):
+            results[p] = (id_lists[r], times, r)
+
+    for path in args.audio:
+        ids, times, r = results[path]
+        print(f"{path}\t{tokenizer.decode(ids)}")
+        if times is not None:
             from mamba_asr_tpu.decoding.timestamps import (
                 encoder_frame_seconds,
                 word_timestamps,
             )
 
-            t_ids, t_lens, ons, offs, confs = jax.device_get(
-                ctc_greedy_decode_with_times(
-                    out["ctc_log_probs"], out["enc_lengths"]
-                )
-            )
-            n = int(t_lens[0])
+            t_ids, t_lens, ons, offs, confs = times
+            n = int(t_lens[r])
             for word, start, end, conf in word_timestamps(
-                t_ids[0, :n], ons[0, :n], offs[0, :n], tokenizer,
+                t_ids[r, :n], ons[r, :n], offs[r, :n], tokenizer,
                 encoder_frame_seconds(cfg.frontend, cfg.model),
-                confs=confs[0, :n],
+                confs=confs[r, :n],
             ):
                 print(f"{start:.3f}\t{end:.3f}\t{conf:.3f}\t{word}")
 

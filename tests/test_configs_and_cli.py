@@ -208,6 +208,30 @@ def test_recognize_entry(tmp_path, capsys):
         printed = capsys.readouterr().out
         assert wav in printed, (extra, printed)
 
+    # Batched transcription agrees with per-file transcription.
+    wavs = sorted(glob.glob(os.path.join(corpus, "test-clean", "1", "2",
+                                         "*.wav")))[:3]
+    single = {}
+    for w in wavs:
+        _sys.argv = ["recognize.py", common[0], w] + base[2:]
+        try:
+            rec_mod.main()
+        finally:
+            _sys.argv = old_argv
+        line = capsys.readouterr().out.strip().splitlines()[-1]
+        single[w] = line.split("\t", 1)[1] if "\t" in line else ""
+    _sys.argv = (["recognize.py", common[0]] + wavs + base[2:]
+                 + ["--batch", "2"])
+    try:
+        rec_mod.main()
+    finally:
+        _sys.argv = old_argv
+    batched = {}
+    for line in capsys.readouterr().out.strip().splitlines():
+        p, _, txt = line.partition("\t")
+        batched[p] = txt
+    assert batched == single, (batched, single)
+
 
 def test_recognize_s2s_entry(tmp_path, capsys):
     """recognize.py --s2s: file -> transcript through the joint
