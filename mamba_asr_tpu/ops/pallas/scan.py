@@ -51,6 +51,16 @@ Array = jax.Array
 L_CHUNK = 64
 COLS = 8  # within-row sequential width of the two-level in-chunk scan
 D_TILE_MAX = 512
+# Compute y through the fused combine+contraction
+# (_forward_chunk_scan_fused_y) instead of materialize-then-contract.
+# MEASURED PERF-NEUTRAL in the production kernel (in-process A/B,
+# scripts/ab_scan_fused.py, v5e 2026-08-20: fwd-only 0.291 vs 0.289,
+# fwd+bwd 0.883 vs 0.870 ms/op — within repeat spread), even though the
+# residual-free harness kernel showed 0.251 -> 0.213
+# (exp_scan_variants --variants base,fusedy): Mosaic already fuses the
+# combine into the contraction here. Kept off as the recorded ablation,
+# like _merged_chunk_scans.
+FUSED_Y = False
 
 # The kernels take A^T pre-scaled by log2(e) and discretize with exp2:
 # exp(dt*A) = exp2(dt * (A*log2e)). The *log2e multiply moves off the
@@ -102,14 +112,15 @@ def supported(u: Array, A: Array, h0, return_last_state: bool) -> bool:
     return n <= 32 and length >= 1 and d >= 1
 
 
-def _forward_chunk_scan(da, dbu, h_carry, lchunk, n_state):
-    """Inclusive scan h_i = da_i h_{i-1} + dbu_i, h_{-1} = h_carry.
-
-    Work-efficient two-level scheme: reshape L into (ROWS, COLS), run a
-    *sequential* inclusive scan within each row (COLS-1 cheap passes over
-    1/COLS of the data; slices + concat, no in-kernel scatter), a
-    log-depth Hillis scan over the ROWS row-aggregates, then combine.
-    Returns hs (L, N, D).
+def _chunk_scan_prefixes(da, dbu, h_carry, lchunk, n_state):
+    """Shared two-level machinery of the inclusive scan
+    h_i = da_i h_{i-1} + dbu_i, h_{-1} = h_carry: reshape L into
+    (ROWS, COLS), run a *sequential* inclusive scan within each row
+    (COLS-1 cheap passes over 1/COLS of the data; slices + concat, no
+    in-kernel scatter) and a log-depth Hillis scan over the ROWS
+    row-aggregates. Returns (a, b, pref_h): row-local transmissions /
+    inputs (ROWS, COLS, N, D) and the per-row entry state (ROWS, N, D),
+    with hs = a * pref_h[:, None] + b.
     """
     rows, cols = lchunk // COLS, COLS
     a_in = da.reshape(rows, cols, n_state, da.shape[-1])
@@ -144,9 +155,34 @@ def _forward_chunk_scan(da, dbu, h_carry, lchunk, n_state):
     ex_a = jnp.where(first, 1.0, ex_a)
     ex_b = jnp.where(first, 0.0, ex_b)
     pref_h = ex_a * h_carry[None] + ex_b  # (ROWS, N, D)
+    return a, b, pref_h
 
+
+def _forward_chunk_scan(da, dbu, h_carry, lchunk, n_state):
+    """Inclusive scan via _chunk_scan_prefixes; returns hs (L, N, D)."""
+    a, b, pref_h = _chunk_scan_prefixes(da, dbu, h_carry, lchunk, n_state)
     hs = a * pref_h[:, None] + b  # (ROWS, COLS, N, D)
     return hs.reshape(lchunk, n_state, hs.shape[-1])
+
+
+def _forward_chunk_scan_fused_y(da, dbu, h_carry, cmat, lchunk, n_state):
+    """Forward chunk scan with the y C-contraction folded into the
+    combine: y = sum_n (a*pref_h + b) * C, so the (L, N, D) hs tensor is
+    never materialized (h_last comes from the last (a, b, pref_h)
+    slice). Bitwise-identical y/h_last to _forward_chunk_scan followed
+    by the separate contraction (same expression tree: t = a*pref+b is
+    still formed and rounded before the multiply by C). In the
+    residual-free harness kernel this measured 0.251 -> 0.213 ms/op
+    (exp_scan_variants --variants base,fusedy, v5e 2026-08-20), but in
+    the PRODUCTION kernel it is perf-neutral (see FUSED_Y); kept as the
+    recorded ablation. Returns (y (L, D), h_last (N, D)).
+    """
+    rows, cols = lchunk // COLS, COLS
+    a, b, pref_h = _chunk_scan_prefixes(da, dbu, h_carry, lchunk, n_state)
+    h_last = a[rows - 1, cols - 1] * pref_h[rows - 1] + b[rows - 1, cols - 1]
+    c_in = cmat.reshape(rows, cols, n_state, 1)
+    y = jnp.sum((a * pref_h[:, None] + b) * c_in, axis=2)
+    return y.reshape(lchunk, a.shape[-1]), h_last
 
 
 def _reverse_chunk_scan(ash, d, lchunk, n_state):
@@ -320,16 +356,23 @@ def _scan_kernel(
     dbu = (dt * u)[:, None, :] * bmat[:, :, None]
 
     h_carry = h_ref[...].astype(jnp.float32)  # (N, D)
-    hs = _forward_chunk_scan(da, dbu, h_carry, lchunk, n_state)
-    h_ref[...] = hs[lchunk - 1]
+    if FUSED_Y:
+        # Fused combine+contraction: hs never materialized (DESIGN §8b).
+        y, h_last = _forward_chunk_scan_fused_y(
+            da, dbu, h_carry, cmat, lchunk, n_state
+        )
+    else:  # A/B escape hatch (trace-time flag; bitwise-identical)
+        hs = _forward_chunk_scan(da, dbu, h_carry, lchunk, n_state)
+        h_last = hs[lchunk - 1]
+        y = jnp.sum(hs * cmat[:, :, None], axis=1)
+    h_ref[...] = h_last
     # Per-chunk boundary state, indexed by the l axis: h_bounds[:, l] is
     # the state AFTER chunk l. The final chunk's entry is h_last (padding
     # steps are identity), and the backward pass seeds each chunk cell
     # from h_bounds[:, l-1] — which removes the whole XLA
     # boundary-recompute pass the adjoint otherwise needs.
-    hb_ref[0, 0] = hs[lchunk - 1].astype(hb_ref.dtype)
+    hb_ref[0, 0] = h_last.astype(hb_ref.dtype)
 
-    y = jnp.sum(hs * cmat[:, :, None], axis=1)  # (L, D)
     y = y + u * d_skip
     if emit_dt:
         # Pre-gate y saved for the adjoint's dz term: one extra f32

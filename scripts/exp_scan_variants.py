@@ -187,22 +187,66 @@ def make_kernel(variant: str, n_state: int, lchunk: int):
             dbu = (dt * u)[:, None, :] * bmat[:, :, None]
 
         h_carry = h_ref[...].astype(jnp.float32)
-        if variant == "noscan":
-            hs = dbu
-        elif variant == "bf16scan":
-            hs = _forward_chunk_scan(
-                da.astype(jnp.bfloat16), dbu.astype(jnp.bfloat16),
-                h_carry.astype(jnp.bfloat16), lchunk, n_state
-            ).astype(jnp.float32)
+        if variant == "fusedy":
+            # NUMERICALLY EXACT candidate (not an ablation): fold the y
+            # C-contraction into the scan combine so the (L, N, D) hs
+            # tensor is never materialized — y = sum_n (a*pref_h + b)*C
+            # and h_last comes from the last (a, b, pref_h) slice.
+            rows, cols = lchunk // COLS, COLS
+            a_in = da.reshape(rows, cols, n_state, da.shape[-1])
+            b_in = dbu.reshape(rows, cols, n_state, dbu.shape[-1])
+            pa, pb = a_in[:, 0:1], b_in[:, 0:1]
+            cols_a, cols_b = [pa], [pb]
+            for c in range(1, cols):
+                cur_a = a_in[:, c : c + 1]
+                cur_b = b_in[:, c : c + 1]
+                pb = cur_a * pb + cur_b
+                pa = cur_a * pa
+                cols_a.append(pa)
+                cols_b.append(pb)
+            a = jnp.concatenate(cols_a, axis=1)
+            b = jnp.concatenate(cols_b, axis=1)
+            ra, rb = pa[:, 0], pb[:, 0]
+            row_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0)
+            off = 1
+            while off < rows:
+                sa = jnp.roll(ra, off, axis=0)
+                sb = jnp.roll(rb, off, axis=0)
+                valid = row_idx >= off
+                rb = jnp.where(valid, ra * sb + rb, rb)
+                ra = jnp.where(valid, ra * sa, ra)
+                off *= 2
+            ex_a = jnp.roll(ra, 1, axis=0)
+            ex_b = jnp.roll(rb, 1, axis=0)
+            first = row_idx == 0
+            ex_a = jnp.where(first, 1.0, ex_a)
+            ex_b = jnp.where(first, 0.0, ex_b)
+            pref_h = ex_a * h_carry[None] + ex_b  # (R, N, D)
+            h_last = a[rows - 1, cols - 1] * pref_h[rows - 1] \
+                + b[rows - 1, cols - 1]
+            h_ref[...] = h_last
+            hlast_ref[0] = h_last.astype(hlast_ref.dtype)
+            c_in = cmat.reshape(rows, cols, n_state, 1)
+            y_out = jnp.sum(
+                (a * pref_h[:, None] + b) * c_in, axis=2
+            ).reshape(lchunk, da.shape[-1])
         else:
-            hs = _forward_chunk_scan(da, dbu, h_carry, lchunk, n_state)
-        h_ref[...] = hs[lchunk - 1]
-        hlast_ref[0] = hs[lchunk - 1].astype(hlast_ref.dtype)
+            if variant == "noscan":
+                hs = dbu
+            elif variant == "bf16scan":
+                hs = _forward_chunk_scan(
+                    da.astype(jnp.bfloat16), dbu.astype(jnp.bfloat16),
+                    h_carry.astype(jnp.bfloat16), lchunk, n_state
+                ).astype(jnp.float32)
+            else:
+                hs = _forward_chunk_scan(da, dbu, h_carry, lchunk, n_state)
+            h_ref[...] = hs[lchunk - 1]
+            hlast_ref[0] = hs[lchunk - 1].astype(hlast_ref.dtype)
 
-        if variant == "noy":
-            y_out = u
-        else:
-            y_out = jnp.sum(hs * cmat[:, :, None], axis=1)
+            if variant == "noy":
+                y_out = u
+            else:
+                y_out = jnp.sum(hs * cmat[:, :, None], axis=1)
         y_out = y_out + u * d_skip
         y_out = y_out * jax.nn.silu(z)
         out_ref[0] = y_out.astype(out_ref.dtype)
