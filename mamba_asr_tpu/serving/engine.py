@@ -115,6 +115,8 @@ class StreamingServer:
         final_decode: Optional[str] = None,
         beam_size: int = 8,
         decode_opts: Optional[dict] = None,
+        lm_model=None,
+        lm_params=None,
     ):
         assert final_decode in (None, "ctc_beam", "s2s")
         assert chunk_frames % model.cfg.downsample == 0, (
@@ -271,8 +273,12 @@ class StreamingServer:
                 )
 
             self._align_fn = align
+        self._lm_model, self._lm_params = lm_model, lm_params
         if final_decode == "ctc_beam":
-            from mamba_asr_tpu.decoding.ctc_beam import ctc_beam_search
+            from mamba_asr_tpu.decoding.ctc_beam import (
+                ctc_beam_search,
+                ctc_beam_search_nbest,
+            )
 
             prune = {
                 k: self._decode_opts[k]
@@ -280,18 +286,52 @@ class StreamingServer:
                 if k in self._decode_opts
             }
 
-            @jax.jit
-            def final_ctc(params, enc, lens):
-                ctc = model.apply(
-                    params, enc.astype(jnp.float32),
-                    method=lambda m_, e_: m_.ctc_head(e_),
-                )
-                lp = jax.nn.log_softmax(ctc, -1)
-                return ctc_beam_search(
-                    lp, lens, beam_size=beam_size, **prune
-                )
+            if lm_model is not None:
+                # CTC n-best + LM rescoring (decoding/rescore.py) as the
+                # final pass. lm_params MUST travel as an argument —
+                # closing over them would inline the LM as dense HLO
+                # constants (the remote-compile 413 trap, DESIGN §9).
+                from mamba_asr_tpu.decoding.rescore import rescore_nbest
 
-            self._final_ctc = final_ctc
+                lm_weight = self._decode_opts.get("lm_weight", 0.6)
+                temperature_lm = self._decode_opts.get(
+                    "temperature_lm", 1.0
+                )
+                nbest = self._decode_opts.get("nbest", min(beam_size, 10))
+
+                @jax.jit
+                def final_ctc_lm(params, lm_ps, enc, lens):
+                    ctc = model.apply(
+                        params, enc.astype(jnp.float32),
+                        method=lambda m_, e_: m_.ctc_head(e_),
+                    )
+                    lp = jax.nn.log_softmax(ctc, -1)
+                    toks, lens_n, scores = ctc_beam_search_nbest(
+                        lp, lens, nbest=nbest, beam_size=beam_size,
+                        **prune,
+                    )
+                    return rescore_nbest(
+                        toks, lens_n, scores, lm_model, lm_ps,
+                        lm_weight=lm_weight,
+                        temperature_lm=temperature_lm,
+                    )
+
+                self._final_ctc = lambda params, enc, lens: final_ctc_lm(
+                    params, self._lm_params, enc, lens
+                )
+            else:
+                @jax.jit
+                def final_ctc(params, enc, lens):
+                    ctc = model.apply(
+                        params, enc.astype(jnp.float32),
+                        method=lambda m_, e_: m_.ctc_head(e_),
+                    )
+                    lp = jax.nn.log_softmax(ctc, -1)
+                    return ctc_beam_search(
+                        lp, lens, beam_size=beam_size, **prune
+                    )
+
+                self._final_ctc = final_ctc
         elif final_decode == "s2s":
             from mamba_asr_tpu.decoding.s2s_beam import S2SBeamSearcher
 

@@ -143,12 +143,26 @@ def main() -> None:
             data=args.data_parallel,
             devices=jax.devices()[: args.data_parallel],
         )
+    lm_model = lm_params = None
+    if args.final == "ctc_beam" and cfg.decode.lm_path:
+        # CTC n-best + LM rescoring on the final pass (the reference's
+        # decode-time LM, served): loads cfg.decode.lm_path (native or
+        # imported torch checkpoint, cli.load_lm).
+        from mamba_asr_tpu.cli import load_lm
+
+        lm_model, lm_params = load_lm(cfg, tokenizer)
     engine = StreamingServer(
         model, {"params": state.params}, cfg.frontend,
         normalizer=state.normalizer, n_slots=args.slots,
         chunk_frames=args.chunk_frames, mesh=mesh,
         final_decode=None if args.final == "none" else args.final,
         beam_size=args.final_beam_size,
+        lm_model=lm_model, lm_params=lm_params,
+        decode_opts=(
+            {"lm_weight": cfg.decode.lm_weight,
+             "temperature_lm": cfg.decode.temperature_lm}
+            if lm_model is not None else None
+        ),
     )
     server = AsrTcpServer(engine, tokenizer=tokenizer,
                           host=args.host, port=args.port,

@@ -681,3 +681,51 @@ def test_tcp_endpoint_event():
             c.close()
     finally:
         server.stop()
+
+
+def test_engine_final_ctc_beam_lm_rescoring():
+    """final_decode='ctc_beam' with an LM: the final transcript equals
+    the offline CTC n-best + LM rescore of the same audio (the
+    reference's decode-time LM, served)."""
+    from mamba_asr_tpu.decoding.ctc_beam import ctc_beam_search_nbest
+    from mamba_asr_tpu.decoding.rescore import rescore_nbest
+    from mamba_asr_tpu.models.lm import TransformerLM
+
+    model, params = _model_and_params()
+    hop = FRONTEND.hop
+    lm = TransformerLM(vocab_size=9, d_model=16, nhead=2, num_layers=1,
+                       d_ffn=16)
+    lm_params = {"params": lm.init(
+        jax.random.PRNGKey(5), jnp.zeros((1, 4), jnp.int32)
+    )["params"]}
+
+    def offline(wav):
+        feats = fb.log_mel_spectrogram(
+            jnp.asarray(wav[None]), n_fft=FRONTEND.n_fft,
+            n_mels=FRONTEND.n_mels, win_length_ms=FRONTEND.win_length_ms,
+        )
+        extra = (-feats.shape[1]) % model.cfg.downsample
+        feats = jnp.pad(feats, ((0, 0), (0, extra), (0, 0)))
+        out = model.apply(params, feats, jnp.array([feats.shape[1]]))
+        toks, lens, scores = ctc_beam_search_nbest(
+            out["ctc_log_probs"], out["enc_lengths"],
+            nbest=4, beam_size=4,
+        )
+        bt, bl = rescore_nbest(toks, lens, scores, lm, lm_params,
+                               lm_weight=0.6)
+        return [int(t) for t in np.array(bt[0, : int(bl[0])])]
+
+    server = StreamingServer(
+        model, params, FRONTEND, n_slots=1, chunk_frames=32,
+        final_decode="ctc_beam", beam_size=4,
+        lm_model=lm, lm_params=lm_params,
+        decode_opts={"lm_weight": 0.6, "nbest": 4},
+    )
+    rng = np.random.default_rng(43)
+    wav = rng.normal(0, 0.3, size=133 * hop).astype(np.float32)
+    sid = server.attach()
+    for off in range(0, len(wav), 32 * hop):
+        server.feed(sid, wav[off:off + 32 * hop])
+        server.tick()
+    _, final = server.finish_final(sid)
+    assert final == offline(wav), (final, offline(wav))
