@@ -11,5 +11,6 @@ small length-prefixed TCP protocol on top (`server.serve` /
 """
 
 from mamba_asr_tpu.serving.engine import StreamingServer
+from mamba_asr_tpu.serving.export import ExportedASR, export_ctc_bundle
 
-__all__ = ["StreamingServer"]
+__all__ = ["StreamingServer", "ExportedASR", "export_ctc_bundle"]
