@@ -18,10 +18,12 @@ Design notes:
   per bucket, mirroring recognize.py --batch's 1 s wav bucketing.
   The loader picks the smallest fitting bucket and zero-pads; model
   outputs are length-masked by wav_lens so padding is inert.
-- The exported surface is the CTC surface (ctc_log_probs,
-  enc_lengths): it feeds greedy decode, host-side CTC beam search,
-  and timestamp extraction. S2S beam decode stays in-framework (the
-  searcher's scorer fan-in is host logic anyway).
+- Two exportable surfaces. The CTC surface (ctc_log_probs,
+  enc_lengths) feeds greedy decode, host-side CTC beam search, and
+  timestamp extraction. The S2S surface exports the ENTIRE joint
+  CTC/attention beam search (decoding/s2s_beam.py's single-dispatch
+  lax.while_loop program, optional LM fusion included) as one
+  StableHLO function: waveform in, beam-decoded token ids out.
 - The normalizer's global mean/std (2 x n_mels floats) ARE baked in
   as constants -- tiny, and it makes the artifact self-contained.
 
@@ -52,6 +54,7 @@ from mamba_asr_tpu.training.trainer import (
 FORMAT_VERSION = 1
 MANIFEST = "manifest.json"
 PARAMS_FILE = "params.msgpack"
+LM_PARAMS_FILE = "lm_params.msgpack"
 
 
 def _fn_file(batch: int, samples: int) -> str:
@@ -117,15 +120,111 @@ def export_ctc_bundle(
     with open(os.path.join(out_dir, PARAMS_FILE), "wb") as f:
         f.write(serialization.msgpack_serialize(params))
 
-    manifest = {
+    manifest = _manifest(model, frontend, written, platforms, "ctc")
+    with open(os.path.join(out_dir, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def _manifest(model, frontend, buckets, platforms, surface):
+    return {
         "format": FORMAT_VERSION,
-        "buckets": written,
+        "surface": surface,
+        "buckets": buckets,
         "platforms": list(platforms) if platforms else [jax.default_backend()],
         "sample_rate": int(frontend.sample_rate),
         "n_mels": int(frontend.n_mels),
         "vocab_size": int(model.cfg.vocab_size),
         "downsample": int(model.cfg.downsample),
     }
+
+
+def export_s2s_bundle(
+    model,
+    params,
+    normalizer,
+    frontend: FrontendConfig,
+    searcher,
+    out_dir: str,
+    buckets: Sequence[Tuple[int, int]],
+    platforms: Optional[Sequence[str]] = None,
+    allow_custom_calls: Sequence[str] = (),
+    lm_params=None,
+) -> dict:
+    """Serialize full S2S transcription — waveform -> joint
+    CTC/attention beam search -> `(tokens (B, S), lengths (B,),
+    scores (B,))` — one StableHLO function per bucket. The searcher's
+    whole lax.while_loop program (cache priming, beam steps, LM
+    fusion, final selection) is part of the exported function, so a
+    worker transcribes S2S models with no framework code. Tokens
+    include bos/eos framing exactly as `S2SBeamSearcher.__call__`
+    returns them.
+
+    When the searcher fuses an LM (`lm_weight > 0` and `lm_params`
+    given), the LM weights become a second msgpack argument file; the
+    loader feeds them automatically.
+    """
+    params = jax.tree.map(np.asarray, jax.device_get(params))
+    has_lm = searcher.lm_model is not None and lm_params is not None
+    if lm_params is not None:
+        lm_params = jax.tree.map(np.asarray, jax.device_get(lm_params))
+    has_ctc = searcher.ctc_weight > 0.0
+    os.makedirs(out_dir, exist_ok=True)
+
+    def fwd(p, lm_p, wav, wav_lens):
+        feats = compute_features(frontend, wav)
+        t = feats.shape[1]
+        flens = jnp.minimum(frame_lengths(frontend, wav_lens), t)
+        feats = apply_normalizer(normalizer, feats)
+        out = model.apply({"params": p}, feats, flens, None, train=False)
+        enc = out["enc_out"]
+        search = searcher._make_search(
+            enc.shape[0], enc.shape[1], has_ctc, has_lm
+        )
+        return search(
+            {"params": p},
+            lm_p,
+            enc,
+            out["enc_lengths"],
+            out["ctc_log_probs"] if has_ctc else None,
+        )
+
+    p_specs = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params
+    )
+    lm_specs = (
+        jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), lm_params)
+        if has_lm
+        else None
+    )
+    disabled = [
+        jax.export.DisabledSafetyCheck.custom_call(t)
+        for t in allow_custom_calls
+    ]
+    written = []
+    for batch, samples in buckets:
+        exported = jax.export.export(
+            jax.jit(fwd), platforms=platforms, disabled_checks=disabled
+        )(
+            p_specs,
+            lm_specs,
+            jax.ShapeDtypeStruct((batch, samples), jnp.float32),
+            jax.ShapeDtypeStruct((batch,), jnp.int32),
+        )
+        with open(os.path.join(out_dir, _fn_file(batch, samples)), "wb") as f:
+            f.write(exported.serialize())
+        written.append([int(batch), int(samples)])
+
+    with open(os.path.join(out_dir, PARAMS_FILE), "wb") as f:
+        f.write(serialization.msgpack_serialize(params))
+    if has_lm:
+        with open(os.path.join(out_dir, LM_PARAMS_FILE), "wb") as f:
+            f.write(serialization.msgpack_serialize(lm_params))
+
+    manifest = _manifest(model, frontend, written, platforms, "s2s")
+    manifest["has_lm"] = bool(has_lm)
+    manifest["bos_id"] = int(searcher.bos_id)
+    manifest["eos_id"] = int(searcher.eos_id)
     with open(os.path.join(out_dir, MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1)
     return manifest
@@ -134,11 +233,13 @@ def export_ctc_bundle(
 class ExportedASR:
     """Load a bundle and transcribe acoustics with NO model code.
 
-    `__call__(wav (B, T) float32, wav_lens (B,) int) ->
-    (ctc_log_probs (B, T', V), enc_lengths (B,))` -- rows beyond B and
-    frames beyond each enc_length are the padding bucket's artifacts
-    and are already stripped/maskable by the caller. Deserialized
-    executables are cached per bucket.
+    CTC bundles: `__call__(wav (B, T) float32, wav_lens (B,) int) ->
+    (ctc_log_probs (B, T', V), enc_lengths (B,))`. S2S bundles:
+    `-> (tokens (B, S), lengths (B,), scores (B,))` from the exported
+    beam search (LM weights fed automatically when bundled). Rows
+    beyond B and frames beyond each enc_length are the padding
+    bucket's artifacts and are already stripped/maskable by the
+    caller. Deserialized executables are cached per bucket.
     """
 
     def __init__(self, bundle_dir: str):
@@ -150,8 +251,13 @@ class ExportedASR:
                 f"bundle format {self.manifest['format']} != "
                 f"{FORMAT_VERSION}"
             )
+        self.surface = self.manifest.get("surface", "ctc")
         with open(os.path.join(bundle_dir, PARAMS_FILE), "rb") as f:
             self.params = serialization.msgpack_restore(f.read())
+        self.lm_params = None
+        if self.manifest.get("has_lm"):
+            with open(os.path.join(bundle_dir, LM_PARAMS_FILE), "rb") as f:
+                self.lm_params = serialization.msgpack_restore(f.read())
         # Sorted so "smallest fitting bucket" is the first match.
         self.buckets = sorted(tuple(b) for b in self.manifest["buckets"])
         self._fns = {}
@@ -175,7 +281,7 @@ class ExportedASR:
             )
         return min(fits)[1]
 
-    def __call__(self, wav: np.ndarray, wav_lens) -> Tuple[np.ndarray, np.ndarray]:
+    def __call__(self, wav: np.ndarray, wav_lens):
         wav = np.asarray(wav, np.float32)
         wav_lens = np.asarray(wav_lens, np.int32)
         b, t = wav.shape
@@ -184,7 +290,10 @@ class ExportedASR:
         wav_pad[:b, :t] = wav
         lens_pad = np.ones((bb,), np.int32)
         lens_pad[:b] = wav_lens
-        log_probs, enc_lens = self._fn((bb, tt)).call(
-            self.params, wav_pad, lens_pad
-        )
-        return np.asarray(log_probs)[:b], np.asarray(enc_lens)[:b]
+        if self.surface == "s2s":
+            outs = self._fn((bb, tt)).call(
+                self.params, self.lm_params, wav_pad, lens_pad
+            )
+        else:
+            outs = self._fn((bb, tt)).call(self.params, wav_pad, lens_pad)
+        return tuple(np.asarray(o)[:b] for o in outs)

@@ -39,11 +39,21 @@ def main():
                    help="comma-separated custom-call targets to exempt "
                         "from the export stability check (TPU Pallas "
                         "kernels need tpu_custom_call here)")
+    p.add_argument("--s2s", action="store_true",
+                   help="export the full joint CTC/attention beam "
+                        "search surface (S2S configs; includes the "
+                        "fusion LM when decode.lm_path is set)")
+    p.add_argument("--beam", type=int, default=0,
+                   help="--s2s beam size override (default: the "
+                        "config's test beam)")
     args, extra = p.parse_known_args()
 
     from mamba_asr_tpu.cli import restore_asr_state
     from mamba_asr_tpu.configs.loader import load_config, parse_overrides
-    from mamba_asr_tpu.serving.export import export_ctc_bundle
+    from mamba_asr_tpu.serving.export import (
+        export_ctc_bundle,
+        export_s2s_bundle,
+    )
 
     cfg = load_config(args.config, parse_overrides(extra))
     model, state = restore_asr_state(
@@ -56,15 +66,47 @@ def main():
         for b in args.batches.split(",")
         for s in args.seconds.split(",")
     ]
-    manifest = export_ctc_bundle(
-        model, state.params, state.normalizer, cfg.frontend,
-        args.out, buckets,
-        platforms=args.platforms.split(",") if args.platforms else None,
-        allow_custom_calls=(
-            args.allow_custom_calls.split(",")
-            if args.allow_custom_calls else ()
-        ),
+    platforms = args.platforms.split(",") if args.platforms else None
+    allow = (
+        args.allow_custom_calls.split(",")
+        if args.allow_custom_calls else ()
     )
+    if args.s2s:
+        if cfg.model.num_decoder_layers <= 0:
+            raise SystemExit("--s2s needs a config with decoder layers")
+        from mamba_asr_tpu.cli import load_lm
+        from mamba_asr_tpu.data.tokenizer import load_tokenizer
+        from mamba_asr_tpu.decoding.s2s_beam import S2SBeamSearcher
+
+        d = cfg.decode
+        tok_path = (
+            f"{cfg.output_folder}/tokenizer_{cfg.data.tokenizer_type}.json"
+        )
+        lm_model, lm_params = load_lm(cfg, load_tokenizer(tok_path))
+        searcher = S2SBeamSearcher(
+            model,
+            beam_size=args.beam or d.s2s_test_beam_size,
+            ctc_weight=d.ctc_weight_decode,
+            ctc_candidates=d.ctc_candidates,
+            lm_weight=d.lm_weight if lm_model is not None else 0.0,
+            temperature=d.temperature,
+            temperature_lm=d.temperature_lm,
+            length_normalization=d.length_normalization,
+            max_decode_ratio=d.max_decode_ratio,
+            min_decode_ratio=d.min_decode_ratio,
+            lm_model=lm_model,
+        )
+        manifest = export_s2s_bundle(
+            model, state.params, state.normalizer, cfg.frontend,
+            searcher, args.out, buckets, platforms=platforms,
+            allow_custom_calls=allow, lm_params=lm_params,
+        )
+    else:
+        manifest = export_ctc_bundle(
+            model, state.params, state.normalizer, cfg.frontend,
+            args.out, buckets, platforms=platforms,
+            allow_custom_calls=allow,
+        )
     print(f"exported {len(manifest['buckets'])} buckets -> {args.out}")
 
 

@@ -167,3 +167,130 @@ def test_export_manifest_fields(tmp_path):
     assert m["sample_rate"] == SR
     assert m["vocab_size"] == 9
     assert m["platforms"] == [jax.default_backend()]
+
+
+def test_export_s2s_full_beam_search(tmp_path):
+    """The S2S surface exports the ENTIRE joint CTC/attention beam
+    search: bundle output == in-framework searcher on the same padded
+    shapes (tokens exactly; scores to float tolerance, since the
+    exported program fuses encoder+search into one executable)."""
+    from mamba_asr_tpu.decoding.s2s_beam import S2SBeamSearcher
+    from mamba_asr_tpu.serving.export import export_s2s_bundle
+    from mamba_asr_tpu.training.normalizer import apply_normalizer
+    from mamba_asr_tpu.training.trainer import (
+        compute_features,
+        frame_lengths,
+    )
+
+    cfg = ASRConfig(
+        vocab_size=9, n_mels=20, d_model=16, nhead=2,
+        num_encoder_layers=1, num_decoder_layers=1, d_ffn=16,
+        dropout=0.0, encoder_module="conmamba", decoder_module="mamba",
+        kernel_size=7, causal=True, bidirectional=False,
+        mamba=MambaConfig(d_state=4, scan_impl="xla"),
+    )
+    model = ASRModel(cfg)
+    feats = jnp.zeros((1, 16, cfg.n_mels), jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(1), feats, jnp.array([16]),
+        jnp.array([[1, 3, 4]]),
+    )["params"]
+    normalizer = init_normalizer(FRONTEND.n_mels)
+    searcher = S2SBeamSearcher(
+        model, beam_size=3, ctc_weight=0.3, max_steps_cap=8
+    )
+    out = str(tmp_path / "bundle")
+    manifest = export_s2s_bundle(
+        model, params, normalizer, FRONTEND, searcher, out, [(2, SR // 2)]
+    )
+    assert manifest["surface"] == "s2s" and manifest["has_lm"] is False
+
+    asr = ExportedASR(out)
+    rng = np.random.default_rng(1)
+    n = int(0.4 * SR)
+    wav = _rand_wav(rng, n)[None]
+    toks_e, lens_e, scores_e = asr(wav, np.array([n], np.int32))
+    assert toks_e.shape[0] == 1 and lens_e.shape == (1,)
+
+    # In-framework reference on the SAME padded bucket shapes.
+    wav_pad = np.zeros((2, SR // 2), np.float32)
+    wav_pad[0, :n] = wav[0]
+    wav_lens = jnp.asarray(np.array([n, 1], np.int32))
+    f = compute_features(FRONTEND, jnp.asarray(wav_pad))
+    fl = jnp.minimum(frame_lengths(FRONTEND, wav_lens), f.shape[1])
+    f = apply_normalizer(normalizer, f)
+    mo = model.apply({"params": params}, f, fl, None, train=False)
+    toks_r, lens_r, scores_r = searcher(
+        {"params": params}, mo["enc_out"], mo["enc_lengths"],
+        ctc_log_probs=mo["ctc_log_probs"],
+    )
+    np.testing.assert_array_equal(toks_e, np.asarray(toks_r)[:1])
+    np.testing.assert_array_equal(lens_e, np.asarray(lens_r)[:1])
+    np.testing.assert_allclose(
+        scores_e, np.asarray(scores_r)[:1], rtol=1e-5, atol=1e-5
+    )
+
+
+def test_export_s2s_with_lm_fusion(tmp_path):
+    """LM-fused bundles: LM weights ride as a second msgpack argument
+    file and the loader feeds them; output == in-framework searcher."""
+    from mamba_asr_tpu.decoding.s2s_beam import S2SBeamSearcher
+    from mamba_asr_tpu.models.lm import TransformerLM
+    from mamba_asr_tpu.serving.export import export_s2s_bundle
+    from mamba_asr_tpu.training.normalizer import apply_normalizer
+    from mamba_asr_tpu.training.trainer import (
+        compute_features,
+        frame_lengths,
+    )
+
+    cfg = ASRConfig(
+        vocab_size=9, n_mels=20, d_model=16, nhead=2,
+        num_encoder_layers=1, num_decoder_layers=1, d_ffn=16,
+        dropout=0.0, encoder_module="conmamba", decoder_module="mamba",
+        kernel_size=7, causal=True, bidirectional=False,
+        mamba=MambaConfig(d_state=4, scan_impl="xla"),
+    )
+    model = ASRModel(cfg)
+    feats = jnp.zeros((1, 16, cfg.n_mels), jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(1), feats, jnp.array([16]),
+        jnp.array([[1, 3, 4]]),
+    )["params"]
+    lm = TransformerLM(vocab_size=9, d_model=16, nhead=2, num_layers=1,
+                       d_ffn=16)
+    lm_params = lm.init(jax.random.PRNGKey(2), jnp.ones((1, 4), jnp.int32))
+    normalizer = init_normalizer(FRONTEND.n_mels)
+    searcher = S2SBeamSearcher(
+        model, beam_size=3, ctc_weight=0.4, lm_weight=0.6,
+        temperature=1.15, temperature_lm=1.15, lm_model=lm,
+        max_steps_cap=6,
+    )
+    out = str(tmp_path / "bundle")
+    manifest = export_s2s_bundle(
+        model, params, normalizer, FRONTEND, searcher, out,
+        [(1, SR // 2)], lm_params=lm_params,
+    )
+    assert manifest["has_lm"] is True
+    assert os.path.exists(os.path.join(out, "lm_params.msgpack"))
+
+    asr = ExportedASR(out)
+    rng = np.random.default_rng(2)
+    wav = _rand_wav(rng, SR // 2)[None]
+    lens = np.array([SR // 2], np.int32)
+    toks_e, lens_e, scores_e = asr(wav, lens)
+
+    f = compute_features(FRONTEND, jnp.asarray(wav))
+    fl = jnp.minimum(
+        frame_lengths(FRONTEND, jnp.asarray(lens)), f.shape[1]
+    )
+    f = apply_normalizer(normalizer, f)
+    mo = model.apply({"params": params}, f, fl, None, train=False)
+    toks_r, lens_r, scores_r = searcher(
+        {"params": params}, mo["enc_out"], mo["enc_lengths"],
+        ctc_log_probs=mo["ctc_log_probs"], lm_params=lm_params,
+    )
+    np.testing.assert_array_equal(toks_e, np.asarray(toks_r))
+    np.testing.assert_array_equal(lens_e, np.asarray(lens_r))
+    np.testing.assert_allclose(
+        scores_e, np.asarray(scores_r), rtol=1e-5, atol=1e-5
+    )
