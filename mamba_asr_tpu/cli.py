@@ -13,6 +13,7 @@ checkpoint averaging.
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 from typing import List, Optional
@@ -54,10 +55,14 @@ def build_tokenizer(cfg: ExperimentConfig, train_csv: str):
     return tok
 
 
-def load_lm(cfg: ExperimentConfig, tokenizer):
+def load_lm(cfg: ExperimentConfig, tokenizer=None):
     """Load the decode-time LM from disk if configured (the reference
     downloads one from HF at train_S2S.py:1235-1236; falls back to no-LM
-    decoding like the reference's no_lm path, train_S2S.py:1247-1253)."""
+    decoding like the reference's no_lm path, train_S2S.py:1247-1253).
+
+    ``tokenizer`` is accepted for call-site symmetry but unused: the LM
+    vocab is taken from ``cfg.model.vocab_size``.
+    """
     if not cfg.decode.lm_path:
         return None, None
     import jax
@@ -189,11 +194,17 @@ def run_training(argv: Optional[List[str]] = None) -> Trainer:
     if "--distributed" in argv:
         # Multi-host: one process per host; jax.distributed wires the
         # mesh over ICI/DCN (the reference's torchrun/ddp_init_group
-        # equivalent, SURVEY.md §5.8).
+        # equivalent, SURVEY.md §5.8). On a TPU pod slice the
+        # coordinator auto-detects; elsewhere set MASR_COORDINATOR /
+        # MASR_NUM_PROCESSES / MASR_PROCESS_ID per process.
         argv.remove("--distributed")
-        import jax
+        from mamba_asr_tpu.parallel.distributed import initialize
 
-        jax.distributed.initialize()
+        initialize()
+    import jax
+
+    from mamba_asr_tpu.parallel.distributed import barrier
+
     cfg = load_config(argv[0], parse_overrides(argv[1:]))
     os.makedirs(cfg.output_folder, exist_ok=True)
 
@@ -214,11 +225,21 @@ def run_training(argv: Optional[List[str]] = None) -> Trainer:
         from mamba_asr_tpu.data.librispeech import create_lexicon
 
         create_lexicon(manifest_dir, [cfg.data.train_csv])
-    tokenizer = build_tokenizer(cfg, train_csv)
+    # Non-main processes wait for the manifests (shared filesystem, the
+    # reference's run_on_main + ddp barrier pattern, train_CTC.py:1080).
+    barrier("librispeech_prep")
+    tokenizer = (
+        build_tokenizer(cfg, train_csv) if is_main_process() else None
+    )
+    barrier("tokenizer_fit")
+    if tokenizer is None:  # now guaranteed on disk; load, don't re-fit
+        tokenizer = build_tokenizer(cfg, train_csv)
 
     lm_model, lm_params = load_lm(cfg, tokenizer)
     trainer = Trainer(cfg, tokenizer, lm_model=lm_model, lm_params=lm_params)
-    n_data = trainer.mesh.shape["data"]
+    # Batches must split evenly over the data axis AND over processes
+    # (each process loads global_batch / process_count rows).
+    n_data = math.lcm(trainer.mesh.shape["data"], jax.process_count())
 
     train_ds = ASRDataset.from_csv(train_csv, tokenizer, cfg.data.sample_rate)
     train_loader = BucketedLoader(
@@ -231,6 +252,10 @@ def run_training(argv: Optional[List[str]] = None) -> Trainer:
         seed=cfg.seed,
         batch_divisor=n_data,
         num_workers=cfg.data.num_workers,
+        # Each process loads only its slice of every global batch;
+        # shard_batch reassembles on device (SURVEY.md §5.8).
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
     )
     valid_loader = None
     if cfg.data.dev_splits:

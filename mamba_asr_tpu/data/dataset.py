@@ -93,10 +93,21 @@ class BucketedLoader:
         drop_last: bool = False,
         batch_divisor: int = 1,
         num_workers: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         self.ds = dataset
         self.speed_perturb = speed_perturb
         self.seed = seed
+        # Multi-process (multi-host) training: every process builds the
+        # IDENTICAL plan/sampler (same seed, same manifest), then loads
+        # only its own row slice of each global batch; the global batch
+        # is reassembled on device by parallel.mesh.shard_batch
+        # (process_sharded=True). The reference gets the same split from
+        # torch's DistributedSampler (SURVEY.md §5.8).
+        assert 0 <= process_index < process_count
+        self.process_index = process_index
+        self.process_count = process_count
         # Per-utterance decode+perturb parallelism; 0 = one thread per
         # host CPU. Both the FLAC decode and the resample are single
         # ctypes calls into native/flac_decode.cpp (GIL released for the
@@ -131,8 +142,36 @@ class BucketedLoader:
 
     def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.default_rng(self.seed * 7919 + epoch)
+        pc, pi = self.process_count, self.process_index
         for bucket_idx, indices, real in self.sampler.epoch(epoch):
-            yield self._collate(bucket_idx, indices, real, rng)
+            # Perturb factors are drawn for the FULL global batch in
+            # index order before any slicing, so the realized factor
+            # sequence (and therefore the training trajectory) is
+            # identical to the single-process run on the same seed.
+            if self.speed_perturb:
+                factors = [
+                    SPEED_FACTORS[rng.integers(len(SPEED_FACTORS))]
+                    for _ in indices
+                ]
+            else:
+                factors = [1.0] * len(indices)
+            if pc > 1:
+                bsz = len(indices)
+                if bsz % pc != 0:
+                    raise ValueError(
+                        f"batch size {bsz} not divisible by process "
+                        f"count {pc}: construct the loader with "
+                        "batch_divisor = data-axis size"
+                    )
+                shard = bsz // pc
+                lo = pi * shard
+                indices = indices[lo : lo + shard]
+                factors = factors[lo : lo + shard]
+                # Global pad rows are the TRAILING rows; this process's
+                # real-row count is the overlap of [lo, lo+shard) with
+                # [0, real).
+                real = min(max(real - lo, 0), shard)
+            yield self._collate(bucket_idx, indices, real, factors)
 
     def __iter__(self):
         return self.epoch(0)
@@ -150,7 +189,9 @@ class BucketedLoader:
         toks = self.ds.tokenizer.encode(utt.words)[:s_max]
         return utt.utt_id, audio[:n_samples], toks
 
-    def _collate(self, bucket_idx, indices, real, rng) -> Dict[str, np.ndarray]:
+    def _collate(
+        self, bucket_idx, indices, real, factors
+    ) -> Dict[str, np.ndarray]:
         bucket = self.plan.buckets[bucket_idx]
         n_samples = self.plan.padded_samples(bucket_idx)
         s_max = bucket.max_label_len
@@ -164,17 +205,10 @@ class BucketedLoader:
         tokens_eos = np.full((bsz, s_max + 1), PAD_ID, np.int32)
         ids = []
 
-        # Draw perturb factors up front, in index order: the realized
-        # factor sequence is identical to the sequential implementation,
-        # independent of thread scheduling.
-        if self.speed_perturb:
-            factors = [
-                SPEED_FACTORS[rng.integers(len(SPEED_FACTORS))]
-                for _ in indices
-            ]
-        else:
-            factors = [1.0] * bsz
-
+        # Perturb factors arrive pre-drawn (in global index order, see
+        # epoch()): the realized factor sequence is identical to the
+        # sequential implementation, independent of thread scheduling
+        # AND of the process sharding.
         if self.num_workers > 1 and bsz > 1:
             if self._pool is None:
                 from concurrent.futures import ThreadPoolExecutor

@@ -55,16 +55,46 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: dict, mesh: Mesh) -> dict:
+def shard_batch(batch: dict, mesh: Mesh, process_sharded: bool = True) -> dict:
     """Place numpy batch dict onto the mesh, batch axis sharded on "data".
 
     Non-array entries (ids, bucket tags) pass through untouched.
+
+    Multi-process meshes (after `parallel.distributed.initialize`):
+    the global batch is assembled from process-local data with
+    `jax.make_array_from_process_local_data` — no host holds the full
+    batch. `process_sharded=True` means each process loaded its OWN
+    rows of the global batch (the training path,
+    `BucketedLoader(process_count=N)`): global batch = local rows × N
+    concatenated in process order, which is exactly the "data"-axis
+    device order of `make_mesh` (jax.devices() is process-major).
+    `process_sharded=False` means every process holds the IDENTICAL
+    full batch (the valid/test path) and each keeps only its own
+    slice; batch dims that don't divide the data axis replicate.
     """
     sharding = batch_sharding(mesh)
+    nproc = jax.process_count()
+    data_size = mesh.shape.get("data", 1)
     out = {}
     for k, v in batch.items():
         if isinstance(v, (np.ndarray, jax.Array)) and getattr(v, "ndim", 0) >= 1:
-            out[k] = jax.device_put(v, sharding)
+            if nproc > 1:
+                v = np.asarray(v)
+                gb = v.shape[0] * (nproc if process_sharded else 1)
+                if gb % data_size != 0:
+                    if process_sharded:
+                        raise ValueError(
+                            f"batch entry {k}: global batch {gb} does not "
+                            f"divide the data axis ({data_size}); give the "
+                            "training loader batch_divisor=data axis size"
+                        )
+                    out[k] = jax.device_put(v, replicate(mesh))
+                    continue
+                out[k] = jax.make_array_from_process_local_data(
+                    sharding, v, (gb,) + v.shape[1:]
+                )
+            else:
+                out[k] = jax.device_put(v, sharding)
         else:
             out[k] = v
     return out

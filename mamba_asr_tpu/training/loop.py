@@ -30,6 +30,7 @@ from mamba_asr_tpu.configs.loader import ExperimentConfig
 from mamba_asr_tpu.data.dataset import BucketedLoader
 from mamba_asr_tpu.decoding.ctc_greedy import ctc_greedy_decode, tokens_to_lists
 from mamba_asr_tpu.models.asr import ASRModel
+from mamba_asr_tpu.parallel.distributed import fetch_global
 from mamba_asr_tpu.parallel.mesh import (
     activation_mesh,
     is_main_process,
@@ -92,6 +93,7 @@ class Trainer:
                 project=cfg.train.wandb_project, name=cfg.name,
             )
         self.state: Optional[TrainState] = None
+        self.nproc = jax.process_count()
         self.is_s2s = cfg.model.num_decoder_layers > 0
         self.metric_key = "ACC" if self.is_s2s else "WER"
         self.start_epoch = 1
@@ -127,6 +129,30 @@ class Trainer:
         self._searchers[test] = searcher
         return searcher
 
+    # -- multi-process helpers ------------------------------------------------
+
+    def _host_state(self):
+        """Host copy of the train state for checkpointing. Multi-host
+        tensor-parallel layouts hold cross-process shards, so the gather
+        is a COLLECTIVE — call on every process, write on process 0."""
+        if self.nproc == 1:
+            return jax.device_get(self.state)
+        from mamba_asr_tpu.parallel.distributed import tree_fetch_global
+
+        return tree_fetch_global(self.state)
+
+    def _eval_batch(self, batch):
+        """Device placement for a validation/test batch. The valid/test
+        loaders are NOT process-sharded (every process loads the full
+        batch — refs/ids must be host-visible everywhere), so under
+        multi-process the identical full batch is turned into one global
+        data-sharded array per entry (process_sharded=False)."""
+        arrays = {k: v for k, v in batch.items()
+                  if k not in ("ids", "bucket")}
+        if self.nproc > 1:
+            return shard_batch(arrays, self.mesh, process_sharded=False)
+        return {k: jnp.asarray(v) for k, v in arrays.items()}
+
     def ctc_decoder(self):
         """Decoder hook for evaluate(): on-device CTC prefix beam search
         (test-time decoder of the CTC recipes, beam 100 with logp pruning,
@@ -144,7 +170,7 @@ class Trainer:
                 beam_prune_logp=d.beam_prune_logp,
                 token_prune_min_logp=d.token_prune_min_logp,
             )
-            return tokens_to_lists(np.array(toks), np.array(lens))
+            return tokens_to_lists(fetch_global(toks), fetch_global(lens))
 
         return scoped_to_mesh(decode, self.mesh)
 
@@ -162,7 +188,7 @@ class Trainer:
                 ctc_log_probs=eval_out["ctc_log_probs"],
                 lm_params=self.lm_params if test else None,
             )
-            return strip_special(np.array(toks), np.array(lens))
+            return strip_special(fetch_global(toks), fetch_global(lens))
 
         return scoped_to_mesh(decode, self.mesh)
 
@@ -209,6 +235,10 @@ class Trainer:
     ) -> None:
         cfg = self.cfg
         epochs = epochs or cfg.train.number_of_epochs
+        # Per-step loss floats across all fit() epochs — the trajectory
+        # surface the multi-process equality test (and any user) can
+        # compare against a single-process run on the same data.
+        self.loss_history = getattr(self, "loss_history", [])
         # Typed key so train.rng_impl can route dropout/specaug mask
         # bit-gen through the TPU hardware RngBitGenerator
         # (impl="unsafe_rbg"); the default threefry impl produces the
@@ -236,6 +266,11 @@ class Trainer:
                 train_loader.epoch(epoch),
                 size=cfg.data.prefetch_batches,
             )
+            # Train batches from a process-sharded loader hold only this
+            # process's rows; shard_batch(process_sharded=True) then
+            # assembles the global batch across processes (single-process:
+            # plain data-sharded device_put, identical behavior to r4).
+            proc_sharded = getattr(train_loader, "process_count", 1) > 1
             for i, batch in enumerate(batches):
                 if self.state is None:
                     self.init_state(batch)
@@ -243,12 +278,13 @@ class Trainer:
                 sharded = shard_batch(
                     {k: v for k, v in batch.items() if k not in ("ids", "bucket")},
                     self.mesh,
+                    process_sharded=proc_sharded,
                 )
                 self.state, metrics = self.train_step(
                     self.state, sharded, rng, jnp.asarray(update_norm)
                 )
                 losses.append(metrics["loss"])
-                if i % 50 == 0:
+                if i % 50 == 0 and is_main_process():
                     self.steps_logger.log(
                         epoch=epoch, step=int(self.state.step),
                         loss=float(metrics["loss"]),
@@ -256,32 +292,38 @@ class Trainer:
                     )
             losses = [float(x) for x in jax.device_get(losses)]
             train_stats = {"loss": float(np.mean(losses)) if losses else 0.0}
+            self.loss_history.extend(losses)
 
             valid_stats = {}
             if valid_loader is not None:
                 valid_stats = self.validate(valid_loader, epoch)
 
             dur = time.time() - t0
-            self.logger.log_stats(
-                {"epoch": epoch, "steps": int(self.state.step),
-                 "epoch_sec": round(dur, 1)},
-                train_stats=train_stats,
-                valid_stats=valid_stats,
-            )
+            if is_main_process():
+                self.logger.log_stats(
+                    {"epoch": epoch, "steps": int(self.state.step),
+                     "epoch_sec": round(dur, 1)},
+                    train_stats=train_stats,
+                    valid_stats=valid_stats,
+                )
             if self.wandb_logger is not None:
                 self.wandb_logger.log_stats(
                     {"epoch": epoch}, train_stats=train_stats,
                     valid_stats=valid_stats,
                 )
-            if is_main_process() and valid_stats:
-                min_keys = () if self.is_s2s else ("WER",)
-                max_keys = ("ACC",) if self.is_s2s else ()
-                self.ckpt.save(
-                    jax.device_get(self.state),
-                    metrics={**valid_stats, "epoch": epoch},
-                    min_keys=min_keys,
-                    max_keys=max_keys,
-                )
+            if valid_stats:
+                # The host gather is a collective under multi-host TP —
+                # every process participates; only process 0 writes.
+                host_state = self._host_state()
+                if is_main_process():
+                    min_keys = () if self.is_s2s else ("WER",)
+                    max_keys = ("ACC",) if self.is_s2s else ()
+                    self.ckpt.save(
+                        host_state,
+                        metrics={**valid_stats, "epoch": epoch},
+                        min_keys=min_keys,
+                        max_keys=max_keys,
+                    )
 
     # -- validation -----------------------------------------------------------
 
@@ -303,8 +345,7 @@ class Trainer:
         for batch in prefetch_iterator(
             loader.epoch(0), size=self.cfg.data.prefetch_batches
         ):
-            jbatch = {k: jnp.asarray(v) for k, v in batch.items()
-                      if k not in ("ids", "bucket")}
+            jbatch = self._eval_batch(batch)
             out = self.eval_step(
                 self.state.params, self.state.normalizer, jbatch
             )
@@ -317,7 +358,9 @@ class Trainer:
                 toks, lens = ctc_greedy_decode(
                     out["ctc_log_probs"], out["enc_lengths"]
                 )
-                hyp_ids = tokens_to_lists(np.array(toks), np.array(lens))
+                hyp_ids = tokens_to_lists(
+                    fetch_global(toks), fetch_global(lens)
+                )
             hyps = [self.tokenizer.decode(t) for t in hyp_ids][:real]
             refs = [
                 self.tokenizer.decode(
@@ -329,7 +372,7 @@ class Trainer:
             cer.append(batch["ids"][:real], hyps, refs)
             if self.is_s2s:
                 acc.append(
-                    np.array(out["seq_log_probs"]),
+                    fetch_global(out["seq_log_probs"]),
                     batch["tokens_eos"],
                     batch["eos_lens"],
                     batch["weight"],
@@ -359,7 +402,7 @@ class Trainer:
         state = self.state
         if use_averaged:
             restored = self.ckpt.restore_averaged(
-                jax.device_get(self.state),
+                self._host_state(),
                 k=self.cfg.train.avg_checkpoints,
                 min_key=None if self.is_s2s else "WER",
                 max_key="ACC" if self.is_s2s else None,
@@ -383,15 +426,16 @@ class Trainer:
         for batch in prefetch_iterator(
             loader.epoch(0), size=self.cfg.data.prefetch_batches
         ):
-            jbatch = {k: jnp.asarray(v) for k, v in batch.items()
-                      if k not in ("ids", "bucket")}
+            jbatch = self._eval_batch(batch)
             out = self.eval_step(state.params, state.normalizer, jbatch)
             real = int(batch["weight"].sum())
             if decoder is None:
                 toks, lens = ctc_greedy_decode(
                     out["ctc_log_probs"], out["enc_lengths"]
                 )
-                hyp_ids = tokens_to_lists(np.array(toks), np.array(lens))
+                hyp_ids = tokens_to_lists(
+                    fetch_global(toks), fetch_global(lens)
+                )
             else:
                 hyp_ids = decoder(state.params, state.normalizer, jbatch, out)
             hyps = [self.tokenizer.decode(t) for t in hyp_ids][:real]
@@ -408,15 +452,26 @@ class Trainer:
             "WER": wer.summarize()["WER"],
             "CER": cer.summarize()["WER"],
         }
-        if use_averaged and is_main_process():
+        if use_averaged:
             # Retain the averaged model as a single named checkpoint (the
             # reference's post-test averaged-checkpoint retention,
             # train_S2S.py:814-821 — without the ACC=1.1 metadata hack).
-            self.ckpt.save(
-                jax.device_get(state),
-                metrics={**summary, "averaged": True},
-                name=f"averaged_{test_name}",
-            )
+            # The gather is a collective under multi-host TP: all
+            # processes run it, process 0 writes.
+            if self.nproc == 1:
+                host = jax.device_get(state)
+            else:
+                from mamba_asr_tpu.parallel.distributed import (
+                    tree_fetch_global,
+                )
+
+                host = tree_fetch_global(state)
+            if is_main_process():
+                self.ckpt.save(
+                    host,
+                    metrics={**summary, "averaged": True},
+                    name=f"averaged_{test_name}",
+                )
         if is_main_process():
             out_path = os.path.join(
                 self.cfg.output_folder, f"wer_{test_name}.txt"
