@@ -94,7 +94,10 @@ class ASRConfig:
     csgu_linear_units: int = 3072
     gate_activation: str = "identity"
     use_linear_after_conv: bool = False
-    attention_type: str = "RelPosMHAXL"  # RelPosMHAXL | regularMHA
+    # RelPosMHAXL | regularMHA | hypermixing (the reference's full
+    # attention allowlist, Transformer.py:669). hypermixing is global
+    # token mixing — incompatible with causal/streaming encoders.
+    attention_type: str = "RelPosMHAXL"
     positional_encoding: str = "fixed_abs_sine"
     kernel_size: int = 31
     bias: bool = True
@@ -345,7 +348,12 @@ class ASRModel(nn.Module):
                 train=train,
             )
         elif cfg.encoder_module == "conformer":
-            pos = rel_pos_encoding(t, cfg.d_model, dtype=x.dtype)
+            # hypermixing adds its own internal PE; no external pos_embs
+            # (reference dispatch TransformerASR.py:775-781).
+            pos = (
+                None if cfg.attention_type == "hypermixing"
+                else rel_pos_encoding(t, cfg.d_model, dtype=x.dtype)
+            )
             enc, _ = self.encoder(
                 x, src_mask=src_mask, src_key_padding_mask=pad_mask,
                 pos_embs=pos, chunk_size=chunk_size, train=train,
@@ -353,6 +361,8 @@ class ASRModel(nn.Module):
         elif cfg.encoder_module == "branchformer":
             if cfg.attention_type == "RelPosMHAXL":
                 pos = rel_pos_encoding(t, cfg.d_model, dtype=x.dtype)
+            elif cfg.attention_type == "hypermixing":
+                pos = None  # HyperMixing applies its own internal PE
             else:
                 x = x + sinusoidal_position_encoding(t, cfg.d_model, x.dtype)
                 pos = None
@@ -365,6 +375,8 @@ class ASRModel(nn.Module):
         else:  # transformer
             if cfg.attention_type == "RelPosMHAXL":
                 pos = rel_pos_encoding(t, cfg.d_model, dtype=x.dtype)
+            elif cfg.attention_type == "hypermixing":
+                pos = None  # HyperMixing applies its own internal PE
             else:
                 x = x + sinusoidal_position_encoding(t, cfg.d_model, x.dtype)
                 pos = None

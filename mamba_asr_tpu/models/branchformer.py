@@ -265,6 +265,21 @@ class BranchformerEncoderLayer(nn.Module):
                 self.nhead, self.dropout, mask_pos_future=self.causal,
                 dtype=self.dtype,
             )
+        elif self.attention_type == "hypermixing":
+            # The reference's branchformer path is aspirational (NameError)
+            # so there is no construction to mirror; hypernet_size follows
+            # the conformer/transformer convention of "the layer's large
+            # hidden dim", which here is csgu_linear_units.
+            from mamba_asr_tpu.models.hypermixing import HyperMixing
+
+            self.mha = HyperMixing(
+                input_output_dim=self.d_model,
+                hypernet_size=self.csgu_linear_units,
+                tied=False,
+                num_heads=self.nhead,
+                fix_tm_hidden_size=False,
+                dtype=self.dtype,
+            )
         else:
             self.mha = MultiheadAttention(
                 self.nhead, self.dropout, dtype=self.dtype

@@ -71,6 +71,19 @@ class ConformerEncoderLayer(nn.Module):
                 self.nhead, self.dropout, mask_pos_future=self.causal,
                 dtype=self.dtype,
             )
+        elif self.attention_type == "hypermixing":
+            # Reference construction Conformer.py:1543-1549: tied=False,
+            # hypernet_size=d_ffn, fix_tm_hidden_size=False.
+            from mamba_asr_tpu.models.hypermixing import HyperMixing
+
+            self.mha = HyperMixing(
+                input_output_dim=self.d_model,
+                hypernet_size=self.d_ffn,
+                tied=False,
+                num_heads=self.nhead,
+                fix_tm_hidden_size=False,
+                dtype=self.dtype,
+            )
         else:
             self.mha = MultiheadAttention(
                 self.nhead, self.dropout, dtype=self.dtype

@@ -144,6 +144,22 @@ class TransformerEncoderLayer(nn.Module):
         if self.attention_type == "RelPosMHAXL":
             mha = RelPosMHAXL(self.nhead, self.dropout, dtype=self.dtype,
                               name="self_att")
+        elif self.attention_type == "hypermixing":
+            # Reference construction Transformer.py:1099-1106: tied=False,
+            # hypernet_size=d_ffn, fix_tm_hidden_size=False. No KV-cache
+            # decode path — hypermixing is an encoder-side option.
+            from mamba_asr_tpu.models.hypermixing import HyperMixing
+
+            src_d = src.shape[-1]
+            mha = HyperMixing(
+                input_output_dim=src_d,
+                hypernet_size=self.d_ffn,
+                tied=False,
+                num_heads=self.nhead,
+                fix_tm_hidden_size=False,
+                dtype=self.dtype,
+                name="self_att",
+            )
         else:
             mha = MultiheadAttention(self.nhead, self.dropout,
                                      dtype=self.dtype, name="self_att")
