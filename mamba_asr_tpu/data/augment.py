@@ -140,6 +140,79 @@ def _drop_mask(
     return spans.any(axis=1)
 
 
+def _cubic_weights(frac: Array) -> Array:
+    """Keys cubic-convolution weights (a = -0.75, the torch/OpenCV
+    convention used by F.interpolate(mode="bicubic")) for the 4 taps at
+    offsets [-1, 0, 1, 2] around the sample point; frac in [0, 1).
+    Returns (..., 4)."""
+    a = -0.75
+    d = jnp.stack(
+        [frac + 1.0, frac, 1.0 - frac, 2.0 - frac], axis=-1
+    )  # |x| distances of the 4 taps
+    near = (a + 2.0) * d ** 3 - (a + 3.0) * d ** 2 + 1.0
+    far = a * d ** 3 - 5.0 * a * d ** 2 + 8.0 * a * d - 4.0 * a
+    return jnp.where(d <= 1.0, near, far)
+
+
+def _cubic_time_gather(
+    feats: Array, src: Array, lo_bound: Array, hi_bound: Array
+) -> Array:
+    """Sample (B, T, F) features at fractional time positions `src`
+    (B, T) with 4-tap cubic interpolation. Taps clamp to
+    [lo_bound, hi_bound] per position — each warp SEGMENT is
+    interpolated with replicate borders at its own edges, exactly like
+    torch's per-segment bicubic interpolate calls."""
+    lo = jnp.floor(src)
+    frac = src - lo
+    w = _cubic_weights(frac)  # (B, T, 4)
+    base = lo.astype(jnp.int32)
+    gather = jax.vmap(lambda x, i: x[i])
+    out = 0.0
+    for tap, off in enumerate((-1, 0, 1, 2)):
+        idx = jnp.clip(base + off, lo_bound, hi_bound)
+        out = out + w[..., tap : tap + 1] * gather(feats, idx)
+    return out
+
+
+def time_warp_bicubic(
+    feats: Array, key: Array, window: int
+) -> Array:
+    """SpeechBrain `augment.freq_domain.Warping` semantics
+    (/root/reference/hparams/S2S/conmamba_large.yaml:439-445): ONE
+    (center c, target w) pair per batch — c ~ U[window, T-window),
+    w ~ U[c-window, c+window] — then the [0, c) and [c, T) time
+    segments are resized to lengths w and T-w with bicubic
+    interpolation, align_corners=True. (The reference interpolates the
+    (time, freq) image in 2D, but the freq size is unchanged and
+    align_corners=True makes integer grid points exact, so the freq
+    axis is identity — this reduces to 1-D cubic along time.)
+
+    Expressed as a static-shape source-position map + 4-tap cubic
+    gather so the dynamic (c, w) stay traced scalars under jit."""
+    t = feats.shape[1]
+    k_c, k_w = jax.random.split(key)
+    c = jax.random.randint(k_c, (), window, t - window).astype(jnp.float32)
+    w = (
+        jax.random.randint(k_w, (), -window, window) + 1
+    ).astype(jnp.float32) + c
+    pos = jnp.arange(t, dtype=jnp.float32)
+    # align_corners=True segment maps: [0, w) <- [0, c), [w, T) <- [c, T)
+    left = pos * (c - 1.0) / jnp.maximum(w - 1.0, 1.0)
+    right = c + (pos - w) * (t - c - 1.0) / jnp.maximum(t - w - 1.0, 1.0)
+    in_left = pos < w
+    src = jnp.clip(jnp.where(in_left, left, right), 0.0, t - 1.0)
+    ci = c.astype(jnp.int32)
+    lo_bound = jnp.where(in_left, 0, ci)
+    hi_bound = jnp.where(in_left, ci - 1, t - 1)
+    b = feats.shape[0]
+    return _cubic_time_gather(
+        feats,
+        src[None, :].repeat(b, 0),
+        lo_bound[None, :].repeat(b, 0),
+        hi_bound[None, :].repeat(b, 0),
+    )
+
+
 def spec_augment(
     feats: Array,
     key: Array,
@@ -149,35 +222,45 @@ def spec_augment(
     freq_drop_width: int = 10,
     time_warp_window: int = 5,
     apply_time_warp: bool = False,
+    time_warp_mode: str = "bicubic",
     mask_value: float = 0.0,
 ) -> Array:
-    """SpecAugment on (B, T, F) log-mel features, fully jittable."""
+    """SpecAugment on (B, T, F) log-mel features, fully jittable.
+
+    time_warp_mode "bicubic" is the reference recipe's setting
+    (conmamba_large.yaml:441, SpeechBrain Warping); "linear" keeps the
+    r1-r4 piecewise-linear per-example warp as an option."""
     b, t, f = feats.shape
     k_t, k_f, k_w = jax.random.split(key, 3)
 
     if apply_time_warp and t > 2 * time_warp_window + 2:
-        # Piecewise-linear time warp: move a random center by +/- window.
-        center = jax.random.randint(
-            k_w, (b,), time_warp_window + 1, t - time_warp_window - 1
-        ).astype(jnp.float32)
-        shift = jax.random.randint(
-            jax.random.fold_in(k_w, 1), (b,), -time_warp_window,
-            time_warp_window + 1,
-        ).astype(jnp.float32)
-        target = center + shift
-        pos = jnp.arange(t, dtype=jnp.float32)[None, :]
-        # Map output position -> source position piecewise linearly.
-        left = pos * (center / jnp.maximum(target, 1.0))[:, None]
-        right = center[:, None] + (pos - target[:, None]) * (
-            (t - 1 - center) / jnp.maximum(t - 1 - target, 1.0)
-        )[:, None]
-        src = jnp.where(pos <= target[:, None], left, right)
-        src = jnp.clip(src, 0.0, t - 1.0)
-        lo = jnp.floor(src).astype(jnp.int32)
-        hi = jnp.minimum(lo + 1, t - 1)
-        w = (src - lo)[..., None]
-        gather = jax.vmap(lambda x, i: x[i])
-        feats = (1 - w) * gather(feats, lo) + w * gather(feats, hi)
+        if time_warp_mode == "bicubic":
+            feats = time_warp_bicubic(feats, k_w, time_warp_window)
+        elif time_warp_mode == "linear":
+            # Piecewise-linear warp: per-example random center +/- window.
+            center = jax.random.randint(
+                k_w, (b,), time_warp_window + 1, t - time_warp_window - 1
+            ).astype(jnp.float32)
+            shift = jax.random.randint(
+                jax.random.fold_in(k_w, 1), (b,), -time_warp_window,
+                time_warp_window + 1,
+            ).astype(jnp.float32)
+            target = center + shift
+            pos = jnp.arange(t, dtype=jnp.float32)[None, :]
+            # Map output position -> source position piecewise linearly.
+            left = pos * (center / jnp.maximum(target, 1.0))[:, None]
+            right = center[:, None] + (pos - target[:, None]) * (
+                (t - 1 - center) / jnp.maximum(t - 1 - target, 1.0)
+            )[:, None]
+            src = jnp.where(pos <= target[:, None], left, right)
+            src = jnp.clip(src, 0.0, t - 1.0)
+            lo = jnp.floor(src).astype(jnp.int32)
+            hi = jnp.minimum(lo + 1, t - 1)
+            w = (src - lo)[..., None]
+            gather = jax.vmap(lambda x, i: x[i])
+            feats = (1 - w) * gather(feats, lo) + w * gather(feats, hi)
+        else:
+            raise ValueError(f"unknown time_warp_mode {time_warp_mode!r}")
 
     tmask = _drop_mask(k_t, t, num_time_drops, time_drop_width, b)
     fmask = _drop_mask(k_f, f, num_freq_drops, freq_drop_width, b)

@@ -75,6 +75,11 @@ class SpecAugmentConfig:
     freq_drop_width: int = 10
     apply_time_warp: bool = False
     time_warp_window: int = 5
+    # "bicubic" = SpeechBrain Warping semantics (one batch-wide segment
+    # resize pair, cubic a=-0.75, align_corners — the reference recipe
+    # setting, conmamba_large.yaml:441); "linear" = the legacy
+    # per-example piecewise-linear warp.
+    time_warp_mode: str = "bicubic"
     # SpeechBrain Augmenter batch-composition semantics
     # (speechbrain.augment.augmenter.Augmenter; every shipped reference
     # recipe sets concat_original: False / repeat_augment: 1, i.e. the
@@ -397,6 +402,7 @@ def make_train_step(
                 freq_drop_width=specaug.freq_drop_width,
                 apply_time_warp=specaug.apply_time_warp,
                 time_warp_window=specaug.time_warp_window,
+                time_warp_mode=specaug.time_warp_mode,
             )
             reps = max(specaug.repeat_augment, 1)
             if specaug.concat_original or reps > 1:

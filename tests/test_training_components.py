@@ -359,3 +359,64 @@ def test_word_timestamps_subword_tokenizer():
     starts = [s for _, s, _ in words]
     assert starts == sorted(starts)
     assert all(e > s for _, s, e in words)
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("seed", [7, 11, 23, 41])
+def test_time_warp_bicubic_matches_torch_interpolate(seed):
+    """The bicubic time warp must equal SpeechBrain Warping's core:
+    split at c, resize segments to (w, T-w) with
+    F.interpolate(mode="bicubic", align_corners=True). The (c, w) pair
+    is recomputed from the same PRNG key the module consumes."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    from mamba_asr_tpu.data.augment import time_warp_bicubic
+
+    b, t, f = 3, 64, 12
+    window = 5
+    rng = np.random.default_rng(0)
+    feats = rng.normal(0, 1, size=(b, t, f)).astype(np.float32)
+    key = jax.random.PRNGKey(seed)
+
+    got = np.array(time_warp_bicubic(jnp.asarray(feats), key, window))
+
+    # Re-derive the module's (c, w) draw.
+    k_c, k_w = jax.random.split(key)
+    c = int(jax.random.randint(k_c, (), window, t - window))
+    w = int(jax.random.randint(k_w, (), -window, window)) + 1 + c
+
+    x = torch.tensor(feats).unsqueeze(1)  # (B, 1, T, F) image
+    left = torch.nn.functional.interpolate(
+        x[:, :, :c], (w, f), mode="bicubic", align_corners=True
+    )
+    right = torch.nn.functional.interpolate(
+        x[:, :, c:], (t - w, f), mode="bicubic", align_corners=True
+    )
+    want = torch.cat([left, right], dim=2).squeeze(1).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_time_warp_mode_wiring():
+    """spec_augment dispatches on time_warp_mode; linear stays available
+    and unknown modes raise."""
+    feats = jnp.asarray(
+        np.random.default_rng(1).normal(0, 1, (2, 60, 8)).astype(np.float32)
+    )
+    for mode in ("bicubic", "linear"):
+        out = spec_augment(
+            feats, jax.random.PRNGKey(0), num_time_drops=0,
+            num_freq_drops=0, apply_time_warp=True, time_warp_mode=mode,
+        )
+        arr = np.array(out)
+        assert arr.shape == feats.shape
+        assert not np.allclose(arr, np.array(feats))  # warp moved mass
+    import pytest
+
+    with pytest.raises(ValueError, match="time_warp_mode"):
+        spec_augment(
+            feats, jax.random.PRNGKey(0), apply_time_warp=True,
+            time_warp_mode="nearest",
+        )
