@@ -191,21 +191,30 @@ def _run():
     toks, lens = infer_k(wav)
     _ = np.asarray(lens)
 
+    # Median of >=5 independent on-device blocks + spread: a single
+    # 10-iteration reading is noise-dominated over the tunnel (round-4's
+    # 17,612 vs rounds 1/2's ~21k was exactly that — the forward kernel
+    # config is unchanged r3->r4, FUSED_Y off; docs/DESIGN.md §8d).
+    # Median (not min) is the honest central tendency when per-block
+    # variance comes from the environment, and spread_pct quantifies it
+    # in the scoreboard line itself.
+    audio_seconds = batch * seconds * iters
     dts = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         toks, lens = infer_k(wav)
         _ = (np.asarray(toks), np.asarray(lens))
         dts.append(time.perf_counter() - t0)
-    dt = min(dts)
-
-    audio_seconds = batch * seconds * iters
-    rtfx = audio_seconds / dt
+    blocks = sorted(audio_seconds / d for d in dts)
+    rtfx = float(np.median(blocks))
+    spread_pct = 100.0 * (blocks[-1] - blocks[0]) / rtfx
     print(json.dumps({
         "metric": "inference_rtfx_conmamba_small_ctc",
         "value": round(rtfx, 2),
         "unit": "audio-sec/sec/chip",
         "vs_baseline": round(rtfx / BASELINE_RTFX, 3),
+        "spread_pct": round(spread_pct, 1),
+        "blocks": [round(b, 1) for b in blocks],
     }), flush=True)
     # Wedged backend threads must not block exit after the result is out.
     os._exit(0)

@@ -182,6 +182,80 @@ def create_lexicon(
     return out_path
 
 
+_LEXICON_HEADER = "ID,duration,char,phn\n"
+
+
+def create_pronunciation_lexicon(
+    save_folder: str,
+    lexicon_txt: str,
+    split_ratio: Sequence[int] = (98, 1, 1),
+    seed: int = 1234,
+) -> str:
+    """Pronunciation-lexicon CSVs for G2P training from a local
+    `librispeech-lexicon.txt` (the official dictionary: one
+    `WORD P H O N E M E S` entry per line).
+
+    Offline port of the reference's `create_lexicon_and_oov_csv` +
+    `split_lexicon` (librispeech_prepare.py:268-457): stress digits are
+    stripped from phonemes, each word becomes a row
+    `ID,duration,char,phn` with duration = grapheme count, and the
+    result is shuffled and split 98/1/1 into `lexicon_tr/dev/test.csv`
+    (header preserved in every file; the test split takes the
+    remainder, matching the reference's slicing). The download half of
+    the reference function is environment-blocked here (zero egress),
+    so the dictionary file must already exist on disk — point
+    `lexicon_txt` at it.
+
+    Deviation: the reference's shuffle is unseeded (`random.shuffle`);
+    we seed it so splits are reproducible across runs.
+    """
+    rows = []
+    with open(lexicon_txt, encoding="utf-8") as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            word, phones = parts[0], parts[1:]
+            graphemes = " ".join(word)
+            phonemes = " ".join(p.strip("0123456789") for p in phones)
+            rows.append((len(word), graphemes, phonemes))
+
+    lexicon_csv = os.path.join(save_folder, "lexicon.csv")
+    with open(lexicon_csv, "w", encoding="utf-8") as f:
+        f.write(_LEXICON_HEADER)
+        for idx, (dur, graphemes, phonemes) in enumerate(rows):
+            f.write(f"{idx},{dur},{graphemes},{phonemes}\n")
+
+    split_lexicon(save_folder, split_ratio, seed=seed)
+    return lexicon_csv
+
+
+def split_lexicon(
+    data_folder: str,
+    split_ratio: Sequence[int] = (98, 1, 1),
+    seed: int = 1234,
+) -> None:
+    """Shuffle `lexicon.csv` and write `lexicon_tr/dev/test.csv`
+    (reference `split_lexicon`, librispeech_prepare.py:380-457: header
+    kept in every split; train/valid sizes are floor(ratio% * n), test
+    takes the remainder)."""
+    import random
+
+    with open(os.path.join(data_folder, "lexicon.csv"), encoding="utf-8") as f:
+        lines = f.readlines()[1:]
+    random.Random(seed).shuffle(lines)
+    n_tr = int(0.01 * split_ratio[0] * len(lines))
+    n_dev = int(0.01 * split_ratio[1] * len(lines))
+    parts = {
+        "lexicon_tr.csv": lines[:n_tr],
+        "lexicon_dev.csv": lines[n_tr : n_tr + n_dev],
+        "lexicon_test.csv": lines[n_tr + n_dev :],
+    }
+    for name, body in parts.items():
+        with open(os.path.join(data_folder, name), "w", encoding="utf-8") as f:
+            f.writelines([_LEXICON_HEADER] + body)
+
+
 def load_manifest(csv_path: str) -> List[Utterance]:
     out = []
     with open(csv_path, encoding="utf-8") as f:

@@ -61,6 +61,29 @@ def _fn_file(batch: int, samples: int) -> str:
     return f"fn_b{batch}_t{samples}.stablehlo"
 
 
+def _check_platforms(platforms, unsafe_mixed_platforms: bool):
+    """Refuse multi-platform exports traced from a TPU session.
+
+    The selective scan (and the beam-attention kernel) choose their
+    implementation at TRACE time from `jax.default_backend()`: a
+    TPU-session trace embeds `tpu_custom_call` Pallas kernels that can
+    never execute on a 'cpu' platform listed in the same export, so the
+    artifact would load and then fail at call time on that platform.
+    Pass `unsafe_mixed_platforms=True` to override (e.g. when the
+    traced model is known to avoid every backend-branched op).
+    """
+    if not platforms or len(platforms) < 2 or unsafe_mixed_platforms:
+        return
+    if jax.default_backend() == "tpu":
+        raise ValueError(
+            f"multi-platform export {list(platforms)} traced from a TPU "
+            "session would bake TPU-only Pallas custom calls into the "
+            "bundle; export each platform from a session whose default "
+            "backend matches it, or pass unsafe_mixed_platforms=True "
+            "if the traced program is known to be platform-neutral"
+        )
+
+
 def export_ctc_bundle(
     model,
     params,
@@ -70,6 +93,7 @@ def export_ctc_bundle(
     buckets: Sequence[Tuple[int, int]],
     platforms: Optional[Sequence[str]] = None,
     allow_custom_calls: Sequence[str] = (),
+    unsafe_mixed_platforms: bool = False,
 ) -> dict:
     """Serialize `(params, wav, wav_lens) -> (ctc_log_probs,
     enc_lengths)` for every (batch, samples) bucket into `out_dir`.
@@ -86,6 +110,7 @@ def export_ctc_bundle(
 
     Returns the manifest dict.
     """
+    _check_platforms(platforms, unsafe_mixed_platforms)
     params = jax.tree.map(np.asarray, jax.device_get(params))
     os.makedirs(out_dir, exist_ok=True)
 
@@ -150,20 +175,22 @@ def export_s2s_bundle(
     platforms: Optional[Sequence[str]] = None,
     allow_custom_calls: Sequence[str] = (),
     lm_params=None,
+    unsafe_mixed_platforms: bool = False,
 ) -> dict:
     """Serialize full S2S transcription — waveform -> joint
     CTC/attention beam search -> `(tokens (B, S), lengths (B,),
     scores (B,))` — one StableHLO function per bucket. The searcher's
     whole lax.while_loop program (cache priming, beam steps, LM
     fusion, final selection) is part of the exported function, so a
-    worker transcribes S2S models with no framework code. Tokens
-    include bos/eos framing exactly as `S2SBeamSearcher.__call__`
-    returns them.
+    worker transcribes S2S models with no framework code. Tokens are
+    returned exactly as `S2SBeamSearcher.__call__` returns them:
+    WITHOUT bos/eos framing.
 
     When the searcher fuses an LM (`lm_weight > 0` and `lm_params`
     given), the LM weights become a second msgpack argument file; the
     loader feeds them automatically.
     """
+    _check_platforms(platforms, unsafe_mixed_platforms)
     params = jax.tree.map(np.asarray, jax.device_get(params))
     has_lm = searcher.lm_model is not None and lm_params is not None
     if lm_params is not None:

@@ -75,14 +75,12 @@ def main():
         if cfg.model.num_decoder_layers <= 0:
             raise SystemExit("--s2s needs a config with decoder layers")
         from mamba_asr_tpu.cli import load_lm
-        from mamba_asr_tpu.data.tokenizer import load_tokenizer
         from mamba_asr_tpu.decoding.s2s_beam import S2SBeamSearcher
 
         d = cfg.decode
-        tok_path = (
-            f"{cfg.output_folder}/tokenizer_{cfg.data.tokenizer_type}.json"
-        )
-        lm_model, lm_params = load_lm(cfg, load_tokenizer(tok_path))
+        # No tokenizer needed: load_lm sizes the LM from the config, so
+        # --torch_ckpt imports work without {output_folder}/tokenizer_*.json.
+        lm_model, lm_params = load_lm(cfg)
         searcher = S2SBeamSearcher(
             model,
             beam_size=args.beam or d.s2s_test_beam_size,

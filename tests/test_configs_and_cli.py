@@ -87,6 +87,44 @@ def test_prepare_and_manifest(tmp_path):
     prepare_librispeech(corpus, save, dev_splits=("dev-clean",))
 
 
+def test_pronunciation_lexicon_split(tmp_path):
+    """create_pronunciation_lexicon: reference CSV shape + 98/1/1 split
+    semantics (librispeech_prepare.py:268-457) from a local dictionary
+    file — stress digits stripped, duration = grapheme count, header in
+    every split, test split takes the remainder, rows partition."""
+    from mamba_asr_tpu.data.librispeech import create_pronunciation_lexicon
+
+    d = str(tmp_path)
+    words = [f"WORD{i:03d}" for i in range(200)]
+    lex = os.path.join(d, "librispeech-lexicon.txt")
+    with open(lex, "w") as f:
+        for w in words:
+            f.write(f"{w} HH AH0 L OW1\n")
+    create_pronunciation_lexicon(d, lex)
+
+    with open(os.path.join(d, "lexicon.csv")) as f:
+        lines = f.readlines()
+    assert lines[0] == "ID,duration,char,phn\n"
+    assert len(lines) == 201
+    idx, dur, chars, phn = lines[1].rstrip("\n").split(",")
+    assert idx == "0" and dur == "7"
+    assert chars == " ".join("WORD000")
+    assert phn == "HH AH L OW"  # stress digits stripped
+
+    sizes = {}
+    bodies = []
+    for name in ("lexicon_tr.csv", "lexicon_dev.csv", "lexicon_test.csv"):
+        with open(os.path.join(d, name)) as f:
+            rows = f.readlines()
+        assert rows[0] == "ID,duration,char,phn\n"
+        sizes[name] = len(rows) - 1
+        bodies.extend(rows[1:])
+    assert sizes["lexicon_tr.csv"] == 196  # floor(0.98 * 200)
+    assert sizes["lexicon_dev.csv"] == 2
+    assert sizes["lexicon_test.csv"] == 2  # remainder
+    assert sorted(bodies) == sorted(lines[1:])  # exact partition
+
+
 def test_cli_end_to_end(tmp_path):
     """One epoch of train_ctc on a synthetic corpus, full pipeline."""
     from mamba_asr_tpu.cli import run_training
