@@ -294,3 +294,72 @@ def test_export_s2s_with_lm_fusion(tmp_path):
     np.testing.assert_allclose(
         scores_e, np.asarray(scores_r), rtol=1e-5, atol=1e-5
     )
+
+
+def test_streaming_bundle_matches_engine(tmp_path):
+    """ExportedStreamingServer (no model code: four StableHLO fns +
+    state arrays + numpy host logic) must produce EXACTLY the engine's
+    transcripts across the full protocol: bootstrap first chunks,
+    steady batched ticks, a steady-state flush with residual audio, a
+    fresh flush (stream shorter than one chunk), and slot reuse."""
+    from mamba_asr_tpu.serving.engine import StreamingServer
+    from mamba_asr_tpu.serving.export import (
+        ExportedStreamingServer,
+        export_streaming_bundle,
+    )
+
+    model, params = _model_and_params()
+    variables = {"params": params}
+    hop = FRONTEND.hop
+    server = StreamingServer(
+        model, variables, FRONTEND, normalizer=None, n_slots=3,
+        chunk_frames=16,
+    )
+    out = str(tmp_path / "stream_bundle")
+    manifest = export_streaming_bundle(server, out)
+    assert manifest["surface"] == "streaming"
+
+    exported = ExportedStreamingServer(out)
+
+    rng = np.random.default_rng(7)
+    chunk = server.chunk_samples
+    # Three stream lengths: multi-chunk + residual, exactly bootstrap +
+    # residual, and shorter than one chunk (fresh flush).
+    wavs = [
+        _rand_wav(rng, 3 * chunk + 5 * hop + 3),
+        _rand_wav(rng, chunk + hop + 1),
+        _rand_wav(rng, chunk // 2 + 7),
+    ]
+
+    def drive(eng):
+        sids = [eng.attach() for _ in wavs]
+        texts = {i: [] for i in range(len(wavs))}
+        pieces = [
+            [w[j: j + 1000] for j in range(0, len(w), 1000)]
+            for w in wavs
+        ]
+        step = 0
+        while any(pieces):
+            for i, ps in enumerate(pieces):
+                if ps:
+                    eng.feed(sids[i], ps.pop(0))
+            step += 1
+            if step % 2 == 0:
+                for sid, toks in eng.tick().items():
+                    texts[sids.index(sid)].extend(toks)
+        for sid, toks in eng.tick().items():
+            texts[sids.index(sid)].extend(toks)
+        # scrambled finish order
+        for i in (1, 2, 0):
+            texts[i].extend(eng.finish(sids[i]))
+        # slot reuse after finish: one more short stream
+        sid2 = eng.attach()
+        eng.feed(sid2, wavs[0][: chunk + 11])
+        reuse = list(eng.tick().get(sid2, []))
+        reuse += eng.finish(sid2)
+        return texts, reuse
+
+    ref_texts, ref_reuse = drive(server)
+    exp_texts, exp_reuse = drive(exported)
+    assert exp_texts == ref_texts
+    assert exp_reuse == ref_reuse
