@@ -153,6 +153,9 @@ def main():
     ap.add_argument("--target", type=float, default=2.0,
                     help="max acceptable test WER (%)")
     ap.add_argument("--workdir", default="")
+    ap.add_argument("--n-train", type=int, default=32)
+    ap.add_argument("--n-dev", type=int, default=8)
+    ap.add_argument("--n-test", type=int, default=8)
     ap.add_argument("--s2s-config",
                     default="hparams/S2S/conmambamamba_small.yaml")
     # Unrecognized --key value pairs pass through as config overrides.
@@ -162,7 +165,8 @@ def main():
     work = args.workdir or tempfile.mkdtemp(prefix="train_to_floor_")
     corpus = os.path.join(work, "corpus")
     if not os.path.isdir(os.path.join(corpus, "train-clean-100")):
-        build_corpus(corpus)
+        build_corpus(corpus, n_train=args.n_train, n_dev=args.n_dev,
+                     n_test=args.n_test)
     modes = ["ctc", "s2s"] if args.mode == "both" else [args.mode]
     ok = True
     for mode in modes:
