@@ -330,6 +330,10 @@ def test_streaming_bundle_matches_engine(tmp_path):
         _rand_wav(rng, chunk + hop + 1),
         _rand_wav(rng, chunk // 2 + 7),
     ]
+    tiny = [  # degenerate fresh-flush lengths (< one fbank window)
+        _rand_wav(rng, 5 * hop + 9),
+        _rand_wav(rng, 100),
+    ]
 
     def drive(eng):
         sids = [eng.attach() for _ in wavs]
@@ -357,6 +361,11 @@ def test_streaming_bundle_matches_engine(tmp_path):
         eng.feed(sid2, wavs[0][: chunk + 11])
         reuse = list(eng.tick().get(sid2, []))
         reuse += eng.finish(sid2)
+        # degenerate-tiny utterances (fresh flush below one window)
+        for w in tiny:
+            sid3 = eng.attach()
+            eng.feed(sid3, w)
+            reuse.append(tuple(eng.finish(sid3)))
         return texts, reuse
 
     ref_texts, ref_reuse = drive(server)
