@@ -578,6 +578,16 @@ class ExportedStreamingServer:
         self._slot_of_sid = {}
         self._next_sid = 0
         self._pending = {}
+        # Engine-protocol compatibility (AsrTcpServer drives either
+        # engine through the same surface): no final-pass decode in the
+        # exported greedy engine, plus endpointing bookkeeping.
+        self.final_decode = None
+        self.n_slots = n
+        self._silence = [0] * n
+        self._n_ticks = 0
+        self._n_attached = 0
+        self._n_finished = 0
+        self._tokens_out = 0
 
     def _fn(self, name):
         if name not in self._fns:
@@ -586,6 +596,33 @@ class ExportedStreamingServer:
         return self._fns[name]
 
     # -- protocol ------------------------------------------------------
+    @property
+    def free_slots(self) -> int:
+        return sum(not a for a in self._active)
+
+    @property
+    def frame_seconds(self) -> float:
+        return (self.hop / self.m["sample_rate"]) * self.ds
+
+    def ready_slots(self):
+        return [
+            slot for slot in range(self.m["n_slots"])
+            if self._active[slot] and self._bufs[slot].size >= self.chunk
+        ]
+
+    def trailing_silence_s(self, sid: int) -> float:
+        return self._silence[self._slot_of_sid[sid]] * self.frame_seconds
+
+    def stats(self):
+        return {
+            "slots": self.m["n_slots"],
+            "active_streams": self.m["n_slots"] - self.free_slots,
+            "attached_total": self._n_attached,
+            "finished_total": self._n_finished,
+            "ticks_total": self._n_ticks,
+            "tokens_out": self._tokens_out,
+        }
+
     def attach(self) -> int:
         for slot in range(self.m["n_slots"]):
             if not self._active[slot]:
@@ -598,8 +635,10 @@ class ExportedStreamingServer:
                 self._frames[slot] = 0
                 self._enc_done[slot] = 0
                 self._last_tok[slot] = 0
+                self._silence[slot] = 0
                 self._sid_of_slot[slot] = sid
                 self._slot_of_sid[sid] = slot
+                self._n_attached += 1
                 return sid
         raise RuntimeError("server full")
 
@@ -612,12 +651,20 @@ class ExportedStreamingServer:
     def _collapse(self, slot: int, best_row: np.ndarray, n_out: int):
         out = []
         prev = self._last_tok[slot]
-        for t in best_row[:n_out]:
+        row = best_row[:n_out]
+        for t in row:
             t = int(t)
             if t != 0 and t != prev:
                 out.append(t)
             prev = t
         self._last_tok[slot] = prev
+        # Endpointing signal: trailing CTC-blank run over argmax frames.
+        nz = np.nonzero(np.asarray(row) != 0)[0]
+        if nz.size:
+            self._silence[slot] = len(row) - 1 - int(nz[-1])
+        else:
+            self._silence[slot] += len(row)
+        self._tokens_out += len(out)
         return out
 
     def _bootstrap(self, slot: int):
@@ -677,6 +724,7 @@ class ExportedStreamingServer:
                     out.setdefault(
                         self._sid_of_slot[slot], []
                     ).extend(toks)
+            self._n_ticks += 1
         return out
 
     def finish(self, sid: int):
@@ -709,6 +757,7 @@ class ExportedStreamingServer:
             )
         out.extend(self._collapse(slot, np.asarray(best)[0], n_out))
         self.abort(sid)
+        self._n_finished += 1
         return out
 
     def abort(self, sid: int) -> None:

@@ -74,6 +74,11 @@ def main() -> None:
                         "(needs a server running a final-pass decode)")
     p.add_argument("--ckpt_dir", default="",
                    help="experiment save dir (top-k averaged restore)")
+    p.add_argument("--bundle", default="",
+                   help="serve a streaming StableHLO bundle "
+                        "(export_streaming_bundle) — no hparams/ckpt/"
+                        "model code needed; greedy transcripts exactly "
+                        "equal the framework engine's")
     p.add_argument("--torch_ckpt", default="",
                    help="reference PyTorch model.ckpt to serve "
                         "(models/torch_import.py)")
@@ -109,6 +114,30 @@ def main() -> None:
             raise SystemExit("client mode needs audio files")
         run_client(args.connect, paths, args.realtime, args.client_chunk_ms,
                    timestamps=args.timestamps)
+        return
+
+    if args.bundle:
+        # Framework-free serving from an exported bundle: numpy host
+        # logic + four StableHLO functions; slots/chunk are baked in at
+        # export time.
+        from mamba_asr_tpu.data.tokenizer import load_tokenizer
+        from mamba_asr_tpu.serving.export import ExportedStreamingServer
+        from mamba_asr_tpu.serving.server import AsrTcpServer
+
+        engine = ExportedStreamingServer(args.bundle)
+        tokenizer = load_tokenizer(args.tokenizer) if args.tokenizer else None
+        server = AsrTcpServer(engine, tokenizer=tokenizer,
+                              host=args.host, port=args.port,
+                              endpoint_silence_s=args.endpoint_silence)
+        server.start()
+        print(f"serving bundle {args.bundle} "
+              f"({engine.m['n_slots']} slots) on "
+              f"{server.host}:{server.port}", flush=True)
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            server.stop()
         return
 
     if not args.config:

@@ -372,3 +372,22 @@ def test_streaming_bundle_matches_engine(tmp_path):
     exp_texts, exp_reuse = drive(exported)
     assert exp_texts == ref_texts
     assert exp_reuse == ref_reuse
+
+    # The exported engine also drives the real TCP server
+    # (serve.py --bundle): stream one utterance end-to-end and match
+    # the engine transcript for the same audio.
+    from mamba_asr_tpu.serving.server import AsrTcpServer, StreamingClient
+
+    srv = AsrTcpServer(exported, tokenizer=None, port=0)
+    srv.start()
+    try:
+        cl = StreamingClient(srv.host, srv.port)
+        sid = cl.start()
+        w = wavs[1]
+        for j in range(0, len(w), 1600):
+            cl.send(sid, w[j: j + 1600])
+        ids, _text = cl.end(sid)
+        cl.close()
+    finally:
+        srv.stop()
+    assert list(ids) == ref_texts[1]
