@@ -90,6 +90,9 @@ def main():
         # precision up; evaluate.py re-jits everything.
         jax.config.update("jax_default_matmul_precision", "highest")
         # evaluate.py replays the training argv minus epoch control.
+        # Must carry EVERY train_to_floor override that shapes the
+        # restored TrainState (grad_accumulation_factor changes the
+        # optax.MultiSteps opt-state structure) or restore fails.
         eval_argv = [
             "--data.data_folder", corpus,
             "--data.output_folder", os.path.join(work, "out", "s2s"),
@@ -101,7 +104,14 @@ def main():
             "--model.d_ffn", "128", "--model.compute_dtype", "float32",
             "--model.mamba.d_state", "8",
             "--frontend.n_mels", "40", "--model.n_mels", "40",
+            "--train.lr", "0.002", "--train.warmup_steps", "60",
+            "--train.grad_accumulation_factor", "1",
+            "--train.keep_checkpoints", "5",
+            "--train.avg_checkpoints", "5",
+            "--data.num_buckets", "2",
+            "--data.max_batch_seconds", "24.0",
             "--model.nhead", "2", "--model.num_decoder_layers", "1",
+            "--train.ctc_weight", "0.3",
             "--decode.s2s_test_beam_size", "8",
         ]
         evaluate_again("hparams/S2S/conmamba_small.yaml", eval_argv)
