@@ -188,6 +188,13 @@ class _ScanHead(nn.Module):
         assert not reverse, "reverse scan requires cfg.seq_axis"
         x = causal_conv1d(x, self.conv_w, self.conv_b, activation="silu")
         delta, b_mat, c_mat = self._dt_bc(x)
+        # softplus(dt + bias) OUTSIDE the scan op: XLA fuses it into the
+        # dt-projection epilogue where the VPU overlaps the MXU, instead
+        # of serializing inside the kernel (its slowest transcendental,
+        # DESIGN §8b). Bit-identical outputs (both compute fp32
+        # jax.nn.softplus on the same padded values), ~8 % faster fwd
+        # per scan op, fwd+bwd neutral — scripts/ab_softplus_outside.py.
+        delta = jax.nn.softplus(delta.astype(jnp.float32) + self.dt_bias)
         return selective_scan(
             x,
             delta,
@@ -196,8 +203,8 @@ class _ScanHead(nn.Module):
             c_mat,
             D=self.d_skip,
             z=z,
-            delta_bias=self.dt_bias,
-            delta_softplus=True,
+            delta_bias=None,
+            delta_softplus=False,
             implementation=self.cfg.scan_impl,
         )
 
