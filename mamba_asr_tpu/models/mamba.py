@@ -188,13 +188,12 @@ class _ScanHead(nn.Module):
         assert not reverse, "reverse scan requires cfg.seq_axis"
         x = causal_conv1d(x, self.conv_w, self.conv_b, activation="silu")
         delta, b_mat, c_mat = self._dt_bc(x)
-        # softplus(dt + bias) OUTSIDE the scan op: XLA fuses it into the
-        # dt-projection epilogue where the VPU overlaps the MXU, instead
-        # of serializing inside the kernel (its slowest transcendental,
-        # DESIGN §8b). Bit-identical outputs (both compute fp32
-        # jax.nn.softplus on the same padded values), ~8 % faster fwd
-        # per scan op, fwd+bwd neutral — scripts/ab_softplus_outside.py.
-        delta = jax.nn.softplus(delta.astype(jnp.float32) + self.dt_bias)
+        # softplus(dt + bias) stays INSIDE the scan op: computing it in
+        # XLA instead is bit-identical but SHAPE-DEPENDENT on hardware —
+        # −8 % fwd at d_inner 1024 (compute-bound cell) yet +36 % at
+        # d_inner 288, because the pre-computed dt must travel to the
+        # kernel as fp32 (2× the bf16 delta's HBM bytes), which dominates
+        # at narrow widths (scripts/ab_softplus_outside.py, DESIGN §8b).
         return selective_scan(
             x,
             delta,
@@ -203,8 +202,8 @@ class _ScanHead(nn.Module):
             c_mat,
             D=self.d_skip,
             z=z,
-            delta_bias=None,
-            delta_softplus=False,
+            delta_bias=self.dt_bias,
+            delta_softplus=True,
             implementation=self.cfg.scan_impl,
         )
 
